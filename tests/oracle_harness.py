@@ -1,0 +1,76 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness check.
+
+For each registered query: run the Spark builder and the oracle SQL on
+the same parquet tables, then compare row count, column-name set, and an
+order-insensitive value comparison (columns sorted by name, rows sorted,
+floats rounded). Catching a mismatch here means catching it before the
+driver's CORRECTNESS gate does.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import duckdb
+
+from kafka_streams_spring_cloud_stream_tp1_spark.sources.tables import TABLES
+
+FLOAT_DECIMALS = 6
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, FLOAT_DECIMALS)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    # Decimal, ints, strs, bytes compare directly
+    return v
+
+
+def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
+    """Sort columns by name, normalize cells, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    normed = [tuple(_norm_cell(row[i]) for i in order) for row in rows]
+    return sorted(normed, key=repr)
+
+
+def compare_query(spark, con, builder, oracle: str, sf_dir: str) -> None:
+    sdf = builder(spark, sf_dir)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = con.sql(oracle)
+    duck_cols = list(res.columns)
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_norm = normalize_rows(spark_cols, spark_rows)
+    d_norm = normalize_rows(duck_cols, duck_rows)
+    if s_norm != d_norm:
+        diff_s = [r for r in s_norm if r not in d_norm][:5]
+        diff_d = [r for r in d_norm if r not in s_norm][:5]
+        raise AssertionError(f"value mismatch; spark-only={diff_s} duck-only={diff_d}")

@@ -1,0 +1,47 @@
+"""Oracle-parity tests for every registered query at sf0.001 (fast) —
+mirrors the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_streams_spring_cloud_stream_tp1_spark.plans import QUERIES, queries_map
+
+from .conftest import SF_SMOKE
+from .oracle_harness import compare_query, duckdb_conn
+
+queries_map()  # force registration
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_conn(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, duck, name):
+    spec = QUERIES[name]
+    if spec.oracle is None:
+        df = spec.builder(spark, SF_SMOKE)
+        assert df.count() >= 0  # rows-only check, mirrors the driver
+    else:
+        compare_query(spark, duck, spec.builder, spec.oracle, SF_SMOKE)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"name", "window_start", "cnt"}
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert "q_windowed_count" in q
