@@ -1,0 +1,138 @@
+"""The streaming flagship topology and the queryable count-store.
+
+Reproduces the reference's full streaming loop (reference:
+hanndlers/PageEventHandler.java:49-60 +
+controllers/PageEventController.java:42-58):
+
+    source -> filter(duration>100) -> re-key(name) -> [shuffle]
+    -> 5s tumbling window count  => "count-store" (queryable)
+    -> changelog stream (update mode, ~1/s)       => sink
+
+Semantic mappings (SURVEY.md §4.2):
+- KTable changelog + commit.interval.ms=1000  ==  outputMode("update")
+  + trigger(processingTime="1 second") — emits changed aggregates per
+  trigger, not one row per event.
+- RocksDB window store "count-store"  ==  the streaming state store
+  (RocksDB provider configured in session.py) PLUS a `memory` sink
+  table as the *queryable* projection; the interactive range-fetch
+  (Q1) is a tiny batch SQL over that table — same writer-thread vs.
+  reader-thread split as the reference's store.
+- The reference's accidental 24h grace (deprecated TimeWindows.of) is
+  replaced by an explicit, configurable watermark — a documented
+  divergence; state must be evictable or a 100TB stream never
+  compacts.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import core as ops
+
+
+def streaming_windowed_counts(
+    events: DataFrame,
+    window: str = "5 seconds",
+    watermark: str = "10 seconds",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    threshold: float = 100.0,
+) -> DataFrame:
+    """Bind the batch flagship builders to a streaming DataFrame.
+
+    Identical logic to the batch `windowed_page_counts` with a
+    watermark prepended — the watermark bounds late data (reference
+    default grace is 24 h, see module docstring) and lets Spark evict
+    window state; without it, update-mode agg state grows forever.
+    """
+    withw = events.withWatermark(ts_col, watermark)
+    counts = ops.windowed_page_counts(
+        withw, window=window, ts_col=ts_col, key_col=key_col, threshold=threshold
+    )
+    return ops.unwrap_windowed_key(counts, keep_bounds=True)
+
+
+@dataclass
+class CountStore:
+    """The queryable window store: a streaming query materializing the
+    windowed counts into an in-memory table (the reference's RocksDB
+    `count-store` + InteractiveQueryService, single-instance serving
+    assumption — SURVEY.md §4.2). At cluster scale the same topology
+    writes via foreachBatch to an external KV instead.
+    """
+
+    spark: SparkSession
+    query: StreamingQuery
+    table: str
+
+    _poll: float = field(default=0.1, repr=False)
+
+    @classmethod
+    def start(
+        cls,
+        spark: SparkSession,
+        events: DataFrame,
+        table: str = "count_store",
+        window: str = "5 seconds",
+        watermark: str = "10 seconds",
+        trigger_seconds: float | None = None,
+        **kwargs,
+    ) -> "CountStore":
+        counts = streaming_windowed_counts(events, window=window, watermark=watermark, **kwargs)
+        writer = (
+            counts.writeStream.outputMode("update")  # T1: KTable changelog
+            .format("memory")
+            .queryName(table)
+        )
+        if trigger_seconds is not None:
+            # the reference's commit.interval.ms=1000 emission cadence
+            writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+        return cls(spark=spark, query=writer.start(), table=table)
+
+    def process_all(self) -> None:
+        """Drain everything currently available (test/demo helper)."""
+        self.query.processAllAvailable()
+
+    def snapshot(self) -> DataFrame:
+        """Current store contents: (name, window_start, window_end, cnt).
+
+        Update-mode memory sink *appends* each trigger's changed rows,
+        so the same (name, window) can appear once per update — the
+        store semantics keep only the latest, which is exactly the
+        reference's KTable. Per-window counts are monotone
+        nondecreasing, so latest == max (row order across sink batches
+        is not otherwise guaranteed).
+        """
+        raw = self.spark.table(self.table)
+        return raw.groupBy("name", "window_start", "window_end").agg(
+            F.max("cnt").alias("cnt")
+        )
+
+    def range_fetch(self, anchor: Column | None = None, span: str = "5 seconds") -> DataFrame:
+        """Q1 — the reference's 1 Hz interactive query
+        (PageEventController.java:47-55): windows starting within
+        [anchor - span, anchor] folded to latest-window-per-page.
+        ``anchor`` defaults to now(), exactly like the reference.
+        """
+        snap = self.snapshot().select("name", "window_start", "cnt")
+        anchor_col = anchor if anchor is not None else F.current_timestamp()
+        return ops.latest_window_per_key(snap, anchor_ts=anchor_col, span=span)
+
+    def serve(self, seconds: float, interval: float = 1.0):
+        """The SSE analytics loop (PageEventController.java:42-58):
+        poll the store once per `interval`, yield {page -> count}
+        snapshots. Generator instead of an HTTP server — the serving
+        protocol is out of engine scope (SURVEY.md V1)."""
+        deadline = time.monotonic() + seconds
+        while time.monotonic() < deadline:
+            rows = self.range_fetch().collect()
+            yield {r["name"]: r["cnt"] for r in rows}
+            time.sleep(interval)
+
+    def stop(self) -> None:
+        self.query.stop()

@@ -1,0 +1,178 @@
+"""Streaming-semantics tests (SURVEY.md §5.2.3): drive the streaming
+flagship topology with file-source micro-batches and assert update-mode
+output, store snapshots, the interactive range fetch, and
+watermark/late-data handling — the behaviors a batch oracle can't see.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_streams_spring_cloud_stream_tp1_spark.schemas import EVENTS_SCHEMA
+from kafka_streams_spring_cloud_stream_tp1_spark.sources.generators import (
+    page_event_batch,
+    page_event_stream,
+)
+from kafka_streams_spring_cloud_stream_tp1_spark.streaming import CountStore
+from kafka_streams_spring_cloud_stream_tp1_spark.streaming.kafka import (
+    format_count_changelog,
+    parse_page_events,
+)
+
+BASE = "2024-01-01 00:00:"
+_EPOCH0 = datetime(2024, 1, 1)
+
+
+def _event(i, second, etype, value):
+    ts = _EPOCH0 + timedelta(seconds=second)
+    return {
+        "event_id": i,
+        "ts": ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+        "user_id": 1,
+        "event_type": etype,
+        "value": value,
+    }
+
+
+def _write_batch(dirpath, name, rows):
+    with open(f"{dirpath}/{name}.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture
+def stream_dir(tmp_path):
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    return str(d)
+
+
+def _start_store(spark, stream_dir, table):
+    events = spark.readStream.schema(EVENTS_SCHEMA).json(stream_dir)
+    return CountStore.start(spark, events, table=table, window="5 seconds", watermark="10 seconds")
+
+
+def test_windowed_counts_and_range_fetch(spark, stream_dir):
+    store = _start_store(spark, stream_dir, "cs_main")
+    try:
+        # batch 1: window [0,5s) gets 2 qualifying P-views, [5,10s) gets 1;
+        # a low-duration event is filtered out (F1)
+        _write_batch(
+            stream_dir,
+            "b1",
+            [
+                _event(0, 1.0, "P1", 200.0),
+                _event(1, 2.0, "P1", 300.0),
+                _event(2, 3.0, "P1", 50.0),  # filtered: value <= 100
+                _event(3, 6.0, "P2", 150.0),
+            ],
+        )
+        store.process_all()
+        snap = {
+            (r["name"], r["window_start"].second): r["cnt"]
+            for r in store.snapshot().collect()
+        }
+        assert snap == {("P1", 0): 2, ("P2", 5): 1}
+
+        # batch 2: same P1 window gets one more view -> count UPDATES to 3
+        # (KTable changelog semantics: latest value per (key, window))
+        _write_batch(stream_dir, "b2", [_event(4, 4.0, "P1", 500.0)])
+        store.process_all()
+        snap = {
+            (r["name"], r["window_start"].second): r["cnt"]
+            for r in store.snapshot().collect()
+        }
+        assert snap == {("P1", 0): 3, ("P2", 5): 1}
+
+        # Q1: anchor at 7s, span 5s -> windows starting in [2s, 7s]:
+        # only [5,10s); latest-per-key fold gives {P2: 1}
+        fetched = {
+            r["name"]: r["cnt"]
+            for r in store.range_fetch(anchor=F.to_timestamp(F.lit(f"{BASE}07"))).collect()
+        }
+        assert fetched == {"P2": 1}
+    finally:
+        store.stop()
+
+
+def test_watermark_drops_too_late_data(spark, stream_dir):
+    store = _start_store(spark, stream_dir, "cs_late")
+    try:
+        # advance stream-time to 60s => watermark 50s after this batch
+        _write_batch(
+            stream_dir,
+            "b1",
+            [_event(0, 1.0, "P1", 200.0), _event(1, 60.0, "P1", 200.0)],
+        )
+        store.process_all()
+
+        _write_batch(
+            stream_dir,
+            "b2",
+            [
+                _event(2, 2.0, "P1", 200.0),   # too late: window [0,5) << watermark 50s
+                _event(3, 61.0, "P1", 200.0),  # within watermark: window [60,65) updates
+            ],
+        )
+        store.process_all()
+        snap = {
+            (r["name"], r["window_start"].minute, r["window_start"].second): r["cnt"]
+            for r in store.snapshot().collect()
+        }
+        assert snap[("P1", 0, 0)] == 1, "too-late event must NOT update the closed window"
+        assert snap[("P1", 1, 0)] == 2, "late-but-within-watermark event must update"
+    finally:
+        store.stop()
+
+
+def test_rate_source_generator_shape(spark):
+    stream = page_event_stream(spark, rows_per_second=5, seed=7)
+    assert stream.isStreaming
+    assert [f.name for f in stream.schema.fields] == ["name", "user", "date", "duration"]
+
+
+def test_synthetic_batch_distributions(spark):
+    df = page_event_batch(spark, 2000, seed=7).cache()
+    names = {r["name"] for r in df.select("name").distinct().collect()}
+    users = {r["user"] for r in df.select("user").distinct().collect()}
+    assert names == {"P1", "P2"} and users == {"U1", "U2"}
+    row = df.agg(
+        F.min("duration").alias("lo"),
+        F.max("duration").alias("hi"),
+        F.avg("duration").alias("mean"),
+    ).collect()[0]
+    # duration = 10 + uniform[0, 10000) (reference PageEventHandler.java:43)
+    assert 10 <= row["lo"] and row["hi"] < 10010
+    assert 4000 < row["mean"] < 6000
+    df.unpersist()
+
+
+def test_kafka_wire_roundtrip_expressions(spark):
+    """S3/K2 parse+format expressions on static wire-shaped rows —
+    no broker needed; the live path is gated on kafka_available."""
+    wire = spark.createDataFrame(
+        [
+            (
+                b"P1",
+                json.dumps(
+                    {"name": "P1", "user": "U1", "date": "2024-01-01 00:00:01", "duration": 42}
+                ).encode(),
+                "2024-01-01 00:00:01",
+            )
+        ],
+        "key binary, value binary, timestamp string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    parsed = parse_page_events(wire)
+    row = parsed.collect()[0]
+    assert (row["name"], row["user"], row["duration"]) == ("P1", "U1", 42)
+    assert row["kafka_key"] == "P1"
+
+    out = format_count_changelog(
+        spark.createDataFrame([("P1", 3)], "name string, cnt long")
+    ).collect()[0]
+    assert (out["key"], out["value"]) == ("P1", "3")
