@@ -1,7 +1,849 @@
 """North-star relational surface (SURVEY.md §2.2 'absent' rows) over the
-TPC-H-ish fixtures — joins, aggregations, window functions, sorts, set
-ops, scalar function coverage. Populated incrementally; every entry is
-oracle-checked.
+TPC-H-ish fixtures — joins, aggregations, grouping sets, SQL window
+functions, sorts/top-k, set ops, scalar-function coverage, subqueries.
+All Catalyst built-ins; every entry oracle-checked against DuckDB.
+
+Cross-engine parity conventions:
+- Alias every computed column identically on both sides.
+- Double-typed aggregates are rounded to 4 decimals on both sides —
+  float sums are order-dependent and Spark/DuckDB partition
+  differently; 4 decimals is far above both engines' accumulated error
+  at these magnitudes, far below data variance.
+- Date diffs go through DATE casts (DuckDB date_diff on timestamps
+  counts boundary crossings, Spark datediff truncates — DATE-first
+  agrees).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import query
+
+
+def _r(col, scale: int = 4):
+    return F.round(col, scale)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate hash agg with partial+final
+    phases; the ship-date predicate pushes to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(disc_price)).alias("sum_disc_price"),
+            _r(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_extendedprice")).alias("avg_price"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v,
+           round(avg(value), 4) AS avg_v,
+           round(stddev_samp(value), 4) AS std_v,
+           round(median(value), 4) AS med_v,
+           round(sum(CASE WHEN value > 100 THEN value ELSE 0 END), 4) AS sum_hi
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate coverage: min/max/avg/stddev/median plus a
+    conditional sum (filtered aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r(F.min("value")).alias("min_v"),
+        _r(F.max("value")).alias("max_v"),
+        _r(F.avg("value")).alias("avg_v"),
+        _r(F.stddev_samp("value")).alias("std_v"),
+        _r(F.median("value")).alias("med_v"),
+        _r(F.sum(F.when(F.col("value") > 100, F.col("value")).otherwise(0.0))).alias("sum_hi"),
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS users,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg in Spark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query("q_approx_count_distinct")  # HLL sketch differs per engine -> rows-only check
+def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100TB-scale path for
+    distinct counts: constant memory, no expand. Sketch values are
+    engine-specific, so no value oracle; the pytest suite asserts the
+    estimate is within rsd of the exact count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT event_type, user_id FROM events",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT as deduplicating hash aggregation."""
+    return load_table(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (flag, status), (flag), () — null-filled
+    super-aggregate rows, identical convention in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _r(F.sum("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), _r(F.sum("o_totalprice")).alias("total")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL API (same Catalyst Expand as
+    rollup/cube)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = group + conditional aggregation; explicit value list so
+    no extra pass to discover pivot columns (and at scale you always
+    pin the list)."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return piv.select("o_orderpriority", *[_r(F.col(c)).alias(c) for c in ("F", "O", "P")])
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p.p_brand, count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim equi-join with the dim side explicitly broadcast — at
+    100TB the `part` dim is MBs while `lineitem` is the 100TB; a
+    broadcast-hash join avoids shuffling the fact table entirely."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_multiway",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join. The fact-fact join
+    (orders-lineitem) shuffles on the key; the three dimension hops are
+    broadcastable and Catalyst/AQE picks broadcast-hash for them —
+    filter first so the shuffled side is pre-reduced."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'P'
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join preserving zero-order
+    customers; the extra join-side predicate must stay in the ON
+    clause (moving it to WHERE changes semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "P")
+    return (
+        c.join(o, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with >=1 pending order — no
+    duplication, only the left columns survive."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no pending orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    WITH hi AS (SELECT DISTINCT user_id FROM events WHERE value > 900),
+         err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    SELECT coalesce(hi.user_id, err.user_id) AS user_id,
+           hi.user_id IS NOT NULL AS is_hi,
+           err.user_id IS NOT NULL AS is_err
+    FROM hi FULL OUTER JOIN err ON hi.user_id = err.user_id
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with coalesced key and presence flags."""
+    ev = load_table(spark, sf_dir, "events")
+    hi = ev.filter(F.col("value") > 900).select("user_id").distinct().alias("hi")
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct().alias("err")
+    return hi.join(err, F.col("hi.user_id") == F.col("err.user_id"), "full_outer").select(
+        F.coalesce(F.col("hi.user_id"), F.col("err.user_id")).alias("user_id"),
+        F.col("hi.user_id").isNotNull().alias("is_hi"),
+        F.col("err.user_id").isNotNull().alias("is_err"),
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT b.bucket_lo, count(*) AS n
+    FROM events e
+    JOIN (VALUES (0.0, 250.0), (250.0, 500.0), (500.0, 750.0), (750.0, 10000.0))
+         AS b(bucket_lo, bucket_hi)
+      ON e.value >= b.bucket_lo AND e.value < b.bucket_hi
+    GROUP BY b.bucket_lo
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi theta) join against a tiny bucket table —
+    planned as broadcast-nested-loop; the scale-path for banding joins
+    is to precompute the band key, but the raw non-equi form must
+    work too."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.sparkSession.createDataFrame(
+        [(0.0, 250.0), (250.0, 500.0), (500.0, 750.0), (750.0, 10000.0)],
+        "bucket_lo double, bucket_hi double",
+    )
+    cond = (ev.value >= buckets.bucket_lo) & (ev.value < buckets.bucket_hi)
+    return (
+        ev.join(F.broadcast(buckets), cond)
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL window functions, sorts, top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the canonical window-rank top-k.
+    Unique o_orderkey tiebreak keeps it deterministic. At scale this
+    beats a global sort — one hash shuffle on the partition key, heap
+    per group (WindowGroupLimit pushes the limit down in Spark 3.5+)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q_window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+           round(lag(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey), 4) AS prev_price,
+           round(lead(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey), 4) AS next_price,
+           rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM orders
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function coverage: running sum, lag/lead, rank, moving
+    average with an explicit ROWS frame."""
+    o = load_table(spark, sf_dir, "orders")
+    wt = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrank = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        _r(F.sum("o_totalprice").over(wt.rowsBetween(Window.unboundedPreceding, 0))).alias(
+            "running_total"
+        ),
+        _r(F.lag("o_totalprice").over(wt)).alias("prev_price"),
+        _r(F.lead("o_totalprice").over(wt)).alias("next_price"),
+        F.rank().over(wrank).alias("price_rank"),
+        _r(F.avg("o_totalprice").over(wt.rowsBetween(-2, 0))).alias("moving_avg3"),
+    )
+
+
+@query(
+    "q_top_k_global",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_top_k_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge of k rows, never a full sort of the table."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", _r(F.col("o_totalprice")).alias("o_totalprice"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_sort_multi_col",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    ORDER BY l_quantity DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_sort_multi_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column mixed-direction sort with limit (unique composite
+    tiebreak (orderkey, linenumber) keeps the prefix deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_quantity"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    WITH clickers AS (SELECT user_id FROM events WHERE event_type = 'click'),
+         buyers AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+    SELECT 'both' AS tag, user_id FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT 'click_only' AS tag, user_id FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT (distinct set semantics) + UNION ALL, tagged."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).select(F.lit("both").alias("tag"), "user_id")
+    # subtract == EXCEPT DISTINCT (exceptAll would leave multiset
+    # leftovers for users appearing in both sides)
+    only = clickers.subtract(buyers).select(F.lit("click_only").alias("tag"), "user_id")
+    return both.unionByName(only)
+
+
+@query(
+    "q_union_all_dedup",
+    oracle="""
+    SELECT DISTINCT custkey FROM (
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 40000
+        UNION ALL
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def q_union_all_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two differently-sourced key sets, deduplicated."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_totalprice") > 40000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .unionByName(
+            c.filter(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("custkey"))
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surfaces: string / date / math / json
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           lower(p_type) AS lo_type,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 3) AS name_pfx,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS snake_name,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           contains(p_name, 'red') AS has_red,
+           starts_with(p_type, 'ECON') AS is_econ,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           lpad(p_brand, 12, '*') AS padded,
+           split_part(p_name, ' ', 1) AS first_word
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: case, length, substring, concat,
+    replace, regexp, predicates, trim, pad, split."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_type").alias("lo_type"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 3).alias("name_pfx"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.contains(F.col("p_name"), F.lit("red")).alias("has_red"),
+        F.startswith(F.col("p_type"), F.lit("ECON")).alias("is_econ"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dy,
+           isodow(o_orderdate) AS iso_dow,
+           quarter(o_orderdate) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time-function surface: extraction, truncation, interval
+    arithmetic, date difference, formatting. ISO day-of-week bridges
+    the engines' differing dayofweek conventions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS abs_d,
+           floor(l_quantity) AS flr,
+           ceil(l_quantity) AS cl,
+           round(sqrt(l_extendedprice), 4) AS sqrt_price,
+           round(ln(l_extendedprice + 1), 6) AS ln_price,
+           round(pow(l_quantity, 2), 4) AS qty_sq,
+           sign(l_discount - 0.05) AS sgn,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
+           greatest(l_tax, l_discount) AS gr,
+           least(l_tax, l_discount) AS ls
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface: abs, floor/ceil, sqrt/ln/pow, sign, mod,
+    greatest/least."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_d"),
+        F.floor("l_quantity").alias("flr"),
+        F.ceil("l_quantity").alias("cl"),
+        _r(F.sqrt("l_extendedprice")).alias("sqrt_price"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        _r(F.pow("l_quantity", F.lit(2))).alias("qty_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+        F.greatest("l_tax", "l_discount").alias("gr"),
+        F.least("l_tax", "l_discount").alias("ls"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props column (the reference's
+    payloads are JSON on the wire — SURVEY.md §1.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k_val"), (k % 10).alias("k_bucket"))
+
+
+@query(
+    "q_array_map_funcs",
+    oracle="""
+    SELECT event_id,
+           [user_id, CAST(floor(value) AS BIGINT)] AS pair,
+           len([user_id, CAST(floor(value) AS BIGINT)]) AS pair_len,
+           list_contains([user_id, CAST(floor(value) AS BIGINT)], user_id) AS has_uid,
+           list_sort([CAST(floor(value) AS BIGINT), user_id]) AS sorted_pair,
+           CAST(list_sum([user_id, CAST(floor(value) AS BIGINT)]) AS BIGINT) AS pair_sum
+    FROM events
+    """,
+)
+def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + element ops (higher-order aggregate for the
+    sum — stays in codegen, no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    # floor-then-cast: Spark's double->long cast truncates but DuckDB's
+    # rounds; floor is unambiguous in both
+    v_long = F.floor("value").cast("long")
+    pair = F.array(F.col("user_id"), v_long)
+    rpair = F.array(v_long, F.col("user_id"))
+    return ev.select(
+        "event_id",
+        pair.alias("pair"),
+        F.size(pair).cast("long").alias("pair_len"),
+        F.array_contains(pair, F.col("user_id")).alias("has_uid"),
+        F.sort_array(rpair).alias("sorted_pair"),
+        F.aggregate(pair, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("pair_sum"),
+    )
+
+
+@query(
+    "q_case_null_handling",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN value > 500 THEN 'high' WHEN value > 100 THEN 'mid' ELSE 'low' END AS tier,
+           coalesce(nullif(event_type, 'error'), 'ERR') AS safe_type,
+           value IS NULL AS v_null,
+           ifnull(nullif(user_id, 0), -1) AS uid_or_neg1
+    FROM events
+    """,
+)
+def q_case_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN ladders, nullif/coalesce/ifnull null plumbing."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 500, "high")
+        .when(F.col("value") > 100, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias("safe_type"),
+        F.isnull("value").alias("v_null"),
+        F.ifnull(F.nullif("user_id", F.lit(0)), F.lit(-1)).alias("uid_or_neg1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / SQL API
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_subqueries",
+    oracle="""
+    WITH big_spenders AS (
+        SELECT o_custkey, sum(o_totalprice) AS spent
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_custkey, c.c_name, round(b.spent, 4) AS spent
+    FROM customer c JOIN big_spenders b ON c.c_custkey = b.o_custkey
+    WHERE b.spent > (SELECT avg(spent) FROM big_spenders)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + scalar subquery + correlated EXISTS via the SQL API —
+    Catalyst rewrites EXISTS to a semi-join and the scalar subquery to
+    a broadcast one-row join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sq_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        WITH big_spenders AS (
+            SELECT o_custkey, sum(o_totalprice) AS spent
+            FROM sq_orders GROUP BY o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, round(b.spent, 4) AS spent
+        FROM sq_customer c JOIN big_spenders b ON c.c_custkey = b.o_custkey
+        WHERE b.spent > (SELECT avg(spent) FROM big_spenders)
+          AND EXISTS (SELECT 1 FROM sq_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch analogs of the streaming window zoo (sliding / session)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sliding_window_count",
+    oracle="""
+    SELECT event_type AS name,
+           make_timestamp(((epoch_ms(ts) // 5000) - shift) * 5000000) AS window_start,
+           count(*) AS cnt
+    FROM events, (VALUES (0), (1)) AS s(shift)
+    WHERE value > 100
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 10s length, 5s hop — each event lands
+    in exactly two windows (absent from the reference, which never uses
+    advanceBy; part of the Kafka Streams surface the reference
+    inherits). Oracle replicates window assignment with a 2-row shift
+    join."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") > 100)
+        .groupBy(
+            F.window("ts", "10 seconds", "5 seconds"),
+            F.col("event_type").alias("name"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("name", F.col("window.start").alias("window_start"), "cnt")
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — `F.session_window`
+    batch-mode; the oracle is the classic gaps-and-islands rewrite.
+    Spark closes a session when the next event is >= gap after the
+    previous (merge while strictly inside), matching the oracle's
+    `>=` break condition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

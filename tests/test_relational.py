@@ -1,0 +1,45 @@
+"""Extra semantics checks that the value-hash oracle can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
+from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """The HLL estimate must track the exact distinct count within a
+    few relative-standard-deviations."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in queries_map()["q_approx_count_distinct"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["users"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= max(2, 0.1 * exact[k]), (k, est, exact[k])
+
+
+def test_topk_pushdown_plan(spark):
+    """Global top-k must plan TakeOrderedAndProject (per-partition heap
+    + driver merge), never a full global sort."""
+    df = queries_map()["q_top_k_global"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_broadcast_join_plan(spark):
+    """The fact-dim join must be a broadcast hash join — no shuffle of
+    the fact side."""
+    df = queries_map()["q_join_broadcast"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
