@@ -1,0 +1,255 @@
+"""Deduplication operators for training-data pipelines: exact,
+normalized-exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these over naive pairwise):
+
+- **Exact / normalized dedup** is one hash projection + one groupBy —
+  a single shuffle on the 16-byte digest, perfectly parallel, no skew
+  (md5 is uniform). At 100 TB this is the cheapest possible dedup.
+- **n-gram Jaccard** joins on shared shingles instead of crossing all
+  pairs: candidate generation is |doc,shingle| exploded rows hash-
+  joined on the shingle — O(Σ shingle-multiplicity²) not O(n²docs).
+  Common-shingle hot keys are the skew risk; the MinHash path below is
+  the remedy when shingle frequency is heavy-tailed.
+- **MinHash + LSH banding** reduces candidate generation to an
+  equality join on (band_index, band_hash) — near-linear in corpus
+  size, the standard web-scale near-dup design (the GPT-3/C4 recipe).
+  k hash mins are computed in one partial-aggregating groupBy over the
+  exploded shingles (map-side combine shrinks the shuffle to ~k longs
+  per doc).
+- **SimHash** is one projection + one explode + one groupBy: a 16-bit
+  locality-sensitive signature; equal signatures = near-dup bucket.
+
+All hashes go through `hashing.xhash` so every operator here is
+bit-reproducible in the DuckDB oracle. No Python UDFs anywhere —
+explode/groupBy/join plans, whole-stage-codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import fan_out, perm_masks, xhash
+from .text import tokens, word_ngrams
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", normalized: bool = True) -> DataFrame:
+    """Group documents by content hash; emit one row per document with
+    its canonical (minimum) doc_id and the group size. ``normalized``
+    hashes the sorted unique token bag (word-order/repetition
+    invariant) instead of the raw bytes."""
+    key = (
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))
+        if normalized
+        else F.md5(F.col(text_col))
+    )
+    hashed = df.select("doc_id", key.alias("content_key"))
+    groups = hashed.groupBy("content_key").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    # second join is broadcast-able: groups ≤ docs, and after a real
+    # dedup pass the duplicate-group table is tiny
+    return hashed.join(groups, "content_key").select(
+        "doc_id", "canonical_id", "group_size", (F.col("doc_id") != F.col("canonical_id")).alias("is_dup")
+    )
+
+
+def shingle_sets(df: DataFrame, n: int, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct word n-grams.
+    Fans out first: shingling is the CPU-heavy projection and must use
+    every core even when the scan gave one split."""
+    return fan_out(df).select("doc_id", word_ngrams(tokens(text_col), n).alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """All document pairs with word-n-gram Jaccard ≥ threshold — EXACT
+    result, computed with PPJoin-style prefix filtering so the
+    candidate join never goes quadratic.
+
+    Theorem (prefix filter): order every doc's shingles by one global
+    total order (rarest-first here); if J(A,B) ≥ t, the first
+    ⌊(1−t)·|A|⌋+1 shingles of A and of B must overlap. So candidates
+    come from joining only those short, rare prefixes — common
+    shingles (the quadratic blowup: Σ freq² over hot shingles) never
+    enter the join. Rarest-first ordering makes prefix buckets the
+    SMALLEST frequency classes, exactly inverting the hot-key skew.
+    Candidates then get exact verification on the full shingle arrays.
+    """
+    sh = shingle_sets(df, n, text_col).cache()
+    # explode_outer: see text.with_fingerprints — inner explode would
+    # push an inferred size()>0 filter below the fan-out exchange and
+    # re-run the shingle lambda serially on the scan
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode_outer("shingles").alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    freq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("freq"))
+    # order each doc's shingles rarest-first; keep the prefix
+    prefix = (
+        ex.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.array_sort(F.collect_list(F.struct("freq", "sh"))).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            F.expr(
+                f"slice(ordered, 1, cast(floor((1.0 - {threshold}) * size(ordered)) + 1 as int))"
+            ).alias("pfx"),
+        )
+        .select("doc_id", "n_sh", F.explode("pfx").alias("e"))
+        .select("doc_id", "n_sh", F.col("e.sh").alias("sh"))
+    )
+    # length filter (2nd PPJoin prune): J(A,B) ≥ t forces
+    # t·|A| ≤ |B| ≤ |A|/t — applied inside the join condition so
+    # incompatible sizes never materialize as candidates
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return (
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, k: int = 12, n: int = 2, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig_0..sig_{k-1}) MinHash signature over word n-gram
+    shingles. Permutation i is XOR with a fixed mask (see hashing.py);
+    all k minima come out of ONE groupBy over the exploded shingles —
+    partial aggregation collapses each partition to one row per doc
+    before the shuffle. Documents shorter than n words have no
+    shingles and drop out (callers treat them as unique)."""
+    masks = perm_masks(k)
+    ex = (
+        shingle_sets(df, n, text_col)
+        .select("doc_id", F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", xhash(F.col("sh")).alias("h"))
+    )
+    return ex.groupBy("doc_id").agg(
+        *[F.min(F.col("h").bitwiseXOR(F.lit(m))).alias(f"sig_{i}") for i, m in enumerate(masks)]
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 3) -> DataFrame:
+    """LSH banding over a MinHash signature: hash each band of `rows`
+    consecutive signature components; docs sharing any (band, hash)
+    bucket become a candidate pair. Probability a pair with Jaccard j
+    becomes a candidate: 1 − (1 − j^rows)^bands (≈0.94 at j=0.8 with
+    4×3, ≈0.004 at j=0.1) — the S-curve that makes this near-linear."""
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    # unpivot to (doc_id, band_idx, band_hash) then self-join per bucket
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
+        ).alias("e"),
+    ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    return (
+        stacked.alias("a")
+        .join(
+            stacked.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    n: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: banded candidates, then exact
+    n-gram Jaccard verification on ONLY the candidate pairs (the
+    verify join touches |candidates| rows, not O(n²))."""
+    cands = lsh_candidate_pairs(minhash_signatures(df, k, n, text_col), bands, rows)
+    sh = shingle_sets(df, n, text_col)
+    return (
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — per-token hashes vote ±1 on each signature
+    bit; bit j of the result is 1 iff the weighted sum is positive.
+    Near-identical token distributions give equal (or Hamming-close)
+    signatures. 16 bits keeps the oracle SQL readable; widen to 64 by
+    changing `bits` (same plan: one explode + one groupBy)."""
+    ex = fan_out(df).select("doc_id", F.explode(tokens(text_col)).alias("tok")).select(
+        "doc_id", xhash(F.col("tok")).alias("h")
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"bit_{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"bit_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """Documents sharing an identical SimHash signature, with group
+    size and canonical id — the bucketing stage of SimHash dedup (a
+    Hamming-ball probe over bit-rotations extends it; exact-equal
+    buckets are already the high-precision core)."""
+    sig = simhash_signatures(df, bits, text_col)
+    groups = sig.groupBy("simhash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        sig.join(groups, "simhash")
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "simhash", "canonical_id", "group_size")
+    )

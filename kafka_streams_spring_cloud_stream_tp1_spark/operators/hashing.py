@@ -1,0 +1,64 @@
+"""Cross-engine deterministic hashing.
+
+The dedup/fingerprint operators need a hash that the DuckDB oracle can
+reproduce bit-for-bit. Spark's `xxhash64`/`hash` and DuckDB's `hash`
+are different algorithms, so we derive a 60-bit non-negative integer
+from the md5 hex digest — md5 is identical everywhere:
+
+    Spark :  CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)
+    DuckDB:  CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+
+15 hex chars = 60 bits < 2^63, so the value is positive and XOR/shift
+arithmetic on it stays inside BIGINT on both engines. MinHash
+"permutations" are XOR masks (h XOR m_i) — overflow-free, order-
+preserving-free (as required), and exactly reproducible in SQL,
+unlike (a*h + b) mod p which overflows 64-bit multiplication.
+
+Scale note: md5-via-hex costs more per row than xxhash64, but these
+hashes are computed once per token/shingle inside a whole-stage-codegen
+projection — still JVM-side, no Python. For a production deployment
+where oracle parity is not needed, swap `xhash` to `F.xxhash64`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_BITS = 60
+
+
+def xhash(col: Column | str) -> Column:
+    """60-bit deterministic hash of a string column (Spark side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def xhash_sql(expr: str) -> str:
+    """The identical hash as DuckDB SQL over expression ``expr``."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def fan_out(df, key: str = "doc_id"):
+    """Hash-repartition on ``key`` before CPU-heavy per-row operators.
+
+    Tiny fixture files are a single parquet row-group → ONE input
+    split, so without this every downstream array/higher-order-function
+    expression runs on one core. The partition count is EXPLICIT
+    (AQE honors user-specified counts) because AQE's size-based
+    coalescing would merge a few-MB exchange back to one partition —
+    it can't see that the post-exchange projection is CPU-bound, not
+    IO-bound. Keyed repartition stays deterministic (hash, not
+    round-robin)."""
+    from pyspark.sql import functions as F  # local: avoid cycle at import
+
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, F.col(key))
+
+
+def perm_masks(k: int, salt: str = "perm") -> list[int]:
+    """k deterministic XOR masks (the MinHash 'permutations'), derived
+    the same way as `xhash` so they are plain literals in both engines."""
+    return [int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:15], 16) for i in range(k)]

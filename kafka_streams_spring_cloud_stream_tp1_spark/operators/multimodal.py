@@ -1,0 +1,146 @@
+"""Multimodal column plumbing: opaque binary payloads + typed
+metadata, processed by Arrow-batched `mapInPandas`.
+
+The Spark-side architecture is the real deliverable here — schema
+(binary + struct metadata), partition-parallel Arrow batches, Pandas
+UDF signatures — while the actual media decoding is STUBBED because
+image/audio libraries are not in this container:
+
+- `decode_image` / `decode_audio` raise NotImplementedError (clearly
+  marked), exactly where PIL/torchaudio calls would go.
+- `extract_features` computes real, deterministic byte-level features
+  (size, digest, magic-byte sniff) so the pipeline is end-to-end
+  testable and oracle-checkable today.
+
+Scale notes: payloads stay opaque `BinaryType` — Spark never
+interprets them, parquet stores them efficiently, and column pruning
+keeps them out of queries that only touch metadata. `mapInPandas`
+streams Arrow record batches (bounded memory per task regardless of
+partition size); `spark.sql.execution.arrow.maxRecordsPerBatch` caps
+batch height when payloads are large. Feature extraction is
+per-row-independent → no shuffle, scales linearly with executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .hashing import fan_out
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# magic-byte prefixes → sniffed media kind (deterministic, no decode)
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mp3"),
+]
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [StructField("mime", StringType()), StructField("n_bytes", LongType())]
+            ),
+        ),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — real deployments decode via PIL/opencv here. The
+    container has no image libraries, so this is intentionally left
+    unimplemented; callers gate on `kind.startswith('image/')` and
+    treat NotImplementedError as 'undecodable'."""
+    raise NotImplementedError("image decoding requires PIL/opencv (not in this container)")
+
+
+def decode_audio(payload: bytes) -> object:
+    """STUB — see decode_image."""
+    raise NotImplementedError("audio decoding requires soundfile/torchaudio (not in this container)")
+
+
+def _sniff(payload: bytes) -> str:
+    for magic, kind in _MAGIC:
+        if payload.startswith(magic):
+            return kind
+    return "application/octet-stream"
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column + typed metadata struct
+    from the documents fixture (stand-in for real media bytes; the
+    engine-side plumbing — BinaryType column, metadata struct — is
+    identical for true image/audio payloads)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return fan_out(df).select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"), F.octet_length(payload).cast("long").alias("n_bytes")
+        ).alias("meta"),
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads. Real
+    byte-level features (deterministic); the media-decode hook is the
+    stubbed `decode_*` above."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    "kind": payloads.map(lambda b: _sniff(bytes(b))),
+                }
+            )
+
+    return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing (video analog): emit evenly spaced byte
+    offsets per payload — the real version decodes frames at these
+    offsets; the offset arithmetic, explode shape, and per-frame row
+    schema are the production plan."""
+    n = F.col("meta.n_bytes")
+    offsets = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.least(n / every_n_bytes, F.lit(max_frames - 1)).cast("int")),
+            lambda i: (i * every_n_bytes).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.select("doc_id", F.posexplode(offsets).alias("frame_idx", "byte_offset"))

@@ -1,0 +1,167 @@
+"""Text-analysis operators for training-data pipelines over the
+`documents` table: tokenization, token counting, quality scoring,
+language identification, document fingerprinting.
+
+Everything here is pure Column expressions — JVM-side, whole-stage-
+codegen'd, no Python in the hot path — so a 100 TB `documents` scan
+stays a single embarrassingly-parallel projection stage (no shuffle at
+all until a downstream groupBy). The reference system has no text ops
+(its only value type is PageEvent — reference:
+src/main/java/.../events/PageEvent.java:5); these extend the engine
+surface for LLM-pipeline workloads per the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import fan_out, xhash
+
+# Tiny stopword inventories for the ratio/language heuristics. Kept
+# deliberately small so the DuckDB oracle can inline the same lists.
+STOPWORDS_EN = ("the", "a", "is", "and", "of", "to", "in")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "and"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "los", "y", "es"),
+}
+# BPE-ish lexer classes: word pieces, digit runs, single non-space symbols.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (trim first so no empty edge tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a token array.
+
+    Built as arrays_zip of n shifted slices, NOT as
+    transform(sequence, i -> element_at(toks, i+j)): CollapseProject
+    inlines the token expression (a split of the full text) into every
+    element_at call, making the sequence form O(len²) per document.
+    The zip form evaluates the token split n times per ROW and the
+    lambda touches only materialized struct elements. Short docs fall
+    out naturally: slice length max(size−n+1, 0) → empty zip.
+    """
+    width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(toks, 1 + j, width) for j in range(n)])
+    return F.array_distinct(
+        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+    )
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords))) / F.size(toks)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics: token counts, average token
+    length, alpha/punctuation ratios, stopword ratio, and a composite
+    0-100 quality score (the usual pre-training heuristic filter:
+    reasonable length, low symbol noise, natural stopword density)."""
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    alpha = F.regexp_count(F.col(text_col), F.lit(r"[a-zA-Z]"))
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]"))
+    n_chars = F.length(text_col)
+    sw = stopword_ratio(t)
+    # Integer 0-100 "quality points" (not a float composite): floor of
+    # an exact small-denominator rational is bit-stable across engines,
+    # where a rounded float composite flips at .xxxx5 boundaries.
+    n_sw = F.size(F.filter(t, lambda tok: tok.isin(*STOPWORDS_EN)))
+    quality = (
+        F.floor(F.least(n_tok, F.lit(64)) * 40 / 64)
+        + (30 - F.floor(punct * 30 / n_chars))
+        + F.least(F.lit(30), F.floor(n_sw * 120 / n_tok))
+    )
+    return fan_out(df).select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.round(
+            F.aggregate(t, F.lit(0), lambda acc, tok: acc + F.length(tok)) / n_tok, 4
+        ).alias("avg_token_len"),
+        F.round(alpha / n_chars, 4).alias("alpha_ratio"),
+        F.round(punct / n_chars, 4).alias("punct_ratio"),
+        F.round(sw, 4).alias("stopword_ratio"),
+        quality.cast("long").alias("quality_score"),
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    lexer (letter runs / digit runs / single symbols) — the standard
+    cheap proxy for LLM token budgets."""
+    return fan_out(df).select(
+        "doc_id",
+        F.size(tokens(text_col)).alias("ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).alias("bpe_tokens"),
+        F.round(F.length(text_col) / F.lit(4.0), 4).alias("chars_per_4"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK codepoints → zh; otherwise the
+    language whose marker-stopword count is highest (ties broken by
+    fixed language order). Deterministic by construction so the oracle
+    can replay it; on real corpora swap marker lists for character
+    n-gram profiles (same plan shape: one projection, no shuffle)."""
+    t = tokens(text_col)
+
+    def marker_hits(markers: tuple[str, ...]) -> Column:
+        # nested def (not a default-arg lambda): F.filter treats a
+        # 2-parameter lambda as (element, index)
+        return F.size(F.filter(t, lambda tok: tok.isin(*markers)))
+
+    scores = {lang: marker_hits(markers) for lang, markers in LANG_MARKERS.items()}
+    # argmax with deterministic tie-break = chained WHEN in fixed order
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ("de", "fr", "es"):
+        best = F.when(scores[lang] > best_score, F.lit(lang)).otherwise(best)
+        best_score = F.when(scores[lang] > best_score, scores[lang]).otherwise(best_score)
+    pred = F.when(
+        F.regexp_count(F.col(text_col), F.lit(r"[\x{4e00}-\x{9fff}]")) > 0, F.lit("zh")
+    ).otherwise(best)
+    return fan_out(df).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        scores["en"].alias("en_hits"),
+    )
+
+
+def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-content md5, a normalized (sorted
+    unique token bag) md5 that is invariant to word order, and a
+    winnowing-style min-hash over word 3-gram shingles (the minimum
+    shingle hash — one 60-bit int summarizing local structure).
+
+    The min-shingle hash goes through explode → codegen'd hash →
+    partial-aggregating min, NOT a per-element lambda: higher-order
+    functions are interpreted expressions in Spark, ~10× slower per
+    element than the same hash inside whole-stage codegen."""
+    t = tokens(text_col)
+    base = fan_out(df).select(
+        "doc_id",
+        F.md5(F.col(text_col)).alias("fp_exact"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("fp_tokenset"),
+        word_ngrams(t, 3).alias("shingles"),
+    )
+    # explode_outer, NOT explode: inner explode makes Catalyst infer a
+    # `size(shingles) > 0` predicate and push it below the repartition
+    # onto the (single-split) scan, re-evaluating the whole n-gram
+    # lambda there — serial and duplicated. Outer explode infers
+    # nothing; min() skips the null rows.
+    mins = (
+        base.select("doc_id", F.explode_outer("shingles").alias("sh"))
+        .groupBy("doc_id")
+        .agg(F.min(xhash(F.col("sh"))).alias("fp_min_shingle"))
+    )
+    # left join: docs shorter than 3 words have no shingles → NULL
+    return base.drop("shingles").join(mins, "doc_id", "left")

@@ -1,7 +1,382 @@
-"""Training-data-pipeline operators over `documents` / `embeddings` —
-dedup (exact + near), similarity search, text analysis. Populated
-incrementally; SQL-expressible ones carry DuckDB oracles, the rest get
-rows-only checks.
+"""Training-data-pipeline queries over `documents` / `embeddings` —
+text analysis, exact/near dedup, similarity search, multimodal
+plumbing. The reference has none of these (its only value type is
+PageEvent); they are the north-star extension surface.
+
+Every SQL-expressible operator carries a DuckDB oracle built from the
+SAME parameters (hash masks, LSH bands, thresholds) via the fragment
+builders below, so Spark and oracle compute bit-identical logic.
+`q_ann_lsh` is approximate by design → rows-only check + a recall
+test in tests/test_llm_ops.py.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..operators.hashing import perm_masks, xhash_sql
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragments mirroring the Spark operators bit-for-bit
+# ---------------------------------------------------------------------------
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _ngrams_sql(tok_expr: str, n: int) -> str:
+    """Distinct word n-grams of a token-list expression (1-indexed
+    DuckDB lists; range() is empty when the doc is shorter than n,
+    mirroring the Spark guard)."""
+    gram = " || ' ' || ".join(f"__t[i+{j}]" if j else "__t[i]" for j in range(n))
+    return (
+        f"(SELECT list_distinct([{gram} for i in range(1, len(__t) - {n - 2})])"
+        f" FROM (SELECT {tok_expr} AS __t) __sub)"
+    )
+
+
+def _stop_filter_sql(toks: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, __x -> __x IN ({lst})))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+_PUNCT = r"len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))"
+_SW = _stop_filter_sql("toks", T.STOPWORDS_EN)
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks, length(text) AS nc FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique_tokens,
+           round(list_sum(list_transform(toks, __x -> length(__x)))::DOUBLE / len(toks), 4) AS avg_token_len,
+           round(len(regexp_extract_all(text, '[a-zA-Z]'))::DOUBLE / nc, 4) AS alpha_ratio,
+           round({_PUNCT}::DOUBLE / nc, 4) AS punct_ratio,
+           round({_SW}::DOUBLE / len(toks), 4) AS stopword_ratio,
+           (floor(least(len(toks), 64) * 40 / 64)
+            + (30 - floor({_PUNCT} * 30 / nc))
+            + least(30, floor({_SW} * 120 / len(toks))))::BIGINT AS quality_score
+    FROM t
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality statistics (pre-training filter features):
+    token counts, average token length, alpha/punct ratios, stopword
+    ratio, composite quality score. One codegen'd projection, no
+    shuffle — linear scan at any scale."""
+    return T.with_text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS ws_tokens,
+           len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS bpe_tokens,
+           round(length(text) / 4.0, 4) AS chars_per_4
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation: whitespace words, BPE-ish regex lexer
+    (letter runs / digit runs / single symbols), chars/4 heuristic."""
+    return T.with_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    s = {lang: _stop_filter_sql("toks", m) for lang, m in T.LANG_MARKERS.items()}
+    return f"""
+    WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+    sc AS (SELECT doc_id, lang, text,
+                  {s['en']} AS en_s, {s['de']} AS de_s,
+                  {s['fr']} AS fr_s, {s['es']} AS es_s
+           FROM t)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) > 0 THEN 'zh'
+                WHEN es_s > greatest(en_s, de_s, fr_s) THEN 'es'
+                WHEN fr_s > greatest(en_s, de_s) THEN 'fr'
+                WHEN de_s > en_s THEN 'de'
+                ELSE 'en' END AS pred_lang,
+           en_s AS en_hits
+    FROM sc
+    """
+
+
+@query("q_lang_id", oracle=_lang_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (CJK codepoint check + marker-stopword
+    argmax with fixed tie-break order). Deterministic so the oracle
+    replays it; real corpora swap in char-n-gram profiles, same plan."""
+    return T.with_lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(text) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_tokenset,
+           list_min(list_transform({_ngrams_sql('toks', 3)}, __s -> {xhash_sql('__s')})) AS fp_min_shingle
+    FROM t
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact md5, word-order-invariant token-set
+    md5, winnowing-style minimum 3-gram hash."""
+    return T.with_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS content_key
+               FROM documents),
+    g AS (SELECT content_key, min(doc_id) AS canonical_id, count(*) AS group_size
+          FROM h GROUP BY content_key)
+    SELECT h.doc_id, g.canonical_id, g.group_size,
+           h.doc_id <> g.canonical_id AS is_dup
+    FROM h JOIN g USING (content_key)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content (sorted unique token bag —
+    word-order/repetition invariant): every doc mapped to its
+    canonical (min) doc_id. One hash projection + one groupBy on a
+    uniform 16-byte key: the cheapest dedup at 100 TB, no skew."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"), normalized=True)
+
+
+# trigram shingles: on this corpus the shingle universe is 31³ vs 31²,
+# which keeps the shared-shingle candidate join ~26× smaller than
+# bigrams while catching the same verbatim-chunk near-dups
+_JACCARD_N, _JACCARD_T = 3, 0.8
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_ngrams_sql('toks', _JACCARD_N)} AS s FROM t),
+    sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) >= {_JACCARD_T}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-trigram Jaccard ≥ 0.8 — exact, via
+    PPJoin-style prefix+length filtering (operators/dedup.py): only
+    rarest-prefix shingles enter the candidate join, and size-
+    incompatible pairs are pruned inside the join condition."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=_JACCARD_N, threshold=_JACCARD_T
+    )
+
+
+_MH_K, _MH_BANDS, _MH_ROWS = 12, 4, 3
+
+
+def _minhash_sql() -> str:
+    masks = perm_masks(_MH_K)
+    sig_cols = ",\n                  ".join(
+        f"min(xor(h, {m})) AS sig_{i}" for i, m in enumerate(masks)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"sig_{b * _MH_ROWS + r}::VARCHAR" for r in range(_MH_ROWS)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_ngrams_sql('toks', _JACCARD_N)} AS s FROM t),
+    hx AS (SELECT doc_id, {xhash_sql('g')} AS h
+           FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+    sig AS (SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE round(len(list_intersect(sa.s, sb.s))::DOUBLE
+                / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= {_JACCARD_T}
+    """
+
+
+@query("q_dedup_minhash_lsh", oracle=_minhash_sql())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12 perms over word trigrams) → LSH(4 bands × 3 rows) →
+    exact-Jaccard verify on candidates only. The web-scale near-dup
+    recipe: candidate generation is an equality join on band hashes —
+    near-linear in corpus size (P[candidate] ≈ 0.94 at j=0.8, 0.004
+    at j=0.1). Oracle replays the identical masks/bands, so the
+    probabilistic recall cancels out in the comparison."""
+    return D.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        k=_MH_K, bands=_MH_BANDS, rows=_MH_ROWS, n=_JACCARD_N, threshold=_JACCARD_T,
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    votes = ",\n                  ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"CASE WHEN bit_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH ex AS (SELECT doc_id, {xhash_sql('tok')} AS h
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+    votes AS (SELECT doc_id, {votes} FROM ex GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM votes),
+    g AS (SELECT simhash, min(doc_id) AS canonical_id, count(*) AS group_size
+          FROM sig GROUP BY simhash)
+    SELECT sig.doc_id, sig.simhash, g.canonical_id, g.group_size
+    FROM sig JOIN g USING (simhash)
+    WHERE g.group_size > 1
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(16-bit) buckets: per-token hashes vote ±1 per bit;
+    identical signatures = near-dup group. One explode + one groupBy."""
+    return D.simhash_dup_groups(load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+# the synthetic embeddings top out near cosine 0.5 — 0.4 marks the
+# high-similarity tail (the operator itself takes any threshold)
+_COS_T = 0.4
+
+
+@query(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {_COS_T}
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs (cosine ≥ threshold), computed
+    by blocked BLAS matrix multiply over cogrouped Arrow batches —
+    exact O(n²) math at vectorized speed; block-pair cells bound task
+    memory at any corpus size. `q_ann_lsh` is the sub-quadratic
+    route."""
+    return S.block_cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=_COS_T)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+_KNN_Q, _KNN_K = 5, 10
+
+
+@query(
+    "q_knn_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_KNN_Q}),
+    scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      round(list_cosine_similarity(e.v, q.qv), 4) AS score
+               FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {_KNN_K}
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors: broadcast the query
+    side, stream the corpus (no shuffle of the big side), rank only
+    (query, id, score) triples. Ties broken on rounded score then
+    neighbor_id → fully deterministic."""
+    return S.knn_bruteforce(load_table(spark, sf_dir, "embeddings"), n_queries=_KNN_Q, k=_KNN_K)
+
+
+@query("q_ann_lsh")  # approximate by design → rows-only; recall tested in pytest
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH (8
+    tables × 4 sign bits): candidates share a bucket with the query in
+    ≥1 table, so only a fraction of the corpus gets exact-scored.
+    Recall vs the exact q_knn_cosine is asserted in
+    tests/test_llm_ops.py (~0.7 on this corpus)."""
+    return S.ann_lsh(load_table(spark, sf_dir, "embeddings"), n_queries=_KNN_Q, k=_KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS digest,
+           'application/octet-stream' AS kind
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through Arrow-batched
+    mapInPandas (the real multimodal plumbing; media decode itself is
+    stubbed — operators/multimodal.py). Byte features are exact, so
+    the Python path is fully oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary_payload(docs))
+
+
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS n FROM documents),
+    f AS (SELECT doc_id, unnest(range(0, least(n // 64, 7) + 1)) AS idx FROM d)
+    SELECT doc_id, idx::INT AS frame_idx, (idx * 64)::BIGINT AS byte_offset FROM f
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan shape (video analog): evenly spaced byte
+    offsets per payload, exploded to one row per frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_binary_payload(docs))

@@ -48,6 +48,10 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.sql.shuffle.spill.compress", "true")
+        # local[N] puts driver+executors in ONE JVM; the 1g default heap
+        # OOMs under 32 concurrent tasks doing array-heavy work. No-op
+        # when the JVM already exists (e.g. under an external driver).
+        .config("spark.driver.memory", "32g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
