@@ -1,0 +1,71 @@
+"""Physical-plan hygiene: the properties that make these plans hold at
+100 TB — predicate pushdown into the parquet scan, column pruning,
+whole-stage codegen coverage, and shuffle counts. A query that passes
+the value oracle but rescans all columns or shuffles twice is wrong at
+scale even though it's 'correct'."""
+
+from __future__ import annotations
+
+from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
+
+from .conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = queries_map()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_filter_pushdown_and_pruning(spark):
+    """q_windowed_count: the value>100 predicate must reach the scan
+    (PushedFilters), and only (ts, event_type, value) of the 6 events
+    columns may be read (ReadSchema pruning)."""
+    plan = _plan(spark, "q_windowed_count")
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "GreaterThan(value,100.0)" in pushed, plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_type" in read and "value" in read and "ts" in read
+    assert "event_id" not in read and "props" not in read and "user_id" not in read
+
+
+def test_pricing_summary_date_pushdown(spark):
+    """TPC-H Q1 shape: the shipdate range predicate must be pushed to
+    the parquet reader, not evaluated post-scan only."""
+    plan = _plan(spark, "q_agg_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate," in plan, plan
+
+
+def test_flagship_single_shuffle(spark):
+    """filter → project → windowed count is ONE hash-partition
+    exchange (partial+final agg around it), exactly the reference's
+    single repartition topic."""
+    plan = _plan(spark, "q_windowed_count")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_flagship_wholestage_codegen(spark):
+    """The hot path (scan+filter+project+partial agg) must sit inside
+    WholeStageCodegen spans — no interpreted operators in the loop.
+    (Read via codegen explain mode: the AQE plan string before
+    execution doesn't carry the * codegen markers.)"""
+    df = queries_map()["q_windowed_count"](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    text = df._jdf.queryExecution().explainString(mode)
+    assert "WholeStageCodegen subtree" in text, text[:2000]
+
+
+def test_semi_join_stays_semi(spark):
+    """EXISTS subquery must plan as a (left) semi join — never a full
+    join plus dedup."""
+    plan = _plan(spark, "q_join_semi")
+    assert "LeftSemi" in plan, plan
+
+
+def test_multiway_join_broadcasts_dims(spark):
+    """Star-schema multiway join: every dimension (region/nation/
+    customer/orders-side lookups) must broadcast — the 100 TB fact
+    side is never shuffled for a dim join."""
+    plan = _plan(spark, "q_join_multiway")
+    assert "BroadcastHashJoin" in plan, plan
+    # dims are small at every SF ratio; no sort-merge join should appear
+    assert "SortMergeJoin" not in plan, plan
