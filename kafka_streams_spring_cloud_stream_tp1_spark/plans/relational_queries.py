@@ -847,3 +847,17 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query("q_approx_quantiles")  # t-digest-style sketch differs per engine -> rows-only
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile over a grouped column — the sketch-based
+    quantile path (bounded memory per group, single pass; exact
+    percentile sorts every group). Estimates are engine-specific, so
+    no value oracle; the pytest suite bounds the error against the
+    exact percentile."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.percentile_approx("value", [0.25, 0.5, 0.9], 10000)
+    return ev.groupBy("event_type").agg(
+        qs[0].alias("p25"), qs[1].alias("p50"), qs[2].alias("p90")
+    )

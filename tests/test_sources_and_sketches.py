@@ -1,0 +1,66 @@
+"""File-source fidelity (JSON-lines / CSV vs the parquet truth) and
+sketch-accuracy bounds that the value oracle can't check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
+from kafka_streams_spring_cloud_stream_tp1_spark.schemas import EVENTS_SCHEMA
+from kafka_streams_spring_cloud_stream_tp1_spark.sources import (
+    load_table,
+    read_csv,
+    read_jsonl,
+)
+
+from .conftest import SF_SMOKE
+
+
+def _truth(spark):
+    return load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    truth = _truth(spark)
+    path = str(tmp_path / "events_json")
+    # default JSON timestampFormat truncates to millis — keep micros
+    truth.write.mode("overwrite").option(
+        "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ).json(path)
+    back = read_jsonl(spark, path, EVENTS_SCHEMA).select(*truth.columns)
+    assert back.schema == truth.schema
+    assert back.exceptAll(truth).count() == 0 and truth.exceptAll(back).count() == 0
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    truth = _truth(spark)
+    path = str(tmp_path / "events_csv")
+    truth.write.mode("overwrite").option("header", "true").option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+    ).csv(path)
+    back = read_csv(spark, path, EVENTS_SCHEMA).select(*truth.columns)
+    assert back.schema == truth.schema
+    assert back.exceptAll(truth).count() == 0 and truth.exceptAll(back).count() == 0
+
+
+def test_approx_quantiles_accuracy(spark):
+    """Sketch quantiles must sit within 2% relative error of the exact
+    percentiles (accuracy=10000 is far tighter than that on 1k rows)."""
+    approx = {
+        r["event_type"]: (r["p25"], r["p50"], r["p90"])
+        for r in queries_map()["q_approx_quantiles"](spark, SF_SMOKE).collect()
+    }
+    exact_q = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9)))
+    exact = {
+        r["event_type"]: r["qs"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(exact_q.alias("qs"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (a25, a50, a90) in approx.items():
+        for a, e in zip((a25, a50, a90), exact[k]):
+            assert abs(a - e) <= 0.02 * max(abs(e), 1.0), (k, a, e)
