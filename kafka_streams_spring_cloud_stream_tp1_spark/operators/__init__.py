@@ -23,3 +23,4 @@ from .text import (  # noqa: F401
     with_text_stats,
     with_token_counts,
 )
+from .udx import chunk_documents, weighted_value_by_type, with_readability  # noqa: F401

@@ -221,9 +221,15 @@ def simhash_signatures(df: DataFrame, bits: int = 16, text_col: str = "text") ->
     Near-identical token distributions give equal (or Hamming-close)
     signatures. 16 bits keeps the oracle SQL readable; widen to 64 by
     changing `bits` (same plan: one explode + one groupBy)."""
-    ex = fan_out(df).select("doc_id", F.explode(tokens(text_col)).alias("tok")).select(
-        "doc_id", xhash(F.col("tok")).alias("h")
-    )
+    toks = fan_out(df).select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    # dictionary-memoized hashing: md5-hash each DISTINCT token once
+    # and join the dictionary back — token occurrences vastly
+    # outnumber the vocabulary, so this turns ~|occurrences| md5 calls
+    # into ~|vocab| (same values, the hash is deterministic per
+    # token). No broadcast hint: AQE broadcasts small dictionaries by
+    # stats and falls back to a shuffle join for open vocabularies.
+    dictionary = toks.select("tok").distinct().select("tok", xhash(F.col("tok")).alias("h"))
+    ex = toks.join(dictionary, "tok").select("doc_id", "h")
     votes = ex.groupBy("doc_id").agg(
         *[
             F.sum(

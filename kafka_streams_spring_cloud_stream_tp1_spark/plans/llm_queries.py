@@ -380,3 +380,72 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets per payload, exploded to one row per frame."""
     docs = load_table(spark, sf_dir, "documents")
     return M.sample_frames(M.attach_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# UDF / UDAF / UDTF extension surface (operators/udx.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_readability_udf",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text,
+                      greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+                      len(regexp_extract_all(text, '[.!?]')) + 1 AS s,
+                      len(regexp_extract_all(text, '\S{7,}')) AS lw
+               FROM documents),
+    sc AS (SELECT doc_id,
+                  greatest(0.0, least(100.0,
+                      100.0 - 10.0 * (w / s / 10.0) - 50.0 * (lw::DOUBLE / w))) AS raw
+           FROM t)
+    SELECT doc_id, floor(raw * 10000 + 0.5) / 10000 AS readability FROM sc
+    """,
+)
+def q_readability_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Pandas UDF (Arrow-batched, vectorized pandas ops): a
+    readability heuristic the oracle replays arithmetically — rounding
+    is explicit floor(x*1e4+0.5)/1e4 on BOTH sides because pandas
+    .round is banker's and SQL round is half-away."""
+    from ..operators.udx import with_readability
+
+    return with_readability(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_weighted_mean_udaf",
+    oracle="""
+    SELECT event_type,
+           round(sum(value * (user_id + 1.0)) / sum(user_id + 1.0), 4) AS wmean
+    FROM events GROUP BY event_type
+    """,
+)
+def q_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg Pandas UDF (UDAF analog): per-group weighted mean
+    computed over full-group Series."""
+    from ..operators.udx import weighted_value_by_type
+
+    return weighted_value_by_type(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "q_chunk_documents_udtf",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    s AS (SELECT doc_id, w,
+                 unnest(range(0, greatest(len(w) - 8, 1), 56)) AS start
+          FROM t)
+    SELECT doc_id,
+           (start // 56)::INT AS chunk_idx,
+           array_to_string(w[start + 1 : start + 64], ' ') AS chunk,
+           len(w[start + 1 : start + 64])::INT AS n_tokens
+    FROM s
+    """,
+)
+def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via lateral join: one document row → many
+    overlapping 64-token chunks with 8-token overlap (context-window
+    chunking). Pure integer/string logic → exact oracle."""
+    from ..operators.udx import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
