@@ -95,6 +95,38 @@ def session_window_counts(
     )
 
 
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant exact distinct-count: two-stage aggregation with
+    an explicit salt.
+
+    For algebraic aggregates (count/sum/min/max) Catalyst's partial
+    aggregation already neutralizes key skew — do NOT salt those. The
+    cases that need this are aggregates whose partial state doesn't
+    shrink (exact distinct, collect_set, percentiles): one hot key
+    funnels its entire value set through one reducer. Stage 1 groups
+    by (key, salt) — the hot key's values spread over ``n_salts``
+    reducers, each deduping locally; stage 2 merges the per-salt
+    distinct counts... which is only correct because the salt is
+    derived from the VALUE (same value → same salt → no double
+    count across salt groups).
+
+    AQE's skew-join splitting handles joins; this is the groupBy-side
+    equivalent for state-heavy aggregates.
+    """
+    salt = F.pmod(F.xxhash64(F.col(agg_col)), F.lit(n_salts))
+    stage1 = (
+        df.select(F.col(key), F.col(agg_col), salt.alias("_salt"))
+        .groupBy(key, "_salt")
+        .agg(F.count_distinct(F.col(agg_col)).alias("_partial"))
+    )
+    return stage1.groupBy(key).agg(F.sum("_partial").alias("n_distinct"))
+
+
 def unwrap_windowed_key(df: DataFrame, keep_bounds: bool = False) -> DataFrame:
     """P2 — project the windowed key down to the plain page name
     (reference: PageEventHandler.java:57 drops the window bounds).

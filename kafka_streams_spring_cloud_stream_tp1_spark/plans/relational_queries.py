@@ -861,3 +861,56 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         qs[0].alias("p25"), qs[1].alias("p50"), qs[2].alias("p90")
     )
+
+
+@query(
+    "q_salted_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage exact distinct count (value-derived
+    salt spreads a hot key over n reducers; see operators/core.py
+    salted_agg). The oracle is the plain DISTINCT — salting must not
+    change the answer."""
+    from ..operators.core import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(ev, key="event_type", agg_col="user_id")
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, amount_kind, round(amount, 4) AS amount
+    FROM (
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice AS price, l_discount AS discount, l_tax AS tax
+        FROM lineitem WHERE l_orderkey < 100
+    ) UNPIVOT (amount FOR amount_kind IN (price, discount, tax))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide columns to (kind, value) rows, the inverse
+    of q_pivot; one Generate, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice AS price",
+            "l_discount AS discount",
+            "l_tax AS tax",
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["price", "discount", "tax"],
+            "amount_kind",
+            "amount_raw",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "amount_kind", F.round("amount_raw", 4).alias("amount")
+        )
+    )

@@ -1,0 +1,60 @@
+"""Batch sinks and physical table layout — where 100 TB performance is
+won or lost before any query runs:
+
+- **Partitioned parquet** (`partitionBy`): directory-level partition
+  pruning — a filter on the partition column skips entire directories
+  at planning time (`PartitionFilters` in the scan, zero IO for
+  pruned partitions). Partition by LOW-cardinality columns only
+  (date, region); high-cardinality partitioning produces millions of
+  tiny files and kills the driver's file listing.
+- **Bucketed tables** (`bucketBy`): rows pre-hashed into a fixed
+  number of buckets by join/agg key at WRITE time. Two tables
+  bucketed on the same key with the same bucket count join with NO
+  exchange on either side — the shuffle is paid once at write, then
+  amortized over every subsequent join/agg. The metastore records the
+  layout, so Catalyst plans around it automatically.
+- ``max_records_per_file`` bounds output file sizes; aim for
+  ~128-512 MB parquet files at scale (row-group ≈ HDFS/S3 range-read
+  sweet spot) — thousands of small files cost more in listing and
+  footer reads than the data itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet partitioned by ``partition_cols`` (directory
+    pruning) with bounded file sizes."""
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and sorted) table on
+    ``bucket_col``: subsequent equi-joins/aggs on that key skip the
+    exchange entirely (co-located by construction). ``path`` makes it
+    an external table; bucketing metadata requires the table catalog
+    (plain `.parquet(path)` cannot record it)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
