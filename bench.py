@@ -34,6 +34,12 @@ def main() -> None:
 
     # warm-up: JVM JIT + codegen + parquet footer caches (untimed)
     builders["q_windowed_count"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm the Arrow/Python-worker path too — otherwise the first
+    # pandas-UDF query pays daemon spawn + Arrow init and the
+    # attribution lands on whichever query sorts first
+    spark.range(1000).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in sorted(builders):

@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): engine invariants on GENERATED
+inputs, not just the fixed fixtures. Each property batches all
+generated cases into one Spark job — hypothesis drives the data, Spark
+runs once per example set."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_streams_spring_cloud_stream_tp1_spark.operators.core import salted_agg
+from kafka_streams_spring_cloud_stream_tp1_spark.operators.hashing import xhash
+from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import tokens, word_ngrams
+
+_SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+words_st = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=0, max_size=30
+)
+
+
+@given(docs=st.lists(words_st, min_size=1, max_size=8))
+@_SETTINGS
+def test_word_ngrams_match_python_reference(spark, docs):
+    """Spark word_ngrams ≡ the obvious Python n-gram construction, for
+    arbitrary token lists (incl. docs shorter than n → empty)."""
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: sorted(r["g"])
+        for r in df.select("doc_id", word_ngrams(tokens("text"), 3).alias("g")).collect()
+    }
+    for i, ws in enumerate(docs):
+        # tokens() trims+splits: empty text → ['']
+        toks = " ".join(ws).strip().split() or [""]
+        expect = sorted({" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)})
+        assert got[i] == expect, (ws, got[i], expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@_SETTINGS
+def test_salted_distinct_equals_exact(spark, rows):
+    """The salted two-stage distinct count must equal plain
+    countDistinct for any (key, value) multiset — salting is a
+    physical rewrite, never a semantic one."""
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+    salted = {
+        r["event_type"]: r["n_distinct"]
+        for r in salted_agg(df, "event_type", "user_id", n_salts=4).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in df.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert salted == exact
+
+
+@given(strings=st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=50))
+@_SETTINGS
+def test_xhash_matches_python_md5(spark, strings):
+    """The cross-engine hash (Spark conv/substring/md5 pipeline) must
+    equal Python's int(md5(s)[:15], 16) for arbitrary unicode — the
+    exact contract the DuckDB oracles rely on."""
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {r["s"]: r["h"] for r in df.select("s", xhash(F.col("s")).alias("h")).collect()}
+    for s in set(strings):
+        expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[s] == expect, (s, got[s], expect)
