@@ -198,7 +198,9 @@ def minhash_lsh_dedup(
     n-gram Jaccard verification on ONLY the candidate pairs (the
     verify join touches |candidates| rows, not O(n²))."""
     cands = lsh_candidate_pairs(minhash_signatures(df, k, n, text_col), bands, rows)
-    sh = shingle_sets(df, n, text_col)
+    # cache: used by both the signature branch (same logical plan —
+    # Spark's cache manager matches it) and the verify join below
+    sh = shingle_sets(df, n, text_col).cache()
     return (
         cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
@@ -213,6 +215,63 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs (doc_a, doc_b) — the
+    canonical post-dedup step: pairs only say "a ~ b"; keeping one
+    canonical doc per GROUP needs the transitive closure.
+
+    Iterative label propagation: every doc starts labeled with its own
+    id; each round every doc adopts the minimum label in its
+    neighborhood; fixpoint when no label changes. Rounds needed ≈
+    graph diameter (dup clusters are tiny and dense, so 2-4 rounds in
+    practice; `max_iters` bounds adversarial chains). This is the
+    iterative-algorithm pattern Spark expresses as a driver loop over
+    DataFrames: each round is one join + one aggregate, localCheckpoint
+    truncates the growing lineage so round N doesn't replay rounds
+    1..N-1.
+
+    Returns (doc_id, cluster_id = min doc_id in the component),
+    covering only docs that appear in ≥1 pair.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()  # truncate lineage: O(1) plan per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .take(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
 
 
 def simhash_signatures(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:

@@ -13,6 +13,7 @@ test in tests/test_llm_ops.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -449,3 +450,64 @@ def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.udx import chunk_documents
 
     return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@query("q_dedup_clusters")  # iterative fixpoint -> not single-statement SQL; rows-only
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs
+    (transitive closure via iterative label propagation — the
+    genuinely iterative algorithm class the driver's SQL oracle can't
+    express). Cluster invariants are asserted in pytest instead:
+    every pair lands in one cluster, cluster_id = min member."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return D.dup_clusters(pairs).orderBy("doc_id")
+
+
+_PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+@query(
+    "q_redact_pii",
+    oracle=f"""
+    WITH withpii AS (
+        SELECT doc_id,
+               text || ' contact: user' || doc_id || '@example.com +1 (555) 010-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones
+    FROM withpii
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: regex redaction of emails
+    and phone numbers plus per-doc match counts. The fixture text has
+    no PII, so a deterministic synthetic contact line (derived from
+    doc_id) is appended before redaction — the oracle builds the
+    identical line, so every row exercises both patterns
+    non-trivially. One codegen projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    withpii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return withpii.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ).alias("clean_text"),
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).alias("n_phones"),
+    )

@@ -140,3 +140,44 @@ def test_frame_sample_offsets(spark):
     assert rows and all(r["byte_offset"] == r["frame_idx"] * 64 for r in rows)
     per_doc = out.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
     assert per_doc <= 8
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """Label propagation must produce the transitive closure: a-b and
+    b-c chains collapse into one cluster labeled by the min member,
+    disconnected pairs stay separate."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21), (40, 41), (41, 45), (44, 45)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 9: 1,          # chain 1-2-3-9
+        20: 20, 21: 20,                  # isolated pair
+        40: 40, 41: 40, 44: 40, 45: 40,  # 40-41-45-44 chain
+    }, got
+
+
+def test_dup_clusters_consistent_with_pairs(spark):
+    """On the real fixture: both endpoints of every near-dup pair get
+    the same cluster id, and each cluster is labeled by its minimum
+    member."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.8).cache()
+    labels = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    rows = pairs.collect()
+    assert rows
+    for r in rows:
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
+    members: dict[int, list[int]] = {}
+    for doc, cl in labels.items():
+        members.setdefault(cl, []).append(doc)
+    for cl, docs_ in members.items():
+        assert cl == min(docs_)
