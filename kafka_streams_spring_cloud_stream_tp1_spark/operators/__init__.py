@@ -1,3 +1,4 @@
+from .asof import asof_join  # noqa: F401
 from .core import (  # noqa: F401
     filter_min_value,
     latest_window_per_key,

@@ -914,3 +914,85 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_linenumber", "amount_kind", F.round("amount_raw", 4).alias("amount")
         )
     )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+               FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets its user's most recent order at or
+    before the event time. Implemented as union + single keyed sort +
+    running last_value (operators/asof.py — no pair materialization,
+    one shuffle); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so two
+    independent as-of algorithms cross-validate. Right side deduped to
+    one order per (custkey, orderdate) to make ties deterministic."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    return asof_join(
+        ev, orders,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey", "o_orderdate"],
+    )
+
+
+@query(
+    "q_multires_rollup",
+    oracle="""
+    WITH b AS (SELECT event_type, value,
+                      date_trunc('minute', ts) AS m,
+                      date_trunc('hour', ts) AS h,
+                      date_trunc('day', ts) AS d
+               FROM events)
+    SELECT event_type,
+           CASE WHEN m IS NOT NULL THEN 'minute'
+                WHEN h IS NOT NULL THEN 'hour'
+                ELSE 'day' END AS resolution,
+           coalesce(m, h, d) AS bucket,
+           count(*) AS cnt,
+           round(sum(value), 4) AS sum_v
+    FROM b
+    GROUP BY GROUPING SETS ((event_type, m), (event_type, h), (event_type, d))
+    """,
+)
+def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute/hour/day
+    continuous aggregates for every key in ONE scan — GROUPING SETS
+    over pre-truncated buckets plans a single Expand(×3) + one
+    shuffle, instead of three passes over the (100 TB) fact table.
+    The per-resolution outputs are exactly what a time-series store
+    materializes as its downsampled hypertables."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "event_type",
+        "value",
+        F.date_trunc("minute", "ts").alias("m"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+    ).createOrReplaceTempView("_multires_b")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN m IS NOT NULL THEN 'minute'
+                    WHEN h IS NOT NULL THEN 'hour'
+                    ELSE 'day' END AS resolution,
+               coalesce(m, h, d) AS bucket,
+               count(*) AS cnt,
+               round(sum(value), 4) AS sum_v
+        FROM _multires_b
+        GROUP BY GROUPING SETS ((event_type, m), (event_type, h), (event_type, d))
+        """
+    )

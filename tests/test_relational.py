@@ -43,3 +43,30 @@ def test_broadcast_join_plan(spark):
     df = queries_map()["q_join_broadcast"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_join_edge_semantics(spark):
+    """At-or-before semantics: equal timestamps match; rows before any
+    right row get nulls; the LATEST prior right row wins."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 5.0), (2, "k", 10.0), (3, "k", 30.0), (4, "x", 7.0)],
+        "event_id long, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [("k", 10.0, 100), ("k", 20.0, 200)], "k string, t double, payload long"
+    )
+    out = {
+        r["event_id"]: r["payload"]
+        for r in asof_join(
+            left, right, left_key="k", right_key="k", left_ts="t", right_ts="t",
+            payload_cols=["payload"],
+        ).collect()
+    }
+    assert out == {
+        1: None,  # before any right row
+        2: 100,   # equal ts matches (at-or-before)
+        3: 200,   # latest prior wins
+        4: None,  # key with no right rows at all
+    }, out
