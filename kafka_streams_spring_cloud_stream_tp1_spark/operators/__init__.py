@@ -17,7 +17,13 @@ from .dedup import (  # noqa: F401
 )
 from .hashing import fan_out, perm_masks, xhash, xhash_sql  # noqa: F401
 from .multimodal import attach_binary_payload, extract_features, sample_frames  # noqa: F401
-from .similarity import ann_lsh, block_cosine_pairs, cosine_pairs, knn_bruteforce  # noqa: F401
+from .similarity import (  # noqa: F401
+    ann_ivf,
+    ann_lsh,
+    block_cosine_pairs,
+    cosine_pairs,
+    knn_bruteforce,
+)
 from .text import (  # noqa: F401
     with_fingerprints,
     with_lang_id,

@@ -511,3 +511,14 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).alias("n_phones"),
     )
+
+
+@query("q_ann_ivf")  # approximate by design -> rows-only; recall bounded in pytest
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (FAISS IVF-Flat shape): seeded k-means
+    codebook (driver-side, tiny), distributed cell assignment via one
+    BLAS matmul per Arrow batch, queries exact-score only their
+    n_probe=4 of 16 nearest cells. The second ANN family next to the
+    LSH tables (q_ann_lsh) — IVF adapts to the data's cluster
+    structure where LSH is data-independent."""
+    return S.ann_ivf(load_table(spark, sf_dir, "embeddings"), n_queries=_KNN_Q, k=_KNN_K)
