@@ -90,3 +90,29 @@ class KVCountStore:
 
     def stop(self) -> None:
         self.query.stop()
+
+
+def start_parquet_ingest(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_cols: list[str] | None = None,
+    trigger_seconds: float | None = None,
+):
+    """Streaming → partitioned parquet (the lakehouse ingest pattern):
+    each micro-batch appends files under ``path``, directory-
+    partitioned for downstream pruning; the checkpoint makes the
+    append exactly-once (a replayed epoch is skipped, not re-written).
+    At scale, pair with periodic compaction — micro-batch appends
+    produce one file per partition-dir per trigger."""
+    writer = (
+        events.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -65,3 +65,40 @@ def test_restart_from_checkpoint_restores_state(spark, tmp_path):
         assert snap2 == {("P1", 0): 3}, snap2
     finally:
         run2.stop()
+
+
+def test_streaming_parquet_ingest_exactly_once(spark, tmp_path):
+    """Streaming append to partitioned parquet: all rows land exactly
+    once, directory-partitioned; a restart from the checkpoint does
+    not duplicate already-committed batches."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming.sinks import (
+        start_parquet_ingest,
+    )
+
+    src, out, ckpt = tmp_path / "in", str(tmp_path / "lake"), str(tmp_path / "ck")
+    src.mkdir()
+    events = lambda: spark.readStream.schema(EVENTS_SCHEMA).json(str(src))  # noqa: E731
+
+    q = start_parquet_ingest(events(), out, ckpt, partition_cols=["event_type"])
+    try:
+        _write_batch(str(src), "b1", [_event(0, 1.0, "P1"), _event(1, 2.0, "P2")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    q2 = start_parquet_ingest(events(), out, ckpt, partition_cols=["event_type"])
+    try:
+        _write_batch(str(src), "b2", [_event(2, 3.0, "P1")])
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    back = spark.read.parquet(out)
+    assert sorted(r["event_id"] for r in back.collect()) == [0, 1, 2]
+    # partition dirs exist per event_type
+    import os
+
+    assert {d for d in os.listdir(out) if d.startswith("event_type=")} == {
+        "event_type=P1",
+        "event_type=P2",
+    }

@@ -33,3 +33,24 @@ def test_chunks_cover_document_with_overlap(spark):
         last = rows[-1]
         assert last["chunk_idx"] * step + last["n_tokens"] == len(words)
     docs.unpersist()
+
+
+def test_functions_api(spark):
+    """The public Column-function vocabulary composes in plain
+    selects: cosine matches the similarity module's math, time_bucket
+    matches F.window's epoch-aligned start."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark import functions as EF
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>"
+    )
+    got = [round(r["c"], 6) for r in df.select(EF.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got == [1.0, 0.0]
+
+    ev = spark.createDataFrame([("2024-01-01 00:00:07",)], "ts string").select(
+        F.to_timestamp("ts").alias("ts")
+    )
+    b = ev.select(EF.time_bucket("ts", "5 seconds").alias("b")).collect()[0]["b"]
+    assert b.second == 5
