@@ -77,6 +77,12 @@ def ngram_jaccard_pairs(
     enter the join. Rarest-first ordering makes prefix buckets the
     SMALLEST frequency classes, exactly inverting the hot-key skew.
     Candidates then get exact verification on the full shingle arrays.
+
+    The verified pair set is cached: it is tiny (near-dup pairs are a
+    vanishing fraction of the corpus) and every downstream consumer —
+    dup-cluster transitive closure, canonical-doc selection, repeated
+    inspection — re-reads it. Spark's cache manager keys on the logical
+    plan, so independent calls with the same inputs share it too.
     """
     sh = shingle_sets(df, n, text_col).cache()
     # explode_outer: see text.with_fingerprints — inner explode would
@@ -130,6 +136,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        .cache()
     )
 
 
@@ -235,9 +242,19 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     Returns (doc_id, cluster_id = min doc_id in the component),
     covering only docs that appear in ≥1 pair.
     """
+    # symmetrize in ONE pass over pairs — a union of two selects on
+    # `pairs` would execute the (expensive) pair-generation subplan
+    # twice; explode duplicates each row to both directions instead
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .cache()
     )
@@ -252,24 +269,22 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        # fold the convergence flag into the same checkpointed frame:
+        # detecting "any label improved" is then a scan of the
+        # materialized rows, not another join+shuffle per round
+        step = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
                     "cluster_id"
                 ),
+                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias("_changed"),
             )
             .localCheckpoint()  # truncate lineage: O(1) plan per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .take(1)
-        )
-        labels = new_labels
-        if not changed:
+        labels = step.select("doc_id", "cluster_id")
+        if not step.filter("_changed").take(1):
             break
     return labels
 
