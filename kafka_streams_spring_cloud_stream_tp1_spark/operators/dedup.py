@@ -110,19 +110,43 @@ def ngram_jaccard_pairs(
         .select("doc_id", "n_sh", F.explode("pfx").alias("e"))
         .select("doc_id", "n_sh", F.col("e.sh").alias("sh"))
     )
-    # length filter (2nd PPJoin prune): J(A,B) ≥ t forces
-    # t·|A| ≤ |B| ≤ |A|/t — applied inside the join condition so
-    # incompatible sizes never materialize as candidates
+    # Pair generation by bucket, not self-join: group the prefix rows
+    # per shingle, then emit qualifying pairs from each bucket's doc
+    # array with higher-order functions. vs. the textbook self-join
+    # this (a) computes the prefix subplan ONCE instead of once per
+    # join side, (b) shuffles once (groupBy) instead of twice, and
+    # (c) applies the length filter — J(A,B) ≥ t forces t·|A| ≤ |B| ≤
+    # |A|/t — INSIDE the lambda, so non-qualifying pairs never
+    # materialize as rows. Per-bucket work is O(|bucket|²) but prefix
+    # buckets are rarest-first frequency classes, i.e. the smallest
+    # ones by construction.
     cands = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
-            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh")),
+        prefix.groupBy("sh")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ds",
+                                lambda y: F.struct(
+                                    x["doc_id"].alias("doc_a"),
+                                    x["n_sh"].alias("na"),
+                                    y["doc_id"].alias("doc_b"),
+                                    y["n_sh"].alias("nb"),
+                                ),
+                            ),
+                            lambda p: (p["doc_a"] < p["doc_b"])
+                            & (p["nb"] >= F.lit(threshold) * p["na"])
+                            & (p["na"] >= F.lit(threshold) * p["nb"]),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     return (
@@ -172,7 +196,13 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 3) -> DataFr
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
-    # unpivot to (doc_id, band_idx, band_hash) then self-join per bucket
+    # unpivot to (doc_id, band_idx, band_hash), then pair docs per
+    # bucket by grouping instead of self-joining: the signature plan
+    # (shingle explode + k-way min agg) runs once, there is ONE
+    # shuffle, and pairs are emitted from each bucket's sorted doc
+    # array. Bucket size is the skew knob: a bucket of b docs emits
+    # b·(b-1)/2 pairs — huge buckets mean huge true duplicate groups,
+    # where exact dedup should run first anyway.
     stacked = banded.select(
         "doc_id",
         F.explode(
@@ -180,14 +210,24 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 3) -> DataFr
         ).alias("e"),
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
     return (
-        stacked.alias("a")
-        .join(
-            stacked.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        stacked.groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ds", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+                            ),
+                            lambda p: p["doc_a"] < p["doc_b"],
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
