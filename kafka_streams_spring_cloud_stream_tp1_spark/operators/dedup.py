@@ -107,8 +107,11 @@ def ngram_jaccard_pairs(
                 f"slice(ordered, 1, cast(floor((1.0 - {threshold}) * size(ordered)) + 1 as int))"
             ).alias("pfx"),
         )
-        .select("doc_id", "n_sh", F.explode("pfx").alias("e"))
-        .select("doc_id", "n_sh", F.col("e.sh").alias("sh"))
+        # posexplode: keep each prefix shingle's 1-based rank in the
+        # doc's full ordered list (prefix = first k, so slice ranks =
+        # full-list ranks) — feeds the positional bound below
+        .select("doc_id", "n_sh", F.posexplode("pfx").alias("pos", "e"))
+        .select("doc_id", "n_sh", (F.col("pos") + 1).alias("pos"), F.col("e.sh").alias("sh"))
     )
     # Pair generation by bucket, not self-join: group the prefix rows
     # per shingle, then emit qualifying pairs from each bucket's doc
@@ -120,9 +123,9 @@ def ngram_jaccard_pairs(
     # materialize as rows. Per-bucket work is O(|bucket|²) but prefix
     # buckets are rarest-first frequency classes, i.e. the smallest
     # ones by construction.
-    cands = (
+    emitted = (
         prefix.groupBy("sh")
-        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .agg(F.collect_list(F.struct("doc_id", "n_sh", "pos")).alias("ds"))
         .select(
             F.explode(
                 F.flatten(
@@ -134,8 +137,10 @@ def ngram_jaccard_pairs(
                                 lambda y: F.struct(
                                     x["doc_id"].alias("doc_a"),
                                     x["n_sh"].alias("na"),
+                                    x["pos"].alias("pa"),
                                     y["doc_id"].alias("doc_b"),
                                     y["n_sh"].alias("nb"),
+                                    y["pos"].alias("pb"),
                                 ),
                             ),
                             lambda p: (p["doc_a"] < p["doc_b"])
@@ -146,8 +151,34 @@ def ngram_jaccard_pairs(
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .select("p.doc_a", "p.na", "p.pa", "p.doc_b", "p.nb", "p.pb")
+    )
+    # Positional suffix bound (the full PPJoin prune, Xiao et al.):
+    # J ≥ t ⟺ overlap O ≥ t/(1+t)·(|A|+|B|). With o = shared-prefix
+    # count and (i,j) = ranks of the globally LARGEST shared prefix
+    # shingle in A's/B's ordered lists, O ≤ o + min(|A|−i, |B|−j):
+    # the rarest-first order is a single global total order, so any
+    # shared shingle NOT counted in o must sort after that largest one
+    # — i.e. occupy one of the min(|A|−i, |B|−j) tail slots in both
+    # docs (one sorting before it would sit inside both prefixes and
+    # be counted). The groupBy replaces the distinct() the pair list
+    # needed anyway — same shuffle, and on a corpus where the prefix
+    # filter alone leaves ~1700× more candidates than true pairs this
+    # bound eliminates nearly all of them before the verify join.
+    cands = (
+        emitted.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("o"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.max("pa").alias("ia"),
+            F.max("pb").alias("jb"),
+        )
+        .filter(
+            F.col("o") + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
+            >= F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
     )
     return (
         cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
