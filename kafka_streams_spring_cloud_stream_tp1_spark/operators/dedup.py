@@ -390,6 +390,74 @@ def simhash_signatures(df: DataFrame, bits: int = 16, text_col: str = "text") ->
     return votes.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame, bits: int = 16, max_distance: int = 1, text_col: str = "text"
+) -> DataFrame:
+    """All document pairs whose SimHash signatures are within
+    ``max_distance`` Hamming bits — EXACT, via pigeonhole segment
+    blocking (the Manku/Jain/Sarma web-crawl dedup design): split the
+    signature into ``max_distance + 1`` bit segments; d differing bits
+    cannot touch all d+1 segments, so any qualifying pair agrees
+    exactly on ≥ 1 segment and is found in that segment's
+    (segment, value) bucket. Candidate generation is therefore one
+    groupBy over |docs|·(d+1) rows — never O(n²) — and the exact
+    bit_count(xor) verification runs INSIDE the bucket lambda so only
+    true pairs materialize. Per-bucket work is O(|bucket|²): buckets
+    bloat only when identical signatures flood a segment value, which
+    is exactly when `simhash_dup_groups` (equal-signature dedup)
+    should run first and collapse them."""
+    segs = max_distance + 1
+    widths = [bits // segs + (1 if i < bits % segs else 0) for i in range(segs)]
+    offs = [sum(widths[:i]) for i in range(segs)]
+    sig = simhash_signatures(df, bits, text_col)
+    stacked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg"),
+                        F.shiftright("simhash", offs[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(segs)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.seg", "e.val")
+    return (
+        stacked.groupBy("seg", "val")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ds",
+                                lambda y: F.struct(
+                                    x["doc_id"].alias("doc_a"),
+                                    y["doc_id"].alias("doc_b"),
+                                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                                        "hamming"
+                                    ),
+                                ),
+                            ),
+                            lambda p: (p["doc_a"] < p["doc_b"])
+                            & (p["hamming"] <= F.lit(max_distance)),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .distinct()
+    )
+
+
 def simhash_dup_groups(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     """Documents sharing an identical SimHash signature, with group
     size and canonical id — the bucketing stage of SimHash dedup (a

@@ -252,7 +252,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
+    """WITH-clause computing (doc_id, simhash) — shared by the
+    equal-signature and Hamming-ball oracles."""
     votes = ",\n                  ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{j}"
         for j in range(_SIMHASH_BITS)
@@ -264,13 +266,20 @@ def _simhash_sql() -> str:
     WITH ex AS (SELECT doc_id, {xhash_sql('tok')} AS h
                 FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
     votes AS (SELECT doc_id, {votes} FROM ex GROUP BY doc_id),
-    sig AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM votes),
+    sig AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM votes)"""
+
+
+def _simhash_sql() -> str:
+    return (
+        _simhash_cte()
+        + """,
     g AS (SELECT simhash, min(doc_id) AS canonical_id, count(*) AS group_size
           FROM sig GROUP BY simhash)
     SELECT sig.doc_id, sig.simhash, g.canonical_id, g.group_size
     FROM sig JOIN g USING (simhash)
     WHERE g.group_size > 1
     """
+    )
 
 
 @query("q_dedup_simhash", oracle=_simhash_sql())
@@ -278,6 +287,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(16-bit) buckets: per-token hashes vote ±1 per bit;
     identical signatures = near-dup group. One explode + one groupBy."""
     return D.simhash_dup_groups(load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
+
+
+# Hamming radius for the ball query: on this tiny-vocab corpus the
+# 16-bit signature space is saturated (distance ≤ 2 already pairs ~8%
+# of all docs at sf0.01), so radius 1 is the discriminative setting
+_HAMMING_D = 1
+
+
+def _simhash_hamming_sql() -> str:
+    return (
+        _simhash_cte()
+        + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_D}
+    """
+    )
+
+
+@query("q_dedup_simhash_hamming", oracle=_simhash_hamming_sql())
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (distance ≤ 1) via
+    pigeonhole segment blocking (operators/dedup.py) — the oracle
+    verifies the blocked plan against the brute-force O(n²) pair scan
+    it avoids."""
+    return D.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS, max_distance=_HAMMING_D
+    )
 
 
 # the synthetic embeddings top out near cosine 0.5 — 0.4 marks the

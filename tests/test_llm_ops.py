@@ -194,3 +194,29 @@ def test_ann_ivf_recall(spark):
     approx = {(r["query_id"], r["neighbor_id"]) for r in ann_ivf(emb, 5, 10).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_simhash_hamming_pairs_match_bruteforce(spark):
+    """Pigeonhole segment blocking must be EXACT for its radius: the
+    blocked pair set equals the brute-force O(n²) scan of signatures
+    at Hamming distance ≤ d (pairs beyond the radius never appear)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    d = 2  # exercise a different radius than the registered query's
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs, bits=16).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= d
+    }
+    blocked = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_hamming_pairs(docs, bits=16, max_distance=d).collect()
+    }
+    assert blocked == brute
