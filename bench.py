@@ -41,8 +41,16 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Registration order (the driver's correctness order), NOT sorted:
+    # Spark's cache manager shares identical cached subplans across
+    # queries in the session, so iteration order decides attribution —
+    # e.g. q_dedup_ngram_jaccard's PPJoin pair table is reused by
+    # q_dedup_clusters. Registration order runs each producer before
+    # its consumers, so every entry reflects that query's own cost
+    # (alphabetical order ran the consumer first and billed it for the
+    # producer's whole pipeline). See BASELINE.md "Bench protocol".
     timings: dict[str, float] = {}
-    for name in sorted(builders):
+    for name in builders:
         t0 = time.perf_counter()
         builders[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)

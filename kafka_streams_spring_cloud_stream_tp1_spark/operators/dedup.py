@@ -83,7 +83,22 @@ def ngram_jaccard_pairs(
     dup-cluster transitive closure, canonical-doc selection, repeated
     inspection — re-reads it. Spark's cache manager keys on the logical
     plan, so independent calls with the same inputs share it too.
+
+    Pruning arithmetic is EXACT and conservative w.r.t. the verify:
+    the final filter keeps pairs whose 4-decimal-ROUNDED Jaccard clears
+    ``threshold``, i.e. admits exact J down to t − 0.5e-4 — so every
+    prune (prefix length, length filter, positional suffix bound) is
+    derived from t' = t − 0.5e-4 as an exact rational and evaluated by
+    integer cross-multiplication. No double product can round one ulp
+    high and drop a boundary pair the oracle keeps.
     """
+    from fractions import Fraction
+
+    tp = Fraction(round(threshold * 10**4), 10**4) - Fraction(1, 2 * 10**4)
+    tn, td = tp.numerator, tp.denominator  # t' = tn/td  (e.g. 15999/20000)
+    sfrac = tp / (1 + tp)  # suffix-bound ratio t'/(1+t')
+    sn, sd = sfrac.numerator, sfrac.denominator
+
     sh = shingle_sets(df, n, text_col).cache()
     # explode_outer: see text.with_fingerprints — inner explode would
     # push an inferred size()>0 filter below the fan-out exchange and
@@ -104,7 +119,8 @@ def ngram_jaccard_pairs(
             "doc_id",
             "n_sh",
             F.expr(
-                f"slice(ordered, 1, cast(floor((1.0 - {threshold}) * size(ordered)) + 1 as int))"
+                # prefix length ⌊(1 − t')·|ordered|⌋ + 1, exact: (td−tn)/td
+                f"slice(ordered, 1, cast(floor(cast(size(ordered) as bigint) * {td - tn} / {td}) + 1 as int))"
             ).alias("pfx"),
         )
         # posexplode: keep each prefix shingle's 1-based rank in the
@@ -143,9 +159,11 @@ def ngram_jaccard_pairs(
                                     y["pos"].alias("pb"),
                                 ),
                             ),
+                            # length filter t'·|A| ≤ |B| ≤ |A|/t' by
+                            # integer cross-multiplication (no doubles)
                             lambda p: (p["doc_a"] < p["doc_b"])
-                            & (p["nb"] >= F.lit(threshold) * p["na"])
-                            & (p["na"] >= F.lit(threshold) * p["nb"]),
+                            & (p["nb"].cast("long") * td >= F.lit(tn) * p["na"])
+                            & (p["na"].cast("long") * td >= F.lit(tn) * p["nb"]),
                         ),
                     )
                 )
@@ -175,8 +193,10 @@ def ngram_jaccard_pairs(
             F.max("pb").alias("jb"),
         )
         .filter(
-            F.col("o") + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb"))
-            >= F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+            # O ≥ t'/(1+t')·(|A|+|B|) as sd·O ≥ sn·(|A|+|B|) — exact ints
+            (F.col("o") + F.least(F.col("na") - F.col("ia"), F.col("nb") - F.col("jb")))
+            .cast("long") * sd
+            >= F.lit(sn) * (F.col("na") + F.col("nb"))
         )
         .select("doc_a", "doc_b")
     )
@@ -300,15 +320,26 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     canonical post-dedup step: pairs only say "a ~ b"; keeping one
     canonical doc per GROUP needs the transitive closure.
 
-    Iterative label propagation: every doc starts labeled with its own
-    id; each round every doc adopts the minimum label in its
-    neighborhood; fixpoint when no label changes. Rounds needed ≈
-    graph diameter (dup clusters are tiny and dense, so 2-4 rounds in
-    practice; `max_iters` bounds adversarial chains). This is the
-    iterative-algorithm pattern Spark expresses as a driver loop over
-    DataFrames: each round is one join + one aggregate, localCheckpoint
-    truncates the growing lineage so round N doesn't replay rounds
-    1..N-1.
+    Label propagation WITH pointer jumping: every doc starts labeled
+    with its own id; each round every doc adopts the minimum of (its
+    label, its neighbors' labels, its label's label). The last term is
+    the path-halving shortcut from pointer-jumping connectivity
+    algorithms (the same device behind large-star/small-star, Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    a chain of length d collapses in O(log d) rounds instead of O(d).
+    The invariant that makes the shortcut sound: label(v) is always the
+    id of a node in v's own component, so label(label(v)) is too.
+
+    Driver-loop costs are batched: each round is checkpointed (lineage
+    truncation so round N doesn't replay rounds 1..N-1) but the
+    convergence probe — a blocking action — runs only every 2nd round;
+    with O(log d) convergence that halves the job count where plain
+    per-round probing dominated the wall clock.
+
+    If ``max_iters`` rounds pass without reaching the fixpoint the
+    result would silently contain split clusters, so that raises
+    RuntimeError instead (with log(d) convergence, 20 rounds covers a
+    diameter of ~2^20 — any real hit means pathological input).
 
     Returns (doc_id, cluster_id = min doc_id in the component),
     covering only docs that appear in ≥1 pair.
@@ -316,6 +347,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # symmetrize in ONE pass over pairs — a union of two selects on
     # `pairs` would execute the (expensive) pair-generation subplan
     # twice; explode duplicates each row to both directions instead
+    # Every frame the loop re-reads is EAGERLY materialized
+    # (localCheckpoint): the round bodies self-join their own inputs
+    # (labels twice in the propagate step, stepped twice in the jump
+    # step), and Spark re-executes an unmaterialized subplan once per
+    # use — round 0 would otherwise replay the whole upstream
+    # pair-generation plan several times inside one job.
+    #
+    # No distinct() on the edge list: (doc_a < doc_b) pairs are unique,
+    # and every read of `edges` below is a min-aggregation, which is
+    # duplicate-insensitive — the dedup shuffle would buy nothing.
     edges = (
         pairs.select(
             F.explode(
@@ -326,38 +367,68 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
-        .cache()
+        .localCheckpoint()
     )
+    # Round 0, fused: with identity labels the propagate step is just
+    # label(v) = min(v, min neighbor) — one groupBy straight off the
+    # edge list, no join, and it doubles as the node-set derivation.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("m"))
+        .select("doc_id", F.least("doc_id", "m").alias("cluster_id"))
+        .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for it in range(1, max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        # fold the convergence flag into the same checkpointed frame:
-        # detecting "any label improved" is then a scan of the
-        # materialized rows, not another join+shuffle per round
-        step = (
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
                     "cluster_id"
                 ),
-                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias("_changed"),
+                (F.coalesce("nbr_min", "cluster_id") < F.col("cluster_id")).alias("_c1"),
+            )
+            .localCheckpoint()  # shallow plan for the self-join below
+        )
+        # pointer jumping: adopt label(label(v)). Left join (not inner)
+        # so a row whose label was just improved past the frontier
+        # still survives the round.
+        parent = stepped.select(
+            F.col("doc_id").alias("_p_id"), F.col("cluster_id").alias("_p_label")
+        )
+        # fold the convergence flag into the same checkpointed frame:
+        # detecting "any label improved" is then a scan of the
+        # materialized rows, not another join+shuffle per round
+        step = (
+            stepped.join(parent, stepped["cluster_id"] == parent["_p_id"], "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("_p_label", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+                (
+                    F.col("_c1")
+                    | (F.coalesce("_p_label", "cluster_id") < F.col("cluster_id"))
+                ).alias("_changed"),
             )
             .localCheckpoint()  # truncate lineage: O(1) plan per round
         )
         labels = step.select("doc_id", "cluster_id")
-        if not step.filter("_changed").take(1):
-            break
-    return labels
+        # probe on odd rounds only (and the last): the fixpoint test is
+        # "no change in the LATEST round", so skipping even-round probes
+        # costs at most one extra (cheap, checkpointed) round
+        if it % 2 == 1 or it == max_iters - 1:
+            if not step.filter("_changed").take(1):
+                return labels
+    raise RuntimeError(
+        f"dup_clusters did not converge within max_iters={max_iters} rounds; "
+        "result would contain split clusters (pathological chain input?)"
+    )
 
 
 def simhash_signatures(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:

@@ -496,9 +496,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (transitive closure via iterative label propagation — the
     genuinely iterative algorithm class the driver's SQL oracle can't
     express). Cluster invariants are asserted in pytest instead:
-    every pair lands in one cluster, cluster_id = min member."""
+    every pair lands in one cluster, cluster_id = min member.
+    Unordered on purpose: a global sort over the label table is pure
+    output cosmetics and a needless final exchange at scale."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir)
-    return D.dup_clusters(pairs).orderBy("doc_id")
+    return D.dup_clusters(pairs)
 
 
 _PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"

@@ -160,6 +160,33 @@ def test_dup_clusters_transitive_closure(spark):
     }, got
 
 
+def test_dup_clusters_long_chain_converges_logarithmically(spark):
+    """Pointer jumping must collapse a diameter-60 chain within the
+    default 20-round cap (plain per-hop label propagation would need
+    ~60 rounds and previously returned silently-split clusters)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain).collect()}
+    assert got == {i: 0 for i in range(61)}
+
+
+def test_dup_clusters_raises_when_cap_exhausted(spark):
+    """Exhausting max_iters before the fixpoint must raise — a silent
+    partial closure would split clusters with no signal (ADVICE r1)."""
+    import pytest
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iters=2)
+
+
 def test_dup_clusters_consistent_with_pairs(spark):
     """On the real fixture: both endpoints of every near-dup pair get
     the same cluster id, and each cluster is labeled by its minimum
