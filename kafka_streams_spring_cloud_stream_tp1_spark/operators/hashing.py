@@ -51,10 +51,18 @@ def fan_out(df, key: str = "doc_id"):
     coalescing would merge a few-MB exchange back to one partition —
     it can't see that the post-exchange projection is CPU-bound, not
     IO-bound. Keyed repartition stays deterministic (hash, not
-    round-robin)."""
+    round-robin).
+
+    Conditional: a real 100 TB scan arrives in thousands of splits
+    already — inserting an Exchange there would shuffle the full raw
+    text for a projection that needs no co-location. Repartition ONLY
+    when the input has fewer partitions than the target; otherwise
+    return the input untouched (no Exchange in the plan)."""
     from pyspark.sql import functions as F  # local: avoid cycle at import
 
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, F.col(key))
 
 

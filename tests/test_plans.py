@@ -69,3 +69,24 @@ def test_multiway_join_broadcasts_dims(spark):
     assert "BroadcastHashJoin" in plan, plan
     # dims are small at every SF ratio; no sort-merge join should appear
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_fan_out_conditional_on_input_partitions(spark):
+    """fan_out must repartition ONLY when the input has fewer
+    partitions than the shuffle target — a real multi-split scan (a
+    100 TB table arrives in thousands of splits) must pass through
+    with NO Exchange inserted."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.hashing import fan_out
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(0, 1000, 1, n + 4).select(F.col("id").alias("doc_id"))
+    out = fan_out(wide)
+    assert out is wide  # untouched: no node added, no Exchange possible
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+    narrow = spark.range(0, 1000, 1, 1).select(F.col("id").alias("doc_id"))
+    fanned = fan_out(narrow)
+    assert fanned.rdd.getNumPartitions() == n
+    assert "Exchange hashpartitioning" in fanned._jdf.queryExecution().executedPlan().toString()
