@@ -40,7 +40,16 @@ def asof_join(
     latest right row with matching key and right_ts ≤ left_ts (nulls
     when no prior right row exists). Right side must be unique per
     (key, ts) — dedupe upstream if not, or the carried row is
-    tie-ambiguous."""
+    tie-ambiguous. ``payload_cols`` must not collide with left-side
+    column names — the output carries both sets side by side, so a
+    collision would produce two identically-named columns that only
+    blow up downstream; rejected eagerly here instead."""
+    clash = set(payload_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join payload_cols {sorted(clash)} collide with left-side columns; "
+            "alias the right-side payload (or the left columns) before joining"
+        )
     lcols = left.columns
     l_tagged = left.select(
         F.col(left_key).alias("__k"),

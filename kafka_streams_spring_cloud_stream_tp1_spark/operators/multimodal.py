@@ -135,12 +135,13 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -
     offsets per payload — the real version decodes frames at these
     offsets; the offset arithmetic, explode shape, and per-frame row
     schema are the production plan."""
-    n = F.col("meta.n_bytes")
-    offsets = F.when(
-        n > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.least(n / every_n_bytes, F.lit(max_frames - 1)).cast("int")),
-            lambda i: (i * every_n_bytes).cast("bigint"),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    # an empty payload still yields frame 0 at offset 0 (sequence(0,0)
+    # = [0]) — deliberate: a zero-byte asset is one (undecodable)
+    # frame, and the DuckDB oracle's range(0, least(n//s, m-1)+1)
+    # agrees on that boundary
+    n_frames = F.expr(f"meta.n_bytes div {every_n_bytes}")  # exact int div
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.least(n_frames, F.lit(max_frames - 1)).cast("int")),
+        lambda i: (i * every_n_bytes).cast("bigint"),
+    )
     return df.select("doc_id", F.posexplode(offsets).alias("frame_idx", "byte_offset"))

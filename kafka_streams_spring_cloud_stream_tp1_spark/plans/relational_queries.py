@@ -670,10 +670,16 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction from the props column (the reference's
-    payloads are JSON on the wire — SURVEY.md §1.3)."""
+    payloads are JSON on the wire — SURVEY.md §1.3). Two-step select:
+    the JSON parse lands in its own projection and `k_bucket` derives
+    from the parsed column, so the plan carries ONE get_json_object —
+    Catalyst's CollapseProject keeps it single because the expression
+    is non-cheap and referenced twice."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return ev.select("event_id", k.alias("k_val"), (k % 10).alias("k_bucket"))
+    parsed = ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    )
+    return parsed.select("event_id", "k_val", (F.col("k_val") % 10).alias("k_bucket"))
 
 
 @query(

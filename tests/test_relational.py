@@ -70,3 +70,20 @@ def test_asof_join_edge_semantics(spark):
         3: 200,   # latest prior wins
         4: None,  # key with no right rows at all
     }, out
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    """A payload column that collides with a left-side name must be
+    rejected eagerly — the silent alternative is two identically-named
+    output columns that only blow up downstream (ADVICE r1)."""
+    import pytest
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 5.0)], "event_id long, k string, t double")
+    right = spark.createDataFrame([("k", 5.0, 1.0)], "k string, ts double, t double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right, left_key="k", right_key="k", left_ts="t", right_ts="ts",
+            payload_cols=["t"],
+        )
