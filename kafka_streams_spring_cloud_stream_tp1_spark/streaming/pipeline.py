@@ -25,6 +25,7 @@ Semantic mappings (SURVEY.md §4.2):
 
 from __future__ import annotations
 
+import re
 import time
 from dataclasses import dataclass, field
 
@@ -33,6 +34,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import core as ops
+
+_UNIT_SECONDS = {
+    "millisecond": 0.001,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+}
+
+
+def interval_seconds(interval: str) -> float:
+    """Parse the simple '<n> <unit>' interval strings Structured
+    Streaming accepts for windows/watermarks into seconds."""
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*(millisecond|second|minute|hour|day)s?\s*", interval)
+    if not m:
+        raise ValueError(f"unsupported interval string: {interval!r}")
+    return float(m.group(1)) * _UNIT_SECONDS[m.group(2)]
+
+
+# sentinel: "caller didn't choose" → window + watermark; explicit None
+# disables eviction (tests / changelog audits)
+_DEFAULT_RETENTION: float = object()  # type: ignore[assignment]
 
 
 def streaming_windowed_counts(
@@ -59,16 +82,28 @@ def streaming_windowed_counts(
 
 @dataclass
 class CountStore:
-    """The queryable window store: a streaming query materializing the
-    windowed counts into an in-memory table (the reference's RocksDB
-    `count-store` + InteractiveQueryService, single-instance serving
-    assumption — SURVEY.md §4.2). At cluster scale the same topology
-    writes via foreachBatch to an external KV instead.
+    """The queryable window store (reference: RocksDB `count-store` +
+    InteractiveQueryService, single-instance serving assumption —
+    SURVEY.md §4.2). Two backends:
+
+    - ``backend="kv"`` (default, the production shape): the changelog
+      upserts into a `DictKVStore` via foreachBatch — the in-process
+      stand-in for an external KV (Redis/Cassandra). Store size is
+      BOUNDED: upserts are idempotent by (name, window) key and windows
+      older than the retention horizon (window + watermark by default,
+      the Kafka Streams windowSize+grace retention rule) are evicted on
+      write. A long-running stream holds only the live window set.
+    - ``backend="memory"`` (tests/demo): Spark's `memory` sink. Update
+      mode APPENDS each trigger's changed rows to the sink table
+      forever, so driver memory grows with stream lifetime — fine for
+      bounded tests, wrong for serving; snapshot() compensates for the
+      duplicate rows with a groupBy().max().
     """
 
     spark: SparkSession
     query: StreamingQuery
-    table: str
+    table: str | None = None
+    store: "object | None" = None  # DictKVStore when backend="kv"
 
     _poll: float = field(default=0.1, repr=False)
 
@@ -81,33 +116,54 @@ class CountStore:
         window: str = "5 seconds",
         watermark: str = "10 seconds",
         trigger_seconds: float | None = None,
+        backend: str = "kv",
+        retention_seconds: "float | None" = _DEFAULT_RETENTION,
         **kwargs,
     ) -> "CountStore":
         counts = streaming_windowed_counts(events, window=window, watermark=watermark, **kwargs)
-        writer = (
-            counts.writeStream.outputMode("update")  # T1: KTable changelog
-            .format("memory")
-            .queryName(table)
-        )
+        if backend == "memory":
+            writer = (
+                counts.writeStream.outputMode("update")  # T1: KTable changelog
+                .format("memory")
+                .queryName(table)
+            )
+            if trigger_seconds is not None:
+                # the reference's commit.interval.ms=1000 emission cadence
+                writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+            return cls(spark=spark, query=writer.start(), table=table)
+
+        from .sinks import DictKVStore  # local import: sinks imports this module
+
+        if retention_seconds is _DEFAULT_RETENTION:
+            # Kafka Streams' minimum window-store retention: size + grace
+            retention_seconds = interval_seconds(window) + interval_seconds(watermark)
+        store = DictKVStore(retention_seconds=retention_seconds)
+
+        def upsert_batch(batch: DataFrame, epoch_id: int) -> None:
+            # the changelog batch holds only CHANGED (key, window) rows;
+            # collect here stands in for batch.write to the KV connector
+            rows = [
+                ((r["name"], r["window_start"], r["window_end"]), r["cnt"])
+                for r in batch.select("name", "window_start", "window_end", "cnt").collect()
+            ]
+            store.upsert(rows, epoch_id)
+
+        writer = counts.writeStream.outputMode("update").foreachBatch(upsert_batch)
         if trigger_seconds is not None:
-            # the reference's commit.interval.ms=1000 emission cadence
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-        return cls(spark=spark, query=writer.start(), table=table)
+        return cls(spark=spark, query=writer.start(), store=store)
 
     def process_all(self) -> None:
         """Drain everything currently available (test/demo helper)."""
         self.query.processAllAvailable()
 
     def snapshot(self) -> DataFrame:
-        """Current store contents: (name, window_start, window_end, cnt).
-
-        Update-mode memory sink *appends* each trigger's changed rows,
-        so the same (name, window) can appear once per update — the
-        store semantics keep only the latest, which is exactly the
-        reference's KTable. Per-window counts are monotone
-        nondecreasing, so latest == max (row order across sink batches
-        is not otherwise guaranteed).
-        """
+        """Current store contents: (name, window_start, window_end, cnt)."""
+        if self.store is not None:
+            rows = [(k[0], k[1], k[2], v) for k, v in self.store.snapshot().items()]
+            return self.spark.createDataFrame(
+                rows, "name string, window_start timestamp, window_end timestamp, cnt long"
+            )
         raw = self.spark.table(self.table)
         return raw.groupBy("name", "window_start", "window_end").agg(
             F.max("cnt").alias("cnt")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import threading
 from dataclasses import dataclass, field
+from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -26,13 +27,21 @@ from .pipeline import streaming_windowed_counts
 
 class DictKVStore:
     """Thread-safe (key → value) upsert store, the external-KV stand-in.
-    Keys are (name, window_start); upserts are idempotent, so epoch
-    replays after recovery converge to the same state (exactly-once
-    effect from at-least-once delivery)."""
+    Keys start with (name, window_start); upserts are idempotent, so
+    epoch replays after recovery converge to the same state
+    (exactly-once effect from at-least-once delivery).
 
-    def __init__(self) -> None:
+    ``retention_seconds`` bounds store size for long-running streams:
+    after each upsert, windows starting more than the retention horizon
+    behind the NEWEST window seen are evicted — the Kafka Streams
+    window-store retention rule (windowSize + grace), keyed off stream
+    time rather than wall clock so replays stay deterministic. None
+    keeps everything (bounded tests / changelog audits)."""
+
+    def __init__(self, retention_seconds: float | None = None) -> None:
         self._data: dict[tuple, int] = {}
         self._lock = threading.Lock()
+        self._retention = retention_seconds
         self.epochs_seen: list[int] = []
 
     def upsert(self, rows: list[tuple], epoch_id: int) -> None:
@@ -40,6 +49,11 @@ class DictKVStore:
             self.epochs_seen.append(epoch_id)
             for key, cnt in rows:
                 self._data[key] = cnt
+            if self._retention is not None and self._data:
+                high = max(k[1] for k in self._data)
+                horizon = high - timedelta(seconds=self._retention)
+                for k in [k for k in self._data if k[1] < horizon]:
+                    del self._data[k]
 
     def snapshot(self) -> dict[tuple, int]:
         with self._lock:

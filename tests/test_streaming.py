@@ -54,7 +54,13 @@ def stream_dir(tmp_path):
 
 def _start_store(spark, stream_dir, table):
     events = spark.readStream.schema(EVENTS_SCHEMA).json(stream_dir)
-    return CountStore.start(spark, events, table=table, window="5 seconds", watermark="10 seconds")
+    # retention disabled: these tests assert on closed windows, which
+    # the production default (window + watermark) would evict;
+    # test_kv_store_retention_bounds_size covers the eviction path
+    return CountStore.start(
+        spark, events, table=table, window="5 seconds", watermark="10 seconds",
+        retention_seconds=None,
+    )
 
 
 def test_windowed_counts_and_range_fetch(spark, stream_dir):
@@ -126,6 +132,59 @@ def test_watermark_drops_too_late_data(spark, stream_dir):
         }
         assert snap[("P1", 0, 0)] == 1, "too-late event must NOT update the closed window"
         assert snap[("P1", 1, 0)] == 2, "late-but-within-watermark event must update"
+    finally:
+        store.stop()
+
+
+def test_kv_store_retention_bounds_size(spark, stream_dir):
+    """Long-run serving-store behavior: with the default retention
+    (window + watermark), windows falling behind the newest stream time
+    are evicted on write — store size tracks the LIVE window set, not
+    stream lifetime (the round-1 memory-sink growth defect, fixed by
+    the KV backend)."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).json(stream_dir)
+    store = CountStore.start(spark, events, window="5 seconds", watermark="10 seconds")
+    try:
+        # 5 batches, stream time advancing 20 s per batch -> 5 distinct
+        # windows touched over a 100 s stream life
+        for b in range(5):
+            _write_batch(
+                stream_dir,
+                f"b{b}",
+                [_event(b * 10 + i, b * 20.0 + i, "P1", 200.0) for i in range(3)],
+            )
+            store.process_all()
+        snap = store.store.snapshot()
+        starts = [k[1] for k in snap]
+        assert starts, "store must hold the newest window"
+        # every retained window starts within retention (15 s) of the newest
+        assert max(starts) - min(starts) <= timedelta(seconds=15)
+        # 5 windows were written over the run; only the live tail remains
+        assert len(snap) < 5
+        latest = {(k[0], k[1].minute, k[1].second): v for k, v in snap.items()}
+        assert latest[("P1", 1, 20)] == 3  # secs 80..82 -> window [80,85) = 1m20s
+    finally:
+        store.stop()
+
+
+def test_memory_backend_snapshot_dedups_updates(spark, stream_dir):
+    """The memory-sink backend (tests/demo) appends one row per update;
+    snapshot() must fold them back to latest-per-(key, window)."""
+    store = CountStore.start(
+        spark,
+        spark.readStream.schema(EVENTS_SCHEMA).json(stream_dir),
+        table="cs_mem",
+        backend="memory",
+        window="5 seconds",
+        watermark="10 seconds",
+    )
+    try:
+        _write_batch(stream_dir, "b1", [_event(0, 1.0, "P1", 200.0)])
+        store.process_all()
+        _write_batch(stream_dir, "b2", [_event(1, 2.0, "P1", 300.0)])
+        store.process_all()  # same window updates: sink now holds 2 rows for it
+        rows = store.snapshot().collect()
+        assert len(rows) == 1 and rows[0]["cnt"] == 2
     finally:
         store.stop()
 
