@@ -1,0 +1,85 @@
+"""Live Kafka round-trip (reference: application.properties:21,26-27;
+acceptance command config.txt:6) — GATED on connector availability.
+
+Environment blocker, verified round 2: this container has neither the
+spark-sql-kafka connector jar (checked `pyspark/jars` and
+`/opt/spark*/jars`) nor a broker (nothing on :9092, no kafka
+binaries), so the live path cannot run here. The wire-level JSON
+serde expressions are covered broker-free by
+tests/test_streaming.py::test_kafka_wire_roundtrip_expressions; this
+module holds the full end-to-end test so it activates unchanged the
+moment the environment gains a broker + connector.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from kafka_streams_spring_cloud_stream_tp1_spark.sources.generators import page_event_batch
+from kafka_streams_spring_cloud_stream_tp1_spark.streaming.kafka import (
+    kafka_available,
+    read_page_events_kafka,
+    write_count_changelog_kafka,
+    write_page_events_kafka,
+)
+
+BOOTSTRAP = "localhost:9092"
+
+
+def test_kafka_roundtrip_live(spark, tmp_path):
+    """Produce JSON PageEvents to T2, run the streaming flagship,
+    consume the (name, count) changelog from T4 — the reference's
+    whole wire loop."""
+    if not kafka_available(spark):
+        pytest.skip(
+            "environment blocker: no spark-sql-kafka connector jar on the "
+            "classpath and no broker in this container (see module docstring)"
+        )
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming.pipeline import (
+        streaming_windowed_counts,
+    )
+
+    run = uuid.uuid4().hex[:8]
+    t2, t4 = f"T2-{run}", f"T4-{run}"
+
+    # S1/S2 analog: batch-produce 100 synthetic events to T2 as JSON
+    write_page_events_kafka(page_event_batch(spark, 100, seed=7), t2, BOOTSTRAP)
+
+    # S3 -> flagship -> K2: consume T2, window on the KAFKA RECORD
+    # timestamp (the reference's time semantics, SURVEY.md §1.3),
+    # produce the changelog to T4
+    events = read_page_events_kafka(spark, topic=t2, bootstrap=BOOTSTRAP).select(
+        F.col("name").alias("event_type"),
+        F.col("kafka_ts").alias("ts"),
+        F.col("duration").cast("double").alias("value"),
+    )
+    counts = streaming_windowed_counts(events, window="5 seconds", watermark="10 seconds")
+    q = write_count_changelog_kafka(
+        counts, topic=t4, bootstrap=BOOTSTRAP, checkpoint=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # config.txt:6 acceptance: read T4 back (String key / numeric value)
+    out = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", BOOTSTRAP)
+        .option("subscribe", t4)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(
+            F.col("key").cast("string").alias("name"),
+            F.col("value").cast("string").cast("long").alias("cnt"),
+        )
+    )
+    rows = out.collect()
+    assert rows, "changelog must reach T4"
+    assert {r["name"] for r in rows} <= {"P1", "P2"}
+    assert all(r["cnt"] >= 1 for r in rows)
