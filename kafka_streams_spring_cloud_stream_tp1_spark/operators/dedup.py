@@ -458,7 +458,10 @@ def simhash_signatures(df: DataFrame, bits: int = 16, text_col: str = "text") ->
     for j in range(bits):
         term = F.when(F.col(f"bit_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+    # cached: one long per doc (tiny even at corpus scale), and the
+    # equal-signature and Hamming-ball queries both consume the same
+    # signature plan — Spark's cache manager shares it between them
+    return votes.select("doc_id", sim.cast("long").alias("simhash")).cache()
 
 
 def simhash_hamming_pairs(

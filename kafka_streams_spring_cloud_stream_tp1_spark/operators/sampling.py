@@ -1,0 +1,78 @@
+"""Deterministic corpus sampling and splitting — the data-mixing ops a
+training pipeline runs after dedup/quality filtering: carve train/val/
+test splits and downsample strata (languages, domains, sources) to
+target mixture weights.
+
+No RNG anywhere: assignment is a pure function of the document id via
+the cross-engine hash (`hashing.xhash`), so it is (a) reproducible
+across runs, engines, and cluster sizes — the property `sample()` /
+`rand()` cannot give, since their draw depends on partitioning — and
+(b) stable under corpus growth: a doc keeps its split when new docs
+arrive, which is what keeps eval sets uncontaminated across dataset
+versions. This is one whole-stage-codegen projection: no shuffle, no
+sampling pass, linear at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import xhash, xhash_sql
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, salt: str) -> Column:
+    """Uniform bucket in [0, BUCKETS) from (salt, id) — md5-based, so
+    bit-identical in the DuckDB oracle (hashing.py)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return xhash(F.concat(F.lit(salt), c.cast("string"))) % BUCKETS
+
+
+def hash_bucket_sql(id_expr: str, salt: str) -> str:
+    """The identical bucket as DuckDB SQL."""
+    hashed = xhash_sql(f"'{salt}' || {id_expr}::VARCHAR")
+    return f"{hashed} % {BUCKETS}"
+
+
+def with_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a named split by cumulative bucket ranges, e.g.
+    ``{"train": .9, "val": .05, "test": .05}`` → buckets [0,9000) /
+    [9000,9500) / [9500,10000)."""
+    assert abs(sum(fractions.values()) - 1.0) < 1e-9, "fractions must sum to 1"
+    b = hash_bucket(id_col, salt)
+    expr, lo = None, 0
+    for name, frac in fractions.items():
+        hi = lo + round(frac * BUCKETS)
+        cond = b < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr)
+
+
+def stratified_keep(
+    df: DataFrame,
+    quotas: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default: float = 1.0,
+) -> Column:
+    """Boolean keep-flag downsampling each stratum to its quota —
+    deterministic stratified sampling (the mixture-reweighting step of
+    corpus assembly). Strata absent from ``quotas`` keep ``default``."""
+    b = hash_bucket(id_col, salt)
+    s = F.col(strata_col)
+    expr = None
+    for name, q in quotas.items():
+        cond = (s == name) & (b < F.lit(round(q * BUCKETS)))
+        expr = F.when(cond, True) if expr is None else expr.when(cond, True)
+    return expr.when(s.isin(*quotas.keys()), False).otherwise(
+        b < F.lit(round(default * BUCKETS))
+    )

@@ -171,9 +171,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_N, _JACCARD_T = 3, 0.8
 
 
-@query(
-    "q_dedup_ngram_jaccard",
-    oracle=f"""
+# shared by the pair query's oracle and (as the edge source) by the
+# connected-components oracle below
+_JACCARD_PAIRS_SQL = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, {_ngrams_sql('toks', _JACCARD_N)} AS s FROM t),
     sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
@@ -187,8 +187,10 @@ _JACCARD_N, _JACCARD_T = 3, 0.8
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4) >= {_JACCARD_T}
-    """,
-)
+"""
+
+
+@query("q_dedup_ngram_jaccard", oracle=_JACCARD_PAIRS_SQL)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-trigram Jaccard ≥ 0.8 — exact, via
     PPJoin-style prefix+length filtering (operators/dedup.py): only
@@ -490,15 +492,36 @@ def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"))
 
 
-@query("q_dedup_clusters")  # iterative fixpoint -> not single-statement SQL; rows-only
+@query(
+    "q_dedup_clusters",
+    # The oracle replays the transitive closure with a RECURSIVE CTE:
+    # walk = all (node, reachable-node) pairs over the symmetrized
+    # edge list (UNION dedups, so it terminates), cluster_id = min id
+    # reached. O(Σ|component|²) closure rows — fine at oracle scale
+    # (the driver checks at sf0.01); the Spark side uses the O(log d)
+    # pointer-jumping loop instead because the closure blowup is
+    # exactly what a 100 TB corpus can't afford.
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(src, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT src AS doc_id, least(src, min(reach)) AS cluster_id
+    FROM walk GROUP BY src
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the verified near-dup pairs
-    (transitive closure via iterative label propagation — the
-    genuinely iterative algorithm class the driver's SQL oracle can't
-    express). Cluster invariants are asserted in pytest instead:
-    every pair lands in one cluster, cluster_id = min member.
-    Unordered on purpose: a global sort over the label table is pure
-    output cosmetics and a needless final exchange at scale."""
+    """Connected components over the verified near-dup pairs —
+    transitive closure via iterative pointer-jumping label propagation
+    (operators/dedup.py::dup_clusters). Cluster invariants (every pair
+    mono-cluster, cluster_id = min member) additionally asserted in
+    pytest. Unordered on purpose: a global sort over the label table
+    is pure output cosmetics and a needless final exchange at scale."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir)
     return D.dup_clusters(pairs)
 
@@ -550,6 +573,46 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(_PII_PHONE)).alias("n_phones"),
+    )
+
+
+_SPLIT_FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+_MIX_QUOTAS = {"en": 0.5, "de": 0.25}
+
+
+def _sample_split_sql() -> str:
+    from ..operators.sampling import BUCKETS, hash_bucket_sql
+
+    sb = hash_bucket_sql("doc_id", "split")
+    mb = hash_bucket_sql("doc_id", "mix")
+    bounds, lo = [], 0
+    for name, frac in _SPLIT_FRACS.items():
+        lo += round(frac * BUCKETS)
+        bounds.append((name, lo))
+    split_case = " ".join(f"WHEN {sb} < {hi} THEN '{name}'" for name, hi in bounds)
+    keep_case = " ".join(
+        f"WHEN lang = '{s}' THEN {mb} < {round(q * BUCKETS)}" for s, q in _MIX_QUOTAS.items()
+    )
+    return f"""
+    SELECT doc_id, lang,
+           CASE {split_case} END AS split,
+           CASE {keep_case} ELSE TRUE END AS kept
+    FROM documents
+    """
+
+
+@query("q_sample_split", oracle=_sample_split_sql())
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus assembly ops: hash-bucket train/val/test
+    split (90/5/5) + stratified language downsampling (en→50%,
+    de→25%, others kept). Pure projection — reproducible across runs,
+    engines, partitionings, and dataset versions, unlike rand()/
+    sample(); no shuffle at any scale (operators/sampling.py)."""
+    from ..operators.sampling import stratified_keep, with_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return with_split(docs, _SPLIT_FRACS).withColumn(
+        "kept", stratified_keep(docs, _MIX_QUOTAS, strata_col="lang")
     )
 
 

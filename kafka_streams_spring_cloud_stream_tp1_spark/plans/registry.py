@@ -57,8 +57,17 @@ def _ensure_loaded() -> None:
 #      they sit, so they must not occupy checked slots.
 # Deferred this round (all green in CORRECTNESS_r01, cheapest/simplest
 # plans — rotate a different set next round): q_filter, q_project_rekey,
-# q_console_echo, q_distinct, q_sort_multi_col, q_top_k_global, q_pivot.
+# q_console_echo, q_distinct, q_sort_multi_col, q_top_k_global, q_pivot,
+# q_union_all_dedup, q_join_semi (9 deferred: 59 oracle-backed − 50
+# slots, after q_dedup_clusters gained its recursive-CTE oracle and
+# q_sample_split landed).
 _FRONT = [
+    # new this round — no correctness row yet. The pair producer
+    # registers immediately before the cluster consumer so bench
+    # (registration order) bills the cached PPJoin to its producer.
+    "q_sample_split",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",  # gained its recursive-CTE oracle in round 2
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
     "q_asof_join",
     "q_subqueries",
@@ -80,6 +89,8 @@ _DEFERRED = [
     "q_sort_multi_col",
     "q_top_k_global",
     "q_pivot",
+    "q_union_all_dedup",
+    "q_join_semi",
 ]
 
 

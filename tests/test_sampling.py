@@ -1,0 +1,51 @@
+"""Deterministic sampling/splitting operators (operators/sampling.py):
+reproducibility, coverage, and the split-stability-under-growth
+property that motivates hash assignment over rand()/sample()."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_spring_cloud_stream_tp1_spark.operators.sampling import (
+    stratified_keep,
+    with_split,
+)
+
+FRACS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def test_split_covers_all_rows_and_is_deterministic(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in with_split(df, FRACS).collect()}
+    b = {r["doc_id"]: r["split"] for r in with_split(df, FRACS).collect()}
+    assert a == b  # pure function of id — no run-to-run drift
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.85 * n < train < 0.95 * n  # ~90% ± hash variance
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """A doc's split must not change when the corpus doubles — the
+    property that keeps eval sets uncontaminated across versions
+    (rand()/sample() assignments have no such stability)."""
+    small = spark.range(1000).select(F.col("id").alias("doc_id"))
+    big = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in with_split(small, FRACS).collect()}
+    b = {r["doc_id"]: r["split"] for r in with_split(big, FRACS).collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_stratified_keep_quotas(spark):
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de").otherwise("fr").alias("lang"),
+    )
+    out = df.withColumn("kept", stratified_keep(df, {"en": 0.5, "de": 0.0}, strata_col="lang"))
+    rates = {
+        r["lang"]: r["rate"]
+        for r in out.groupBy("lang").agg(F.avg(F.col("kept").cast("double")).alias("rate")).collect()
+    }
+    assert 0.4 < rates["en"] < 0.6  # ~50%
+    assert rates["de"] == 0.0       # zero quota drops the stratum
+    assert rates["fr"] == 1.0       # unlisted strata keep default
