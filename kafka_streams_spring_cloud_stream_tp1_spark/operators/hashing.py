@@ -60,6 +60,10 @@ def fan_out(df, key: str = "doc_id"):
     return the input untouched (no Exchange in the plan)."""
     from pyspark.sql import functions as F  # local: avoid cycle at import
 
+    if df.isStreaming:
+        # no .rdd on unbounded frames; micro-batch sizing is the
+        # trigger's job, not a static repartition's
+        return df
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() >= n:
         return df

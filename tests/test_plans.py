@@ -90,3 +90,13 @@ def test_fan_out_conditional_on_input_partitions(spark):
     fanned = fan_out(narrow)
     assert fanned.rdd.getNumPartitions() == n
     assert "Exchange hashpartitioning" in fanned._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_split_is_pure_projection(spark):
+    """Split + stratified-keep assignment must stay a single codegen'd
+    projection over the scan — any Exchange would mean the sampler
+    added a pass over the corpus."""
+    plan = _plan(spark, "q_sample_split")
+    assert "Exchange" not in plan, plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read and "lang" in read and "text" not in read
