@@ -37,8 +37,10 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def word_ngrams(toks: Column, n: int) -> Column:
-    """Distinct word n-gram shingles of a token array.
+def word_ngrams_multiset(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array WITH multiplicity (one entry per
+    occurrence) — repetition signals need the counts that the distinct
+    shingle form throws away.
 
     Built as arrays_zip of n shifted slices, NOT as
     transform(sequence, i -> element_at(toks, i+j)): CollapseProject
@@ -50,8 +52,55 @@ def word_ngrams(toks: Column, n: int) -> Column:
     """
     width = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     zipped = F.arrays_zip(*[F.slice(toks, 1 + j, width) for j in range(n)])
-    return F.array_distinct(
-        F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+    return F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(n)]))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a token array (the dedup/
+    fingerprint form — see word_ngrams_multiset for the mechanics)."""
+    return F.array_distinct(word_ngrams_multiset(toks, n))
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest occurrence count of any element in a string array,
+    computed WITHOUT a shuffle: sort the array, then fold once tracking
+    the longest equal-run. Keeps repetition scoring a pure projection —
+    the explode + groupBy(doc, token) alternative costs two shuffles of
+    every token occurrence in the corpus."""
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: heavily
+    repetitive documents are low-quality training data): most-frequent-
+    token fraction, most-frequent-bigram fraction, and the fraction of
+    duplicated trigram occurrences. All ratios of in-row run-length
+    counts → one codegen projection, no shuffle at any corpus size.
+    NULL (not 0) when a doc is too short to have the n-gram at all."""
+    t = tokens(text_col)
+    bi = word_ngrams_multiset(t, 2)
+    tri = word_ngrams_multiset(t, 3)
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(num / F.when(den > 0, den), 4)
+
+    return fan_out(df).select(
+        "doc_id",
+        frac(max_multiplicity(t), F.size(t)).alias("max_token_frac"),
+        frac(max_multiplicity(bi), F.size(bi)).alias("top_bigram_frac"),
+        frac(F.size(tri) - F.size(F.array_distinct(tri)), F.size(tri)).alias(
+            "dup_trigram_frac"
+        ),
     )
 
 

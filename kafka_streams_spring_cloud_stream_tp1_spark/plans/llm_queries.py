@@ -41,6 +41,16 @@ def _ngrams_sql(tok_expr: str, n: int) -> str:
     )
 
 
+def _ngrams_multiset_sql(tok_expr: str, n: int) -> str:
+    """Word n-grams WITH multiplicity (no list_distinct) — the
+    repetition-stat oracles count occurrences."""
+    gram = " || ' ' || ".join(f"__t[i+{j}]" if j else "__t[i]" for j in range(n))
+    return (
+        f"(SELECT [{gram} for i in range(1, len(__t) - {n - 2})]"
+        f" FROM (SELECT {tok_expr} AS __t) __sub)"
+    )
+
+
 def _stop_filter_sql(toks: str, words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter({toks}, __x -> __x IN ({lst})))"
@@ -120,6 +130,40 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with fixed tie-break order). Deterministic so the oracle
     replays it; real corpora swap in char-n-gram profiles, same plan."""
     return T.with_lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+                 {_ngrams_multiset_sql('toks', 2)} AS bg,
+                 {_ngrams_multiset_sql('toks', 3)} AS tg
+          FROM t),
+    tokc AS (SELECT doc_id, tok, count(*) AS c
+             FROM (SELECT doc_id, unnest(toks) AS tok FROM g) GROUP BY 1, 2),
+    toka AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot FROM tokc GROUP BY doc_id),
+    bgc AS (SELECT doc_id, gr, count(*) AS c
+            FROM (SELECT doc_id, unnest(bg) AS gr FROM g) GROUP BY 1, 2),
+    bga AS (SELECT doc_id, max(c) AS maxc, sum(c) AS tot FROM bgc GROUP BY doc_id),
+    tga AS (SELECT doc_id, len(tg) - len(list_distinct(tg)) AS dups, len(tg) AS tot FROM g)
+    SELECT g.doc_id,
+           round(toka.maxc::DOUBLE / nullif(toka.tot, 0), 4) AS max_token_frac,
+           round(bga.maxc::DOUBLE / nullif(bga.tot, 0), 4) AS top_bigram_frac,
+           round(tga.dups::DOUBLE / nullif(tga.tot, 0), 4) AS dup_trigram_frac
+    FROM g
+    JOIN toka USING (doc_id)
+    LEFT JOIN bga USING (doc_id)
+    LEFT JOIN tga ON tga.doc_id = g.doc_id
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition filters (most-frequent token/bigram
+    fraction, duplicated-trigram fraction) — computed as in-row sorted
+    run-length folds, so the whole query is one shuffle-free codegen
+    projection (operators/text.py::with_repetition_stats); the oracle
+    replays it relationally with unnest + GROUP BY."""
+    return T.with_repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
 @query(

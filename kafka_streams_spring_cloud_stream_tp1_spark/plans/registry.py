@@ -66,6 +66,7 @@ _FRONT = [
     # registers immediately before the cluster consumer so bench
     # (registration order) bills the cached PPJoin to its producer.
     "q_sample_split",
+    "q_repetition_stats",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",  # gained its recursive-CTE oracle in round 2
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
@@ -91,6 +92,7 @@ _DEFERRED = [
     "q_pivot",
     "q_union_all_dedup",
     "q_join_semi",
+    "q_join_anti",
 ]
 
 

@@ -49,3 +49,27 @@ def test_stratified_keep_quotas(spark):
     assert 0.4 < rates["en"] < 0.6  # ~50%
     assert rates["de"] == 0.0       # zero quota drops the stratum
     assert rates["fr"] == 1.0       # unlisted strata keep default
+
+
+def test_repetition_stats_hand_computed(spark):
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        with_repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "hi")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    # doc1: tokens [a,a,a,b] -> 3/4; bigrams [a a, a a, a b] -> 2/3;
+    # trigrams [a a a, a a b] all unique -> 0
+    assert rows[1]["max_token_frac"] == 0.75
+    assert rows[1]["top_bigram_frac"] == 0.6667
+    assert rows[1]["dup_trigram_frac"] == 0.0
+    # doc2: everything unique
+    assert rows[2]["max_token_frac"] == 0.25
+    assert rows[2]["top_bigram_frac"] == 0.3333
+    assert rows[2]["dup_trigram_frac"] == 0.0
+    # doc3: one token -> no bigrams/trigrams -> NULL, not 0
+    assert rows[3]["max_token_frac"] == 1.0
+    assert rows[3]["top_bigram_frac"] is None
+    assert rows[3]["dup_trigram_frac"] is None
