@@ -431,6 +431,49 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
+def contamination_flags(
+    corpus: DataFrame, probes: DataFrame, n: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM recipe): flag corpus
+    documents sharing ≥ 1 word n-gram with ANY probe (eval-set)
+    document, with the count of distinct shared n-grams.
+
+    Scale shape: the probe shingle set is tiny relative to the corpus
+    (benchmark suites are MBs against a 100 TB corpus), so it is
+    BROADCAST — the corpus is scanned exactly once, never shuffled for
+    the join, and only hit rows (a vanishing fraction) reach the
+    per-doc count shuffle. Returns (doc_id, n_hits, contaminated) for
+    every corpus doc.
+    """
+    corpus_sh = (
+        shingle_sets(corpus, n, text_col)
+        .select("doc_id", F.explode_outer("shingles").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    probe_sh = (
+        shingle_sets(probes, n, text_col)
+        .select(F.explode_outer("shingles").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    # shingle arrays are distinct per doc and the probe set is distinct,
+    # so n_hits counts distinct shared n-grams exactly
+    hits = (
+        corpus_sh.join(F.broadcast(probe_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def simhash_signatures(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — per-token hashes vote ±1 on each signature
     bit; bit j of the result is 1 iff the weighted sum is positive.

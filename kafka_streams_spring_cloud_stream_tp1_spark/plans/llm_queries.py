@@ -245,6 +245,41 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decontamination probe set: every 20th doc plays the "benchmark";
+# 4-grams are the discriminative setting on this 31-word-vocab corpus
+# (5-grams only catch the planted near-dups, 3-grams flag everything)
+_DECON_N = 4
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_ngrams_sql('toks', _DECON_N)}) AS g FROM t),
+    probe AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 = 0),
+    hits AS (SELECT sh.doc_id, count(*) AS n_hits
+             FROM sh JOIN probe USING (g)
+             WHERE sh.doc_id % 20 <> 0 GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 20 <> 0
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every corpus doc flagged with its
+    count of distinct word 4-grams shared with the probe ("benchmark")
+    set — broadcast semi-join shape, the corpus is never shuffled
+    (operators/dedup.py::contamination_flags). Probes here are the
+    deterministic doc_id % 20 == 0 slice standing in for an eval
+    suite."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return D.contamination_flags(corpus, probes, n=_DECON_N)
+
+
 _MH_K, _MH_BANDS, _MH_ROWS = 12, 4, 3
 
 

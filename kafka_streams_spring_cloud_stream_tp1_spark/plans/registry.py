@@ -67,6 +67,7 @@ _FRONT = [
     # (registration order) bills the cached PPJoin to its producer.
     "q_sample_split",
     "q_repetition_stats",
+    "q_decontaminate",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",  # gained its recursive-CTE oracle in round 2
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
@@ -93,6 +94,7 @@ _DEFERRED = [
     "q_union_all_dedup",
     "q_join_semi",
     "q_join_anti",
+    "q_join_full_outer",
 ]
 
 

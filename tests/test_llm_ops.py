@@ -247,3 +247,33 @@ def test_simhash_hamming_pairs_match_bruteforce(spark):
         for r in simhash_hamming_pairs(docs, bits=16, max_distance=d).collect()
     }
     assert blocked == brute
+
+
+def test_contamination_flags(spark):
+    """A corpus doc sharing a 4-gram with a probe is flagged with the
+    distinct shared-gram count; disjoint docs come back unflagged with
+    zero hits; the probe join must broadcast (corpus never shuffled)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    probes = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma delta y"),      # shares "alpha beta gamma delta"
+            (2, "beta gamma delta epsilon tail z"), # shares "beta gamma delta epsilon"
+            (3, "totally different words here ok"), # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_flags(corpus, probes, n=4).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert out[2]["contaminated"] and out[2]["n_hits"] == 1
+    assert not out[3]["contaminated"] and out[3]["n_hits"] == 0
+    plan = (
+        contamination_flags(corpus, probes, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
