@@ -453,6 +453,28 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(load_table(spark, sf_dir, "embeddings"), n_queries=_KNN_Q, k=_KNN_K)
 
 
+@query(
+    "q_quantize_embeddings",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e)
+    SELECT vec_id, lo, hi,
+           CASE WHEN hi > lo
+                THEN list_transform(v, x ->
+                     (floor((x - lo) / ((hi - lo) / 255.0) + 0.5) - 128)::INT)
+                ELSE list_transform(v, x -> 0) END AS q
+    FROM s
+    """,
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of every embedding (FAISS SQ8 shape) —
+    the ANN index-compression step. Pure projection, no shuffle; the
+    explicit floor(t+0.5) rounding plus exact float→double casts make
+    the int codes bit-identical in the oracle
+    (operators/similarity.py::quantize_int8)."""
+    return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("q_ann_lsh")  # approximate by design → rows-only; recall tested in pytest
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH (8

@@ -277,3 +277,27 @@ def test_contamination_flags(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantize_int8_roundtrip_and_degenerate(spark):
+    """Dequantized values must sit within half a quantization step of
+    the originals, codes span [-128, 127], and a constant vector
+    quantizes to zeros instead of dividing by zero."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5, -1.0]), (2, [3.25, 3.25, 3.25])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    r1 = out[1]
+    step = (r1["hi"] - r1["lo"]) / 255.0
+    orig = [0.0, 1.0, 0.5, -1.0]
+    for x, code in zip(orig, r1["q"]):
+        assert -128 <= code <= 127
+        deq = r1["lo"] + (code + 128) * step
+        assert abs(deq - x) <= step / 2 + 1e-12
+    assert min(r1["q"]) == -128 and max(r1["q"]) == 127  # lo/hi hit the rails
+    assert out[2]["q"] == [0, 0, 0] and out[2]["lo"] == out[2]["hi"] == 3.25
