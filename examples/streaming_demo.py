@@ -8,9 +8,9 @@
 Run:  python examples/streaming_demo.py [seconds]
 
 This is the reference's README demo (Smoothie.js live chart fed by
-`/analytics` SSE) with the chart replaced by printed snapshots — the
-serving protocol is out of engine scope (SURVEY.md V1); everything
-upstream of it is the real engine path.
+`/analytics` SSE). A real SSE endpoint + live page is served too
+(serving/http.py — open the printed URL while the demo runs); the
+printed snapshots are the same payloads for terminal-only runs.
 """
 
 from __future__ import annotations
@@ -36,11 +36,16 @@ def main(seconds: float = 12.0) -> None:
         spark, events, table="demo_store", window="5 seconds",
         watermark="10 seconds", trigger_seconds=1.0,
     )
+    from kafka_streams_spring_cloud_stream_tp1_spark.serving import AnalyticsServer
+
+    srv = AnalyticsServer.for_store(store).start()
+    print(f"live chart: {srv.url}/  (SSE: {srv.url}/analytics)")
     print(f"streaming 5 events/s; polling the count-store at 1 Hz for {seconds:.0f}s …")
     try:
         for snapshot in store.serve(seconds=seconds, interval=1.0):
             print("analytics:", snapshot, flush=True)
     finally:
+        srv.stop()
         store.stop()
         spark.stop()
 
