@@ -570,9 +570,8 @@ def q_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_value_by_type(load_table(spark, sf_dir, "events"))
 
 
-@query(
-    "q_chunk_documents_udtf",
-    oracle=r"""
+# shared by the chunking query's oracle and the sequence-packing oracle
+_CHUNKS_SQL = r"""
     WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
     s AS (SELECT doc_id, w,
                  unnest(range(0, greatest(len(w) - 8, 1), 56)) AS start
@@ -582,8 +581,10 @@ def q_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(w[start + 1 : start + 64], ' ') AS chunk,
            len(w[start + 1 : start + 64])::INT AS n_tokens
     FROM s
-    """,
-)
+"""
+
+
+@query("q_chunk_documents_udtf", oracle=_CHUNKS_SQL)
 def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via lateral join: one document row → many
     overlapping 64-token chunks with 8-token overlap (context-window
@@ -591,6 +592,51 @@ def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.udx import chunk_documents
 
     return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+# tokens per packed sequence: 48 (not a realistic 2-8k context) so the
+# fixture's 64-token chunks actually roll over into later sequences —
+# the packing arithmetic is budget-agnostic (exact integer DIV/%)
+_SEQ_BUDGET = 48
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH c AS ({_CHUNKS_SQL}),
+    s AS (SELECT doc_id, chunk_idx, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx)
+                 - n_tokens AS off
+          FROM c)
+    SELECT doc_id, chunk_idx, n_tokens,
+           (off // {_SEQ_BUDGET})::INT AS seq_idx,
+           (off % {_SEQ_BUDGET})::INT AS seq_offset
+    FROM s
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: concatenate each document's chunks in
+    order and split the token stream into {budget}-token sequences —
+    every chunk mapped to (seq_idx, seq_offset) by a running token
+    count. Per-document window (one hash shuffle on doc_id, no global
+    ordering bottleneck); the GPT-style pack-then-split preprocessing
+    step. Chains off the chunking UDTF so the oracle replays the whole
+    UDTF → window pipeline end-to-end."""
+    from ..operators.udx import chunk_documents
+
+    from pyspark.sql import Window
+
+    chunks = chunk_documents(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("off")
+    return chunks.select("doc_id", "chunk_idx", "n_tokens", off).select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        # integer DIV, not double /: exact for any budget, not just 2^k
+        F.expr(f"CAST(off DIV {_SEQ_BUDGET} AS INT)").alias("seq_idx"),
+        (F.col("off") % _SEQ_BUDGET).cast("int").alias("seq_offset"),
+    )
 
 
 @query(

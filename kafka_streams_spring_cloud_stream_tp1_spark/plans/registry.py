@@ -69,6 +69,7 @@ _FRONT = [
     "q_repetition_stats",
     "q_decontaminate",
     "q_quantize_embeddings",
+    "q_pack_sequences",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",  # gained its recursive-CTE oracle in round 2
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
@@ -97,6 +98,7 @@ _DEFERRED = [
     "q_join_anti",
     "q_join_full_outer",
     "q_set_ops",
+    "q_string_funcs",
 ]
 
 
