@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .hashing import xhash, xhash_sql
 
@@ -54,6 +55,34 @@ def with_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn("split", expr)
+
+
+def group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "gsample",
+) -> DataFrame:
+    """Deterministic ``k``-rows-per-group sample: rank rows inside each
+    group by their salted hash and keep the first ``k`` — the uniform
+    per-stratum subsample used for eval-set carving and per-source
+    inspection sets.
+
+    The hash order is a pure function of (salt, id), so the sample is
+    reproducible across runs/engines/partitionings and stable under
+    corpus growth (a kept doc stays kept until enough lower-hash docs
+    arrive) — properties ORDER BY rand() cannot give. Plan: one hash
+    shuffle on the group key; Spark's WindowGroupLimit pushes the
+    rank ≤ k filter into the sort, so each task keeps a k-row heap per
+    group instead of sorting whole groups.
+    """
+    h = xhash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.select(group_col, id_col, F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
+    )
 
 
 def stratified_keep(

@@ -1,0 +1,85 @@
+"""Corpus-level vocabulary statistics — the token-frequency passes a
+training pipeline runs before tokenizer training and corpus weighting:
+global term frequencies (vocab building) and per-document TF-IDF
+keyterms (quality filtering / topic balancing).
+
+The reference system has no text surface at all (its value type is
+PageEvent — reference: src/main/java/.../events/PageEvent.java:5);
+these extend the engine for LLM-data workloads per the north star.
+
+Scale shape: both operators are the canonical word-count plan —
+explode tokens, hash-aggregate. Spark plans a partial (map-side)
+aggregate before the shuffle, so the exchange carries one row per
+distinct (key) per task, not one row per token occurrence; a 100 TB
+corpus shuffles vocabulary-sized data. The global top-k is a
+TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import tokens
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Top-``k`` corpus tokens by total occurrence count, with document
+    frequency — the vocabulary-building aggregate.
+
+    One explode + one grouped aggregate: ``count(*)`` gets a map-side
+    partial; the distinct-doc count rides the same shuffle (Spark's
+    Expand-based distinct aggregate partial-distincts per task first).
+    Ties at the k-th slot break on the token string so the cut is
+    deterministic across engines and partitionings.
+    """
+    tok = (
+        df.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    return tok.orderBy(F.desc("tf"), F.asc("token")).limit(k)
+
+
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-``k`` TF-IDF keyterms per document: score = tf · ln(N/df).
+
+    Plan shape (two shuffles total, both vocabulary/document sized):
+      1. explode → groupBy(doc_id, token) → per-doc term frequencies;
+      2. document frequency re-aggregated FROM that frame (a second
+         groupBy over already-distinct (doc, token) rows — the token
+         explosion is paid once, not twice);
+      3. N arrives as a broadcast 1-row cross join (scalar subquery);
+      4. per-doc top-k via row_number — WindowGroupLimit pushes the
+         rank filter into the sort, heap-per-group, no global sort.
+    Ordering ties break on the token string; the score itself is only
+    rounded for display AFTER ranking, so the cut is driven by exact
+    (tf, df) pairs.
+    """
+    tf = (
+        df.select("doc_id", F.explode(tokens(text_col)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.asc("token"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(score, 4).alias("score"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= k)
+    )

@@ -772,3 +772,109 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH tables (q_ann_lsh) — IVF adapts to the data's cluster
     structure where LSH is data-independent."""
     return S.ann_ivf(load_table(spark, sf_dir, "embeddings"), n_queries=_KNN_Q, k=_KNN_K)
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary / keyterms / prototypes / per-group sampling
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 100
+_TFIDF_K = 3
+_GSAMPLE_K = 20
+
+
+@query(
+    "q_vocab_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM t GROUP BY token
+    ORDER BY tf DESC, token LIMIT {_VOCAB_K}
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-100 corpus tokens by occurrence count
+    with document frequency. Canonical word-count plan — map-side
+    partial aggregate, vocabulary-sized shuffle, TakeOrderedAndProject
+    top-k (never a global sort). operators/vocab.py::vocab_topk."""
+    from ..operators.vocab import vocab_topk
+
+    return vocab_topk(load_table(spark, sf_dir, "documents"), k=_VOCAB_K)
+
+
+@query(
+    "q_tfidf_topk",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+        GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT * FROM (
+        SELECT doc_id, token, tf, df,
+               round(tf * ln(n_docs::DOUBLE / df), 4) AS score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tf * ln(n_docs::DOUBLE / df) DESC,
+                                           token) AS rk
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ) WHERE rk <= {_TFIDF_K}
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyterms (top-3): tf·ln(N/df), document
+    frequency re-aggregated from the (doc, token) frame so the token
+    explosion is paid once, N via a broadcast 1-row cross join,
+    per-doc top-k through WindowGroupLimit. The quality-filter /
+    topic-balance scoring pass. operators/vocab.py::tfidf_topk."""
+    from ..operators.vocab import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=_TFIDF_K)
+
+
+@query(
+    "q_group_sample",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {xhash_sql("'gsample' || doc_id::VARCHAR")}, doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= {_GSAMPLE_K}
+    """,
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-per-source uniform sample: rank by salted hash
+    inside each group, keep the first 20. Reproducible across engines
+    and partitionings (unlike ORDER BY rand()) and stable under corpus
+    growth; one hash shuffle + heap-per-group via WindowGroupLimit.
+    operators/sampling.py::group_sample."""
+    from ..operators.sampling import group_sample
+
+    return group_sample(
+        load_table(spark, sf_dir, "documents"), k=_GSAMPLE_K, group_col="source"
+    )
+
+
+@query(
+    "q_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, unnest(embedding)::DOUBLE AS v,
+                      generate_subscripts(embedding, 1) AS pos
+               FROM embeddings),
+    c AS (SELECT label, pos, round(avg(v), 4) AS m FROM e GROUP BY label, pos),
+    cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM c GROUP BY label)
+    SELECT label, n_vectors, centroid
+    FROM (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+    JOIN cent USING (label)
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + member count (class prototypes /
+    IVF seeding / cluster QA). posexplode to components, map-side
+    partial mean collapses the shuffle to |labels|·dim rows regardless
+    of corpus size, array rebuilt by in-group sort on position.
+    operators/similarity.py::label_centroids."""
+    return S.label_centroids(load_table(spark, sf_dir, "embeddings"))

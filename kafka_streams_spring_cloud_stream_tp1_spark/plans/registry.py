@@ -70,6 +70,10 @@ _FRONT = [
     "q_decontaminate",
     "q_quantize_embeddings",
     "q_pack_sequences",
+    "q_vocab_topk",
+    "q_tfidf_topk",
+    "q_group_sample",
+    "q_label_centroids",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",  # gained its recursive-CTE oracle in round 2
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
@@ -99,6 +103,10 @@ _DEFERRED = [
     "q_join_full_outer",
     "q_set_ops",
     "q_string_funcs",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_date_funcs",
 ]
 
 

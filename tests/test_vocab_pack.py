@@ -1,0 +1,144 @@
+"""Vocabulary/TF-IDF aggregates, per-group sampling, label centroids,
+and training-sequence packing: invariants the row-hash oracle doesn't
+state explicitly (recounts vs a driver-side reference, determinism,
+budget arithmetic, plan shape)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_spring_cloud_stream_tp1_spark.operators.sampling import group_sample
+from kafka_streams_spring_cloud_stream_tp1_spark.operators.similarity import label_centroids
+from kafka_streams_spring_cloud_stream_tp1_spark.operators.vocab import tfidf_topk, vocab_topk
+from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_vocab_topk_matches_python_recount(spark, docs):
+    """Spark's explode+agg must equal a driver-side token recount."""
+    rows = {r["token"]: (r["tf"], r["df"]) for r in vocab_topk(docs, k=1000).collect()}
+    tf, df = Counter(), Counter()
+    for r in docs.select("doc_id", "text").collect():
+        toks = r["text"].strip().split()
+        tf.update(toks)
+        df.update(set(toks))
+    assert rows == {t: (tf[t], df[t]) for t in tf}
+
+
+def test_vocab_topk_cut_is_deterministic(spark, docs):
+    """The k-th slot tie must break on the token string: two runs (and
+    any partitioning) produce the same set, not just the same counts."""
+    k = 5
+    a = [tuple(r) for r in vocab_topk(docs, k=k).collect()]
+    b = [tuple(r) for r in vocab_topk(docs.repartition(7), k=k).collect()]
+    assert a == b and len(a) == k
+
+
+def test_vocab_topk_plan_has_no_global_sort(spark, docs):
+    """Top-k must plan as TakeOrderedAndProject, never a full Sort of
+    the vocabulary after the aggregate."""
+    plan = vocab_topk(docs, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_ranks_and_monotonicity(spark, docs):
+    out = tfidf_topk(docs, k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_docs = docs.count()
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        for r in rows:
+            # df tokens appearing in every document score exactly 0
+            assert r["df"] <= n_docs
+            if r["df"] == n_docs:
+                assert r["score"] == 0.0
+
+
+def test_group_sample_size_and_determinism(spark, docs):
+    k = 7
+    out = group_sample(docs, k=k, group_col="source").collect()
+    per_group = Counter(r["source"] for r in out)
+    sizes = {r["source"]: c for r in docs.groupBy("source").count().collect() for c in [r["count"]]}
+    for g, n in per_group.items():
+        assert n == min(k, sizes[g])
+    again = group_sample(docs, k=k, group_col="source").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_group_sample_stable_under_growth(spark, docs):
+    """A sampled doc keeps its membership when other groups grow —
+    the hash order is per-row, not partition-dependent."""
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_sample = {
+        (r["source"], r["doc_id"]): r["rk"]
+        for r in group_sample(docs, k=3, group_col="source").collect()
+    }
+    half_sample = {
+        (r["source"], r["doc_id"]): r["rk"]
+        for r in group_sample(half, k=3, group_col="source").collect()
+    }
+    # every doc sampled from the full corpus that survives the filter
+    # must still be sampled from the half corpus (its hash rank can
+    # only improve when competitors are removed)
+    for (src, doc_id), rk in full_sample.items():
+        if doc_id % 2 == 0:
+            assert half_sample[(src, doc_id)] <= rk
+
+
+def test_label_centroids_shape_and_mean(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    out = label_centroids(emb).collect()
+    assert sum(r["n_vectors"] for r in out) == emb.count()
+    for r in out:
+        assert len(r["centroid"]) == dim
+    # spot-check one component against a driver-side mean
+    target = out[0]["label"]
+    vecs = [r["embedding"] for r in emb.filter(F.col("label") == target).collect()]
+    expect = round(sum(float(v[0]) for v in vecs) / len(vecs), 4)
+    got = next(r for r in out if r["label"] == target)["centroid"][0]
+    assert abs(got - expect) <= 1e-9
+
+
+def test_pack_sequences_budget_arithmetic(spark):
+    """Every chunk's (seq_idx, seq_offset) must equal the running-token
+    prefix sum divided by the budget; offsets stay inside the budget
+    and sequence indices are monotone within a document."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.llm_queries import (
+        _SEQ_BUDGET,
+        q_pack_sequences,
+    )
+
+    out = q_pack_sequences(spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        run = 0
+        prev_seq = 0
+        for r in rows:
+            assert r["seq_idx"] == run // _SEQ_BUDGET
+            assert r["seq_offset"] == run % _SEQ_BUDGET
+            assert 0 <= r["seq_offset"] < _SEQ_BUDGET
+            assert r["seq_idx"] >= prev_seq
+            prev_seq = r["seq_idx"]
+            run += r["n_tokens"]
+        # the fixture's 64-token chunks exceed the 48-token budget, so
+        # any multi-chunk doc must actually roll over into a later seq
+        if len(rows) > 1:
+            assert rows[-1]["seq_idx"] > 0
