@@ -74,6 +74,10 @@ _FRONT = [
     "q_tfidf_topk",
     "q_group_sample",
     "q_label_centroids",
+    "q_exact_percentiles",
+    "q_value_histogram",
+    "q_time_gapfill",
+    "q_window_ntile",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",  # gained its recursive-CTE oracle in round 2
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
@@ -107,6 +111,10 @@ _DEFERRED = [
     "q_cube",
     "q_grouping_sets",
     "q_date_funcs",
+    "q_window_topk_per_group",
+    "q_window_analytics",
+    "q_agg_stats",
+    "q_count_distinct",
 ]
 
 

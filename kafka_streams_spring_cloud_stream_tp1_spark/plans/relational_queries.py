@@ -1002,3 +1002,125 @@ def q_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, m), (event_type, h), (event_type, d))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact order statistics, histograms, time-spine gap-fill, rank families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group — the
+    ground-truth sibling of the approx_percentile sketch path
+    (q_approx_quantiles). Exact percentile sorts each group's values;
+    Spark's `percentile` aggregate keeps that sort inside a per-group
+    partial buffer, one hash shuffle on the (low-cardinality) group
+    key. Use the sketch at 100 TB; this is the small-group /
+    verification path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r(F.expr("percentile(value, 0.25D)")).alias("p25"),
+        _r(F.expr("percentile(value, 0.50D)")).alias("p50"),
+        _r(F.expr("percentile(value, 0.75D)")).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_value_histogram",
+    oracle="""
+    SELECT floor(value / 50)::BIGINT AS bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events GROUP BY bucket
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bucket = ⌊value/50⌋) with per-bin
+    stats — the distribution-profiling scan. Bucketing is a pure
+    projection, the aggregate partials map-side, and the exchange
+    carries |buckets| rows per task: a 100 TB scan shuffles kilobytes.
+    min/max are exact doubles (same input values both engines); only
+    the order-dependent avg is rounded."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.avg("value")).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "q_time_gapfill",
+    oracle="""
+    WITH e AS (SELECT date_trunc('hour', ts) AS h FROM events
+               WHERE event_type = 'click'),
+    c AS (SELECT h, count(*) AS n_events FROM e GROUP BY h),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b)
+    SELECT s.h AS h, coalesce(c.n_events, 0) AS n_events
+    FROM s LEFT JOIN c USING (h)
+    """,
+)
+def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap-fill (the hypertable `time_bucket_gapfill` op):
+    hourly click counts with empty hours materialized as 0. The spine
+    is `sequence(min_hour, max_hour)` exploded from a 1-row global
+    aggregate; the hour-grained count side is aggregated (tiny at any
+    corpus size) and broadcast into the spine join — the raw scan
+    never re-shuffles for the fill."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(hour.alias("h")).agg(F.count(F.lit(1)).alias("n_events"))
+    bounds = ev.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    return spine.join(F.broadcast(counts), "h", "left").select(
+        "h", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT event_id, event_type, value,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions — ntile quartiles, percent_rank,
+    cume_dist per event type. The (value, event_id) ordering is total,
+    so tile boundaries are deterministic across engines and
+    partitionings. One hash shuffle on the partition key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        _r(F.percent_rank().over(w)).alias("pct_rank"),
+        _r(F.cume_dist().over(w)).alias("cume"),
+    )
