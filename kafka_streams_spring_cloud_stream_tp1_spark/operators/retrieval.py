@@ -1,0 +1,117 @@
+"""Retrieval over the document corpus: inverted index construction and
+BM25 scoring — the lexical-retrieval passes an LLM data pipeline runs
+for decontamination lookups, nearest-neighbour text search, and
+retrieval-augmented training-set construction.
+
+The reference system has no text surface (its value type is PageEvent —
+reference: src/main/java/.../events/PageEvent.java:5); these extend the
+engine for LLM-data workloads per the north star (SURVEY §8.3).
+
+Scale shape:
+- The index build is the word-count plan plus one `collect_list`: one
+  explode, one (token) hash-aggregate with map-side partials. Posting
+  lists are per-term, so the shuffle carries vocabulary-sized keys; a
+  hot term's posting list is the classic skew risk and is why
+  `inverted_index` exposes `min_df`/`max_df` pruning (stopword-like
+  terms are useless for retrieval AND are exactly the skewed keys).
+- BM25 never materializes the full index: it filters the exploded
+  postings to the query's terms FIRST (predicate on a low-cardinality
+  string column, pushed below the aggregate), so the shuffle carries
+  only rows for query terms. Query terms are a driver-side literal
+  (the same "small static side" premise as a broadcast join); corpus
+  statistics (N, avgdl) arrive as a broadcast 1-row cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """term → sorted posting list (doc ids), document frequency, and
+    total term frequency. ``min_df``/``max_df`` prune rare/stopword
+    terms — at corpus scale the max_df cut also removes the skewed
+    posting lists before the collect_list sees them.
+
+    `sort_array(collect_list(...))` keeps the list deterministic under
+    any partitioning; collect_list itself is the only order-sensitive
+    step in the plan.
+    """
+    post = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+        )
+    )
+    post = post.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        post = post.filter(F.col("df") <= max_df)
+    return post
+
+
+def bm25(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 score of every document matching ≥1 query term, using the
+    Lucene idf variant idf = ln(1 + (N − df + 0.5)/(df + 0.5)) (always
+    positive, so stopword-heavy queries can't produce negative scores).
+
+    Plan: explode → filter to query terms (this is the whole trick:
+    the predicate sits UNDER the aggregate, so only query-term rows
+    shuffle) → per-(doc, term) tf → join df-per-term (tiny, broadcast)
+    → per-doc score sum. Document lengths ride along from the first
+    projection; N and avgdl broadcast as a 1-row aggregate.
+    """
+    qt = [t for t in query_terms if t]
+    if not qt:
+        raise ValueError("bm25 needs at least one non-empty query term")
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    ).filter(F.col("term").isin(qt))
+    tf = base.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", idf * tf_part)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 4).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )

@@ -878,3 +878,126 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     of corpus size, array rebuilt by in-group sort on position.
     operators/similarity.py::label_centroids."""
     return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval: inverted index, BM25, corpus mixture weighting
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_MIX_ALPHA = 0.3
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH tf AS (
+        SELECT term, doc_id, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        GROUP BY term, doc_id)
+    SELECT term,
+           list(doc_id ORDER BY doc_id) AS postings,
+           count(*) AS df,
+           sum(tf)::BIGINT AS tf_total
+    FROM tf GROUP BY term HAVING count(*) >= 2
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term -> sorted posting list + document /
+    total term frequency (the retrieval / decontamination-lookup
+    index). Word-count plan plus one sort_array(collect_list):
+    vocabulary-sized shuffle keys, min_df pruning, deterministic
+    postings under any partitioning.
+    operators/retrieval.py::inverted_index."""
+    from ..operators.retrieval import inverted_index
+
+    return inverted_index(load_table(spark, sf_dir, "documents"), min_df=2)
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS term
+        FROM documents),
+    f AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
+          WHERE term IN {_BM25_TERMS!r}
+          GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, avg(len({_TOKS})) AS avgdl
+              FROM documents)
+    SELECT doc_id,
+           round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * ({_BM25_K1} + 1))
+                 / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+           ), 4) AS score,
+           count(*) AS n_terms_hit
+    FROM f JOIN dfreq USING (term) CROSS JOIN stats
+    GROUP BY doc_id
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical scoring of the corpus against a fixed query
+    (Lucene idf variant). The exploded postings are filtered to the
+    query's terms BELOW the aggregate, so only query-term rows
+    shuffle; df-per-term and (N, avgdl) broadcast.
+    operators/retrieval.py::bm25."""
+    from ..operators.retrieval import bm25
+
+    return bm25(
+        load_table(spark, sf_dir, "documents"),
+        query_terms=list(_BM25_TERMS),
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+@query(
+    "q_source_mixture",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               sum(len({_TOKS}))::BIGINT AS n_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT sum(pow(n_tokens, {_MIX_ALPHA})) AS sum_pow,
+                   sum(n_tokens)::BIGINT AS total_tokens FROM per)
+    SELECT source, n_docs, n_tokens,
+           round(pow(n_tokens, {_MIX_ALPHA}) / sum_pow, 4) AS weight,
+           round((pow(n_tokens, {_MIX_ALPHA}) / sum_pow)
+                 / (n_tokens::DOUBLE / total_tokens), 4) AS oversample
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture weights (the multinomial
+    alpha-sampling recipe from XLM-R/mT5 data balancing): per-source
+    token counts, sampling weight w_i = n_i^a / sum n_j^a, and the
+    oversample factor vs natural frequency. One token-length
+    projection + a |sources|-row aggregate; the corpus-wide totals
+    arrive as a broadcast 1-row cross join — nothing above the first
+    aggregate scales with corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.size(T.tokens("text")).alias("dl"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.sum(F.pow("n_tokens", _MIX_ALPHA)).alias("sum_pow"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    w = F.pow("n_tokens", _MIX_ALPHA) / F.col("sum_pow")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 4).alias("weight"),
+        F.round(
+            w / (F.col("n_tokens").cast("double") / F.col("total_tokens")), 4
+        ).alias("oversample"),
+    )

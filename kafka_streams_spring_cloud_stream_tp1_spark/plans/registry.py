@@ -55,12 +55,12 @@ def _ensure_loaded() -> None:
 #      each round so every oracle eventually re-shows green;
 #   3. rows-only queries LAST — they yield `no_oracle` rows wherever
 #      they sit, so they must not occupy checked slots.
-# Deferred this round (all green in CORRECTNESS_r01, cheapest/simplest
-# plans — rotate a different set next round): q_filter, q_project_rekey,
-# q_console_echo, q_distinct, q_sort_multi_col, q_top_k_global, q_pivot,
-# q_union_all_dedup, q_join_semi (9 deferred: 59 oracle-backed − 50
-# slots, after q_dedup_clusters gained its recursive-CTE oracle and
-# q_sample_split landed).
+# Round 2: 77 oracle-backed, so 27 sit past slot 50 — all of them
+# green in CORRECTNESS_r01 (the window holds exactly the queries with
+# no green row yet: this round's new ones + round 1's 11 unchecked).
+# Round 3+: rotate — move the r02-checked queries into _DEFERRED and
+# bring the 27 r01-green ones back into the window so every oracle
+# re-shows green on a cadence.
 _FRONT = [
     # new this round — no correctness row yet. The pair producer
     # registers immediately before the cluster consumer so bench
@@ -78,6 +78,12 @@ _FRONT = [
     "q_value_histogram",
     "q_time_gapfill",
     "q_window_ntile",
+    "q_inverted_index",
+    "q_bm25",
+    "q_source_mixture",
+    "q_join_range_banded",
+    "q_forward_fill",
+    "q_window_range_frame",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",  # gained its recursive-CTE oracle in round 2
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)

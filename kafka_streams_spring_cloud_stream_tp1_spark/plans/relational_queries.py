@@ -1124,3 +1124,98 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.percent_rank().over(w)).alias("pct_rank"),
         _r(F.cume_dist().over(w)).alias("cume"),
     )
+
+
+@query(
+    "q_join_range_banded",
+    oracle="""
+    SELECT b.bucket_lo, count(*) AS n
+    FROM events e
+    JOIN (VALUES (0.0, 250.0), (250.0, 500.0), (500.0, 750.0), (750.0, 10000.0))
+         AS b(bucket_lo, bucket_hi)
+      ON e.value >= b.bucket_lo AND e.value < b.bucket_hi
+    GROUP BY b.bucket_lo
+    """,
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for `q_join_range`: the interval table embedded
+    as a literal array and resolved per-row with a codegen'd
+    `filter(...)[0]` projection — ZERO join node (the BNL join is
+    gone from the plan; tests/test_plans.py asserts it), and the only
+    exchange is the final |bands|-row aggregate.
+    operators/bands.py::band_lookup."""
+    from ..operators.bands import band_lookup
+
+    ev = load_table(spark, sf_dir, "events")
+    banded = band_lookup(
+        ev, "value", [(0.0, 250.0), (250.0, 500.0), (500.0, 750.0), (750.0, 10000.0)]
+    )
+    return banded.groupBy("bucket_lo").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_value
+    FROM events
+    """,
+)
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward-fill (the gap-fill `locf()` op of timeseries
+    stores): carry each user's most recent click value forward onto
+    every subsequent event; NULL before the first click. `last(...,
+    ignorenulls)` over a running row frame — one hash shuffle on
+    user_id, one in-partition sort, values copied not recomputed (no
+    arithmetic, so no rounding is needed for cross-engine equality).
+    The (ts, event_id) ordering is total, making the fill
+    deterministic under any partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    clicked = F.when(F.col("event_type") == "click", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(clicked, ignorenulls=True).over(w).alias("last_click_value"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           round(sum(value) OVER w, 4) AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, that user's event count and
+    value sum over the trailing hour. The frame is ordered by exact
+    integer epoch-microseconds (not a float cast), so the
+    hour-boundary comparison is exact integer arithmetic in both
+    engines. One hash shuffle on user_id; the running frame is a
+    single in-partition sorted scan — no self-join, which is how a
+    naive engine (or the raw SQL `e1 JOIN e2 ON within-1h`) would
+    express this and what kills it at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        _r(F.sum("value").over(w)).alias("sum_last_hour"),
+    )

@@ -100,3 +100,39 @@ def test_sample_split_is_pure_projection(spark):
     assert "Exchange" not in plan, plan
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read and "lang" in read and "text" not in read
+
+
+def test_banded_range_join_has_no_join_node(spark):
+    """q_join_range_banded is the scale path for the interval join:
+    the literal-array band lookup must plan as a pure projection —
+    no BroadcastNestedLoopJoin (what q_join_range plans), no join of
+    any kind, and exactly one Exchange (the |bands|-row aggregate)."""
+    plan = _plan(spark, "q_join_range_banded")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the raw non-equi sibling DOES plan the nested-loop join
+    raw = _plan(spark, "q_join_range")
+    assert "BroadcastNestedLoopJoin" in raw, raw
+
+
+def test_bm25_filters_below_aggregate_and_broadcasts_stats(spark):
+    """BM25: the query-term predicate must sit under the aggregate
+    (only query-term rows shuffle), and the df/stats sides must
+    broadcast — no sort-merge join of the corpus against anything."""
+    plan = _plan(spark, "q_bm25")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_window_range_frame_single_shuffle(spark):
+    """The trailing-hour RANGE frame must be one hash Exchange on
+    user_id + one in-partition sort — never a time self-join."""
+    plan = _plan(spark, "q_window_range_frame")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_forward_fill_single_shuffle(spark):
+    plan = _plan(spark, "q_forward_fill")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
