@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fixture parquet stores naive-UTC micros; read as session-TZ
+        # TIMESTAMP (not NTZ) so time functions and oracles line up
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # streaming: RocksDB-backed state survives large keyspaces (the
         # reference materializes its window store in RocksDB too)

@@ -53,6 +53,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC-naive); nanosAsLong lets the scan accept TIMESTAMP(NANOS).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) would otherwise
+    # infer as TIMESTAMP_NTZ (Spark 4 default). Read it as session-TZ
+    # TIMESTAMP instead: the session is pinned UTC, so the wall-clock
+    # values are identical, every time function (unix_micros, window,
+    # date_trunc arithmetic) stays applicable, and the type matches the
+    # DuckDB oracle's naive-UTC reading of the same file.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nanos_ts_cols(path):
