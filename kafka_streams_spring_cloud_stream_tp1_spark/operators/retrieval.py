@@ -79,10 +79,14 @@ def bm25(
 
     Plan: explode → filter to query terms (this is the whole trick:
     the predicate sits UNDER the aggregate, so only query-term rows
-    shuffle) → per-(doc, term) tf → join df-per-term (tiny, broadcast)
-    → per-doc score sum. Document lengths ride along from the first
-    projection; N and avgdl broadcast as a 1-row aggregate.
+    shuffle) → per-(doc, term) tf → df-per-term as a window count OVER
+    the tf frame (partitioned by term — query-term rows only, so the
+    extra exchange is tiny, and it avoids re-running the whole
+    explode+aggregate subplan that a self-joined `tf.groupBy(term)`
+    would cost) → per-doc score sum. Document lengths ride along from
+    the first projection; N and avgdl broadcast as a 1-row aggregate.
     """
+    from pyspark.sql import Window
     qt = [t for t in query_terms if t]
     if not qt:
         raise ValueError("bm25 needs at least one non-empty query term")
@@ -93,7 +97,7 @@ def bm25(
         F.explode(toks).alias("term"),
     ).filter(F.col("term").isin(qt))
     tf = base.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(tokens(text_col))).alias("avgdl"),
@@ -106,8 +110,7 @@ def bm25(
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+        tf.crossJoin(F.broadcast(stats))
         .withColumn("contrib", idf * tf_part)
         .groupBy("doc_id")
         .agg(

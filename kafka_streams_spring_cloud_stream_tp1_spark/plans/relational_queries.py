@@ -372,9 +372,12 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     is to precompute the band key, but the raw non-equi form must
     work too."""
     ev = load_table(spark, sf_dir, "events")
-    buckets = ev.sparkSession.createDataFrame(
-        [(0.0, 250.0), (250.0, 500.0), (500.0, 750.0), (750.0, 10000.0)],
-        "bucket_lo double, bucket_hi double",
+    # VALUES → LocalRelation: stays JVM-side (createDataFrame from a
+    # Python list plans as a Scan ExistingRDD through the pickled-RDD
+    # path, costing a Python roundtrip per run for 4 constant rows)
+    buckets = spark.sql(
+        "SELECT * FROM VALUES (0.0D, 250.0D), (250.0D, 500.0D),"
+        " (500.0D, 750.0D), (750.0D, 10000.0D) AS b(bucket_lo, bucket_hi)"
     )
     cond = (ev.value >= buckets.bucket_lo) & (ev.value < buckets.bucket_hi)
     return (
