@@ -83,3 +83,36 @@ def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
         )
         .filter(F.col("rk") <= k)
     )
+
+
+def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own unigram language model — the classic cheap "perplexity-style"
+    quality score (a document of globally-rare tokens scores high /
+    surprising; boilerplate scores low). Returns
+    (doc_id, n_tokens, avg_nll).
+
+    Two corpus passes: (1) the word-count aggregate builds the unigram
+    table p(t) = count(t)/total (vocabulary-sized — broadcast into the
+    scoring join; for a web-scale vocabulary that outgrows the
+    broadcast threshold Spark falls back to a shuffled hash join on
+    the token, which is exactly the right plan); (2) the scoring pass
+    re-explodes and averages -ln p(t) per document. Hot (stopword)
+    tokens are NOT a skew risk: the scoring join's build side is keyed
+    by token, but the probe stream aggregates by doc_id, so the
+    token-frequency skew never concentrates on one reducer.
+    """
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("cnt") / F.col("total")).alias("p")
+    )
+    return (
+        tok.join(F.broadcast(lm), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log("p")), 4).alias("avg_nll"),
+        )
+    )

@@ -1001,3 +1001,81 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             w / (F.col("n_tokens").cast("double") / F.col("total_tokens")), 4
         ).alias("oversample"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality score, JL projection, clustering, SemDeDup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM v)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(cnt / total)), 4) AS avg_nll
+    FROM tok JOIN v USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style document quality score under the corpus's own
+    unigram LM (mean −ln p(token) per doc). Word-count pass builds the
+    broadcast unigram table; the scoring pass aggregates by doc_id, so
+    token-frequency skew never lands on one reducer.
+    operators/vocab.py::unigram_logprob."""
+    from ..operators.vocab import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+def _rp_oracle(out_dim: int = 8, in_dim: int = 64) -> str:
+    cols = []
+    for j, row in enumerate(S.rp_sign_matrix(out_dim, in_dim)):
+        terms = "".join(
+            f"{'+' if s > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE) "
+            for i, s in enumerate(row)
+        ).lstrip("+ ")
+        cols.append(f"round(({terms}) * {1.0 / (out_dim ** 0.5)!r}, 4) AS p{j}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+@query("q_random_projection", oracle=_rp_oracle())
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection 64→8 dims: a
+    shuffle-free codegen'd projection whose sign matrix is an
+    md5-derived compile-time constant, so the oracle rebuilds the
+    identical ± chain and the doubles match bit-for-bit.
+    operators/similarity.py::random_projection."""
+    return S.random_projection(
+        load_table(spark, sf_dir, "embeddings"), out_dim=8, in_dim=64
+    )
+
+
+@query("q_kmeans")
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus spherical k-means cluster assignments (iterative —
+    not single-statement-SQL-expressible, so rows-only here;
+    tests/test_clustering.py asserts nearest-centroid optimality and
+    objective monotonicity). operators/clustering.py::kmeans_fit."""
+    from ..operators.clustering import kmeans_fit
+
+    assign, _ = kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
+    return assign
+
+
+@query("q_semdedup")
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate pairs: cluster with k-means,
+    then all-pairs cosine ONLY inside each cluster (k× smaller cells
+    vs. brute force). Iterative upstream ⇒ rows-only;
+    tests/test_clustering.py asserts exact agreement with the
+    brute-force pairs restricted to the operator's own clusters.
+    operators/clustering.py::semdedup_pairs."""
+    from ..operators.clustering import semdedup_pairs
+
+    return semdedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=_COS_T
+    )

@@ -86,6 +86,11 @@ _FRONT = [
     "q_window_range_frame",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",  # gained its recursive-CTE oracle in round 2
+    # added later in round 2 — also no correctness row yet
+    "q_unigram_logprob",
+    "q_random_projection",
+    "q_tpch_q3",
+    "q_tpch_q5",
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
     "q_asof_join",
     "q_subqueries",

@@ -38,3 +38,23 @@ def interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich a stream with a static dimension table (KStream-KTable /
+    GlobalKTable join in Kafka Streams terms — the reference's library
+    exposes it as `KStream.join(GlobalKTable)`; the reference app
+    itself never joins). The static side needs no watermark and holds
+    no streaming state: Spark re-plans it per micro-batch, broadcasting
+    when small — the GlobalKTable analog, where every task owns the
+    whole dimension and the STREAM side never shuffles for the join.
+
+    `how` is stream-side outer ('left') or 'inner'; right/full outer
+    are not defined for stream-static in Spark (the static side can't
+    emit unmatched rows of an unbounded stream)."""
+    return stream.join(F.broadcast(dim), key, how)

@@ -136,3 +136,46 @@ def test_stream_stream_interval_join(spark, tmp_path):
         assert pairs == {(0, 10)}
     finally:
         q.stop()
+
+
+def test_stream_static_enrich_broadcasts_dimension(spark, stream_dir):
+    """Stream-static join: each micro-batch row is enriched from the
+    static dimension without watermarks or stream-side shuffle;
+    unmatched stream rows survive a left join with nulls."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [("P1", "product"), ("P2", "landing")], "event_type string, page_kind string"
+    )
+    out = stream_static_enrich(
+        _file_stream(spark, stream_dir).select("event_id", "event_type", "value"),
+        dim,
+        key="event_type",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        _write_batch(
+            stream_dir,
+            "b1",
+            [
+                _event(0, 1.0, "P1", 200.0),
+                _event(1, 2.0, "P2", 300.0),
+                _event(2, 3.0, "P9", 400.0),  # no dimension row
+            ],
+        )
+        q.processAllAvailable()
+        rows = {
+            r["event_id"]: r["page_kind"]
+            for r in spark.sql("SELECT * FROM enriched").collect()
+        }
+        assert rows == {0: "product", 1: "landing", 2: None}
+    finally:
+        q.stop()
