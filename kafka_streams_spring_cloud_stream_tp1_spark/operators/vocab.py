@@ -116,3 +116,39 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.round(F.avg(-F.log("p")), 4).alias("avg_nll"),
         )
     )
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus-weighted adjacent character-pair counts — the statistic
+    a BPE/WordPiece tokenizer trainer maximizes at each merge step
+    (Sennrich et al. 2016, public algorithm). Returns the top-``k``
+    (pair, n_occurrences, n_words) rows.
+
+    Scale shape is the whole point: the CORPUS pass is just the word
+    count (explode + map-side-partial aggregate → vocabulary-sized
+    result). Pair explosion then runs over the VOCABULARY — each
+    distinct word explodes into (len−1) pairs weighted by the word's
+    corpus frequency — so the expensive quadratic-ish step is
+    independent of corpus row count. That is exactly how production
+    BPE trainers work (count words once, then iterate merges over the
+    word-frequency table), expressed as two aggregates.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    # length >= 2 guard matters: Spark's sequence(1, 0) would DESCEND
+    # ([1, 0]), not return empty like DuckDB's range(1, 1)
+    pairs = words.filter(F.length("word") >= 2).select(
+        "word",
+        "wf",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("wf").alias("n_occurrences"),
+        F.countDistinct("word").alias("n_words"),
+    )
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(k)

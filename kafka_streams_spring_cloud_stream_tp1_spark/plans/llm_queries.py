@@ -1079,3 +1079,29 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=_COS_T
     )
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (SELECT word, count(*) AS wf
+               FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+               GROUP BY word),
+    p AS (SELECT word, wf, unnest([substr(word, i, 2) for i in range(1, len(word))]) AS pair
+          FROM w WHERE len(word) >= 2)
+    SELECT pair, sum(wf)::BIGINT AS n_occurrences,
+           count(DISTINCT word) AS n_words
+    FROM p GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 50
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus-weighted adjacent character pairs — the BPE merge
+    statistic. The corpus pass is only the word count; pair explosion
+    runs over the VOCABULARY (each distinct word × its frequency), so
+    the step is independent of corpus row count.
+    operators/vocab.py::bpe_pair_counts."""
+    from ..operators.vocab import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=50)

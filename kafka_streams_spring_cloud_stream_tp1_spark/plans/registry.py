@@ -91,6 +91,7 @@ _FRONT = [
     "q_random_projection",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_bpe_pair_counts",
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
     "q_asof_join",
     "q_subqueries",

@@ -34,3 +34,16 @@ def read_csv(
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
         .csv(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC — the other columnar interchange format (Hive-lineage
+    shops). Same scan-level virtues as parquet: column pruning,
+    predicate pushdown, stripe-parallel splits; the schema is read
+    from the file footer (self-describing, no inference pass)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write ORC (zlib default codec; splittable stripes)."""
+    df.write.mode(mode).orc(path)

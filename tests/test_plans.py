@@ -136,3 +136,32 @@ def test_forward_fill_single_shuffle(spark):
     plan = _plan(spark, "q_forward_fill")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_tpch_q3_broadcasts_dims_and_takes_ordered(spark):
+    """TPC-H Q3: both dimension joins must broadcast (the fact side —
+    lineitem — is never shuffled for a join), the only hash exchange
+    is the order-grain aggregate, and the top-10 must plan as
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    plan = _plan(spark, "q_tpch_q3")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q5_fact_never_shuffles_for_joins(spark):
+    """TPC-H Q5's 6-table graph: every dimension side broadcasts (5
+    BroadcastHashJoins), so the only exchange is the final per-nation
+    aggregate — the 100 TB fact scan crosses the network as ~5 rows."""
+    plan = _plan(spark, "q_tpch_q5")
+    assert plan.count("BroadcastHashJoin") == 5, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_random_projection_is_shuffle_free(spark):
+    """The JL projection must be a pure projection over the scan —
+    no exchange of any kind in the plan."""
+    plan = _plan(spark, "q_random_projection")
+    assert "Exchange" not in plan, plan

@@ -64,3 +64,26 @@ def test_approx_quantiles_accuracy(spark):
     for k, (a25, a50, a90) in approx.items():
         for a, e in zip((a25, a50, a90), exact[k]):
             assert abs(a - e) <= 0.02 * max(abs(e), 1.0), (k, a, e)
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC write→read must preserve schema and values exactly
+    (timestamps included), and the ORC scan must push predicates."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    truth = _truth(spark)
+    path = str(tmp_path / "events_orc")
+    write_orc(truth, path)
+    back = read_orc(spark, path).select(*truth.columns)
+    assert back.schema == truth.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, truth.collect()))
+    plan = (
+        back.filter(F.col("value") > 100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThan(value,100.0)" in plan, plan

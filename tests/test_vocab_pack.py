@@ -142,3 +142,18 @@ def test_pack_sequences_budget_arithmetic(spark):
         # any multi-chunk doc must actually roll over into a later seq
         if len(rows) > 1:
             assert rows[-1]["seq_idx"] > 0
+
+
+def test_bpe_pair_counts_hand_check(spark):
+    """On a 3-doc corpus the pair counts must equal the hand count:
+    'aba' x2 occurrences of word 'aba' -> pairs ab, ba each x2; 'ab'
+    once -> ab once more; 1-char words contribute nothing."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.vocab import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "aba ab x"), (1, "aba"), (2, "x")], "doc_id long, text string"
+    )
+    rows = {r["pair"]: (r["n_occurrences"], r["n_words"]) for r in bpe_pair_counts(docs, k=10).collect()}
+    assert rows == {"ab": (3, 2), "ba": (2, 1)}
