@@ -214,3 +214,60 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     # left join: docs shorter than 3 words have no shingles → NULL
     return base.drop("shingles").join(mins, "doc_id", "left")
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 3, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS local fingerprinting algorithm, public): hash all
+    word ``k``-gram shingles in position order, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum; the sorted
+    distinct minima are the fingerprint. Guarantees every shared
+    substring of ≥ w+k−1 words produces a shared fingerprint entry —
+    the exact-substring-overlap primitive (plagiarism / cross-doc
+    boilerplate detection) that the single min-shingle fingerprint
+    (`with_fingerprints`) only approximates with one value.
+
+    Plan: posexplode the positional shingles → codegen'd hash (NOT a
+    per-element lambda — higher-order functions are interpreted, see
+    `with_fingerprints`) → windowed min over a ROWS [0, w−1] frame
+    partitioned by doc → keep one row per window start → sorted
+    distinct collect. ONE shuffle, partitioned by doc_id; window
+    frames never cross documents, so a 100 TB corpus scales linearly
+    with documents per partition.
+
+    Returns (doc_id, fp_winnow array<bigint>, n_grams). Docs with
+    0 < n_grams < w yield one fingerprint (the global min — the frame
+    truncates at the partition end); empty docs yield an empty array.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    base = fan_out(df).select(
+        "doc_id", word_ngrams_multiset(toks, k).alias("grams")
+    )
+    pos = base.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.posexplode_outer("grams").alias("pos", "gram"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    mins = (
+        pos.withColumn("wmin", F.min(xhash(F.col("gram"))).over(win))
+        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("wmin"))).alias("fp_winnow"),
+            F.max("n_grams").alias("n_grams"),
+        )
+    )
+    # left join keeps empty docs (no shingles → posexplode_outer null
+    # row → wmin null → filtered collect_list = []); coalesce restores
+    # their empty fingerprint and gram count
+    ids = base.select("doc_id", F.size("grams").alias("__n"))
+    return ids.join(mins, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("fp_winnow", F.array().cast("array<bigint>")).alias("fp_winnow"),
+        F.coalesce("n_grams", F.col("__n")).alias("n_grams"),
+    )

@@ -1105,3 +1105,51 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vocab import bpe_pair_counts
 
     return bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=50)
+
+
+_WINNOW_K, _WINNOW_W = 3, 4
+
+
+@query(
+    "q_winnow_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_transform({_ngrams_multiset_sql(_TOKS, _WINNOW_K)},
+                                     g -> {xhash_sql('g')}) AS h
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                WHEN len(h) < {_WINNOW_W} THEN [list_min(h)]
+                ELSE list_sort(list_distinct(
+                    [list_min(h[i:i+{_WINNOW_W - 1}])
+                     for i in range(1, len(h) - {_WINNOW_W} + 2)]))
+           END AS fp_winnow,
+           len(h) AS n_grams
+    FROM t
+    """,
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): per-document sorted distinct
+    window-minima of positional 3-gram shingle hashes, window 4 — any
+    shared word substring of length ≥ w+k−1 = 6 forces a shared
+    fingerprint value. One doc-partitioned shuffle; hash stays in
+    whole-stage codegen. operators/text.py::winnow_fingerprints."""
+    return T.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    )
+
+
+@query("q_heavy_hitters")
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the exploded document tokens —
+    the bounded-memory frequent-items sketch for unbounded key spaces
+    (counts are partition-order-dependent lower bounds ⇒ rows-only;
+    tests/test_sources_and_sketches.py asserts the containment and
+    error-bound guarantees vs the exact counts).
+    operators/sketches.py::heavy_hitters."""
+    from ..operators.sketches import heavy_hitters
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    return heavy_hitters(tok, "token", k=16, top=10)

@@ -92,6 +92,7 @@ _FRONT = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_bpe_pair_counts",
+    "q_winnow_fingerprint",
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
     "q_asof_join",
     "q_subqueries",

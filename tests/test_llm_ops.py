@@ -301,3 +301,33 @@ def test_quantize_int8_roundtrip_and_degenerate(spark):
         assert abs(deq - x) <= step / 2 + 1e-12
     assert min(r1["q"]) == -128 and max(r1["q"]) == 127  # lo/hi hit the rails
     assert out[2]["q"] == [0, 0, 0] and out[2]["lo"] == out[2]["hi"] == 3.25
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's defining property: two docs sharing a ≥ (w+k−1)-word
+    substring must share ≥1 fingerprint value; disjoint-vocabulary
+    docs share none. Short docs (< w windows) get the global-min
+    singleton; empty docs an empty fingerprint."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (0, f"one two {shared} three four five six seven"),
+            (1, f"ten twenty {shared} thirty forty fifty sixty"),
+            (2, "cat dog bird fish lion tiger bear wolf fox deer"),
+            (3, "tiny doc here"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {
+        r["doc_id"]: (set(r["fp_winnow"]), r["n_grams"])
+        for r in winnow_fingerprints(docs, k=3, w=4).collect()
+    }
+    assert fp[0][0] & fp[1][0], "shared 6-word substring must share a fingerprint"
+    assert not (fp[0][0] & fp[2][0]) and not (fp[1][0] & fp[2][0])
+    assert len(fp[3][0]) == 1 and fp[3][1] == 1  # < w windows: global min
+    assert fp[4] == (set(), 0)

@@ -87,3 +87,30 @@ def test_orc_roundtrip(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "GreaterThan(value,100.0)" in plan, plan
+
+
+def test_misra_gries_guarantees(spark):
+    """Misra-Gries invariants vs exact counts on the real corpus:
+    (1) every item with true frequency > n/(k+1) appears in the
+    summary; (2) merged counters are lower bounds within n/(k+1) of
+    the truth; (3) the sketch never reports an item that doesn't
+    exist."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.sketches import (
+        heavy_hitters,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import tokens
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    k = 16
+    docs = load_table(spark, SF_SMOKE, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token")).repartition(8)
+    exact = {r["token"]: r["n"] for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(exact.values())
+    got = {r["item"]: r["lower_bound"] for r in heavy_hitters(tok, "token", k=k, top=40).collect()}
+    err = n / (k + 1)
+    must_appear = {t for t, c in exact.items() if c > err}
+    assert must_appear <= set(got), must_appear - set(got)
+    for item, lb in got.items():
+        assert item in exact
+        assert lb <= exact[item], (item, lb, exact[item])
+        assert lb >= exact[item] - err, (item, lb, exact[item], err)
