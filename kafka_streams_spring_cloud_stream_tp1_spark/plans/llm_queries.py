@@ -1153,3 +1153,86 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
     return heavy_hitters(tok, "token", k=16, top=10)
+
+
+_PIPE_MIN_QUALITY = 65
+
+
+def _data_pipeline_sql() -> str:
+    from ..operators.sampling import BUCKETS, hash_bucket_sql
+
+    quality = (
+        f"(floor(least(len(toks), 64) * 40 / 64)"
+        f" + (30 - floor({_PUNCT} * 30 / nc))"
+        f" + least(30, floor({_SW} * 120 / len(toks))))::BIGINT"
+    )
+    sb = hash_bucket_sql("doc_id", "split")
+    bounds, lo = [], 0
+    for name, frac in _SPLIT_FRACS.items():
+        lo += round(frac * BUCKETS)
+        bounds.append((name, lo))
+    split_case = " ".join(f"WHEN {sb} < {hi} THEN '{name}'" for name, hi in bounds)
+    return f"""
+    WITH t AS (SELECT doc_id, lang, text, {_TOKS} AS toks, length(text) AS nc
+               FROM documents),
+    scored AS (SELECT doc_id, lang, text, len(toks) AS n_tokens,
+                      {quality} AS quality_score
+               FROM t),
+    surviving AS (SELECT * FROM scored
+                  WHERE quality_score >= {_PIPE_MIN_QUALITY}
+                  QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                             ORDER BY doc_id) = 1)
+    SELECT CASE {split_case} END AS split, lang,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           round(avg(quality_score), 4) AS avg_quality
+    FROM surviving GROUP BY 1, 2
+    """
+
+
+@query("q_data_pipeline", oracle=_data_pipeline_sql())
+def q_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-assembly pipeline — the composition the
+    engine exists for, in one plan: quality-score filter (shuffle-free
+    codegen projection) → exact-dedup winner per md5(text) (one hash
+    shuffle; WindowGroupLimit keeps a 1-row heap per group) →
+    deterministic hash-bucket train/val/test split (projection) →
+    per-(split, lang) token-budget report (partial-agg'd, tiny). Two
+    shuffles total at any corpus size: the dedup partition and the
+    final |splits|×|langs|-row aggregate."""
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import with_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = T.tokens("text")
+    n_tok = F.size(t)
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]"))
+    n_chars = F.length("text")
+    n_sw = F.size(F.filter(t, lambda tok: tok.isin(*T.STOPWORDS_EN)))
+    quality = (
+        F.floor(F.least(n_tok, F.lit(64)) * 40 / 64)
+        + (30 - F.floor(punct * 30 / n_chars))
+        + F.least(F.lit(30), F.floor(n_sw * 120 / n_tok))
+    ).cast("long")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        n_tok.alias("n_tokens"),
+        quality.alias("quality_score"),
+    )
+    passed = scored.filter(F.col("quality_score") >= _PIPE_MIN_QUALITY)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    surviving = (
+        passed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk", "text")
+    )
+    return (
+        with_split(surviving, _SPLIT_FRACS)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+    )

@@ -55,9 +55,11 @@ def _ensure_loaded() -> None:
 #      each round so every oracle eventually re-shows green;
 #   3. rows-only queries LAST — they yield `no_oracle` rows wherever
 #      they sit, so they must not occupy checked slots.
-# Round 2: 77 oracle-backed, so 27 sit past slot 50 — all of them
-# green in CORRECTNESS_r01 (the window holds exactly the queries with
-# no green row yet: this round's new ones + round 1's 11 unchecked).
+# Round 2 final: 91 registered (84 oracle-backed, 7 rows-only); the
+# 50-slot window holds the 38 _FRONT queries (no green row yet: this
+# round's new ones + round 1's 11 unchecked) plus the first 12
+# mid_oracle entries; the rest sit past slot 50 — all of them green
+# in CORRECTNESS_r01.
 # Round 3+: rotate — move the r02-checked queries into _DEFERRED and
 # bring the 27 r01-green ones back into the window so every oracle
 # re-shows green on a cadence.
@@ -93,6 +95,7 @@ _FRONT = [
     "q_tpch_q5",
     "q_bpe_pair_counts",
     "q_winnow_fingerprint",
+    "q_data_pipeline",
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
     "q_asof_join",
     "q_subqueries",

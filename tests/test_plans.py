@@ -165,3 +165,13 @@ def test_random_projection_is_shuffle_free(spark):
     no exchange of any kind in the plan."""
     plan = _plan(spark, "q_random_projection")
     assert "Exchange" not in plan, plan
+
+
+def test_data_pipeline_two_shuffles(spark):
+    """The composed corpus-assembly pipeline (filter → dedup → split →
+    aggregate) must cost exactly two exchanges: the md5 dedup
+    partition and the final (split, lang) aggregate — the quality
+    filter and split assignment are projections that must fuse into
+    the scans around them."""
+    plan = _plan(spark, "q_data_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
