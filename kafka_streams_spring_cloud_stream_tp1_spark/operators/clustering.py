@@ -69,75 +69,84 @@ def kmeans_fit(
     """
     import numpy as np
 
-    init_rows = (
-        _unit_corpus(emb, vec_col, id_col).orderBy("vec_id").limit(k).collect()
-    )
-    if len(init_rows) < k:
-        raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
-    cents = np.stack([np.asarray(r["unit"]) for r in init_rows])
+    # Iterative input: normalize once and persist (memory, spill to
+    # disk) so each Lloyd's round re-reads unit vectors instead of
+    # re-running scan+normalize — the same pattern MLlib's KMeans uses.
+    # The small assignment result is cached and materialized at the
+    # end so the big corpus cache can be released before returning.
+    corpus = _unit_corpus(emb, vec_col, id_col).persist()
+    try:
+        init_rows = corpus.orderBy("vec_id").limit(k).collect()
+        if len(init_rows) < k:
+            raise ValueError(f"k={k} exceeds corpus size {len(init_rows)}")
+        cents = np.stack([np.asarray(r["unit"]) for r in init_rows])
+        dim = cents.shape[1]
 
-    corpus = _unit_corpus(emb, vec_col, id_col)
-    dim = cents.shape[1]
+        for _ in range(iters):
+            cents_b = cents  # closure capture: broadcast with the task binary
 
-    for _ in range(iters):
-        cents_b = cents  # closure capture: broadcast with the task binary
+            def partial_sums(
+                it: Iterator["pd.DataFrame"],
+            ) -> Iterator["pd.DataFrame"]:
+                import pandas as pd
 
-        def partial_sums(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+                for pdf in it:
+                    if pdf.empty:
+                        continue
+                    v = np.stack(pdf["unit"].to_numpy())  # (n, dim) unit rows
+                    lab = (v @ cents_b.T).argmax(axis=1)  # first max = lowest id
+                    rows = []
+                    for c in np.unique(lab):
+                        m = v[lab == c]
+                        rows.append((int(c), len(m), m.sum(axis=0).tolist()))
+                    yield pd.DataFrame(rows, columns=["cluster", "n", "vsum"])
+
+            partials = corpus.mapInPandas(
+                partial_sums, "cluster int, n long, vsum array<double>"
+            )
+            # fold the per-batch partials: element-wise array sum, JVM-side
+            zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+            agg = (
+                partials.groupBy("cluster")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.aggregate(
+                        F.collect_list("vsum"),
+                        zero,
+                        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                    ).alias("vsum"),
+                )
+                .collect()  # k rows — bounded by k, not corpus size
+            )
+            new = cents.copy()
+            for r in agg:
+                m = np.asarray(r["vsum"]) / max(r["n"], 1)
+                norm = np.linalg.norm(m)
+                if norm > 1e-12:
+                    new[r["cluster"]] = m / norm
+            cents = new
+
+        cents_f = cents
+
+        def assign(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
             import pandas as pd
 
             for pdf in it:
                 if pdf.empty:
                     continue
-                v = np.stack(pdf["unit"].to_numpy())  # (n, dim) unit rows
-                lab = (v @ cents_b.T).argmax(axis=1)  # first max = lowest id
-                rows = []
-                for c in np.unique(lab):
-                    m = v[lab == c]
-                    rows.append((int(c), len(m), m.sum(axis=0).tolist()))
-                yield pd.DataFrame(rows, columns=["cluster", "n", "vsum"])
+                v = np.stack(pdf["unit"].to_numpy())
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "cluster": (v @ cents_f.T).argmax(axis=1).astype("int32"),
+                    }
+                )
 
-        partials = corpus.mapInPandas(
-            partial_sums, "cluster int, n long, vsum array<double>"
-        )
-        # fold the per-batch partials: element-wise array sum, JVM-side
-        zero = F.array(*[F.lit(0.0) for _ in range(dim)])
-        agg = (
-            partials.groupBy("cluster")
-            .agg(
-                F.sum("n").alias("n"),
-                F.aggregate(
-                    F.collect_list("vsum"),
-                    zero,
-                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
-                ).alias("vsum"),
-            )
-            .collect()  # k rows — bounded by k, not corpus size
-        )
-        new = cents.copy()
-        for r in agg:
-            m = np.asarray(r["vsum"]) / max(r["n"], 1)
-            norm = np.linalg.norm(m)
-            if norm > 1e-12:
-                new[r["cluster"]] = m / norm
-        cents = new
-
-    cents_f = cents
-
-    def assign(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        for pdf in it:
-            if pdf.empty:
-                continue
-            v = np.stack(pdf["unit"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "cluster": (v @ cents_f.T).argmax(axis=1).astype("int32"),
-                }
-            )
-
-    return corpus.mapInPandas(assign, "vec_id long, cluster int"), cents
+        assignments = corpus.mapInPandas(assign, "vec_id long, cluster int").cache()
+        assignments.count()  # materialize the (small) labels now …
+    finally:
+        corpus.unpersist()  # … so the corpus-sized cache frees here
+    return assignments, cents
 
 
 def semdedup_pairs(
