@@ -80,3 +80,73 @@ def test_xhash_matches_python_md5(spark, strings):
     for s in set(strings):
         expect = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
         assert got[s] == expect, (s, got[s], expect)
+
+
+@given(docs=st.lists(words_st, min_size=1, max_size=6))
+@_SETTINGS
+def test_winnowing_matches_python_reference(spark, docs):
+    """winnow_fingerprints ≡ the direct Python winnowing construction
+    (hash all positional k-grams, min per w-window, distinct+sort) for
+    arbitrary token lists, including docs with < w windows and docs
+    too short for any shingle."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (list(r["fp_winnow"]), r["n_grams"])
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+
+    def xh(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for i, ws in enumerate(docs):
+        toks = " ".join(ws).strip().split() or [""]
+        grams = [" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        h = [xh(g) for g in grams]
+        if not h:
+            expect = ([], 0)
+        elif len(h) < w:
+            expect = ([min(h)], len(h))
+        else:
+            expect = (
+                sorted({min(h[j : j + w]) for j in range(len(h) - w + 1)}),
+                len(h),
+            )
+        assert got[i] == expect, (ws, got[i], expect)
+
+
+@given(
+    rows=st.lists(
+        st.sampled_from(["x", "y", "z", "p", "q"]), min_size=1, max_size=300
+    )
+)
+@_SETTINGS
+def test_misra_gries_bounds_hold_on_generated_streams(spark, rows):
+    """MG guarantees on arbitrary item streams: reported counts are
+    lower bounds within n/(k+1), and every item with true frequency
+    > n/(k+1) is reported."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    k = 3
+    df = spark.createDataFrame([(v,) for v in rows], "item string").repartition(4)
+    got = {
+        r["item"]: r["lower_bound"]
+        for r in heavy_hitters(df, "item", k=k, top=10).collect()
+    }
+    exact: dict = {}
+    for v in rows:
+        exact[v] = exact.get(v, 0) + 1
+    err = len(rows) / (k + 1)
+    for item, c in exact.items():
+        if c > err:
+            assert item in got, (item, c, err, got)
+    for item, lb in got.items():
+        assert lb <= exact[item] and lb >= exact[item] - err, (item, lb, exact[item])
