@@ -253,21 +253,19 @@ def winnow_fingerprints(
         F.posexplode_outer("grams").alias("pos", "gram"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    mins = (
+    # keep window-START rows plus the null row posexplode_outer emits
+    # for shingle-less docs: its wmin is null, collect_list skips it,
+    # so empty docs flow through the SAME aggregate with fp = [] and
+    # n_grams 0 — no second shingle pass, no join-back needed
+    keep = F.col("pos").isNull() | (
+        F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0))
+    )
+    return (
         pos.withColumn("wmin", F.min(xhash(F.col("gram"))).over(win))
-        .filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .filter(keep)
         .groupBy("doc_id")
         .agg(
             F.array_sort(F.array_distinct(F.collect_list("wmin"))).alias("fp_winnow"),
             F.max("n_grams").alias("n_grams"),
         )
-    )
-    # left join keeps empty docs (no shingles → posexplode_outer null
-    # row → wmin null → filtered collect_list = []); coalesce restores
-    # their empty fingerprint and gram count
-    ids = base.select("doc_id", F.size("grams").alias("__n"))
-    return ids.join(mins, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("fp_winnow", F.array().cast("array<bigint>")).alias("fp_winnow"),
-        F.coalesce("n_grams", F.col("__n")).alias("n_grams"),
     )

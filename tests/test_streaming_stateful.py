@@ -179,3 +179,45 @@ def test_stream_static_enrich_broadcasts_dimension(spark, stream_dir):
         assert rows == {0: "product", 1: "landing", 2: None}
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER interval join: a matched impression emits its pair
+    immediately; an unmatched one emits a null-padded row only after
+    the watermark proves no click can still arrive (state eviction —
+    Kafka Streams' left JoinWindows grace semantics)."""
+    imp_dir, clk_dir = tmp_path / "imp2", tmp_path / "clk2"
+    imp_dir.mkdir(), clk_dir.mkdir()
+    _write_batch(
+        str(imp_dir), "b1",
+        [_event(0, 0.0, "IMP", 1.0) | {"user_id": 7},
+         _event(1, 0.0, "IMP", 1.0) | {"user_id": 8}],
+    )
+    _write_batch(
+        str(clk_dir), "b1",
+        [_event(10, 4.0, "CLK", 1.0) | {"user_id": 7}],  # only imp 0 matched
+    )
+    imps = spark.readStream.schema(EVENTS_SCHEMA).json(str(imp_dir)).selectExpr(
+        "event_id AS imp_id", "ts AS imp_ts", "user_id"
+    )
+    clks = spark.readStream.schema(EVENTS_SCHEMA).json(str(clk_dir)).selectExpr(
+        "event_id AS clk_id", "ts AS clk_ts", "user_id"
+    )
+    joined = interval_join(
+        imps, clks, key="user_id", left_ts="imp_ts", right_ts="clk_ts",
+        lower="0 seconds", upper="10 seconds", watermark="30 seconds", how="left_outer",
+    )
+    q = joined.writeStream.outputMode("append").format("memory").queryName("ssjlo").start()
+    try:
+        q.processAllAvailable()
+        got = {(r["imp_id"], r["clk_id"]) for r in spark.table("ssjlo").collect()}
+        assert got == {(0, 10)}, "unmatched row must NOT emit before watermark"
+        # advance both watermarks far past imp 1's join window
+        _write_batch(str(imp_dir), "b2", [_event(2, 120.0, "IMP", 1.0) | {"user_id": 9}])
+        _write_batch(str(clk_dir), "b2", [_event(12, 120.0, "CLK", -1.0) | {"user_id": 99}])
+        q.processAllAvailable()
+        q.processAllAvailable()  # extra trigger finalizes eviction-driven output
+        got = {(r["imp_id"], r["clk_id"]) for r in spark.table("ssjlo").collect()}
+        assert (1, None) in got, got
+    finally:
+        q.stop()
