@@ -96,6 +96,7 @@ _FRONT = [
     "q_bpe_pair_counts",
     "q_winnow_fingerprint",
     "q_data_pipeline",
+    "q_tpch_q18",
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
     "q_asof_join",
     "q_subqueries",

@@ -1323,3 +1323,40 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): aggregate the fact to order
+    grain, HAVING-filter to the big orders, then join the SMALL
+    survivor set back to orders/customer. The aggregate-then-filter
+    runs BEFORE any join, so at 100 TB the joins see |big orders|
+    rows, not the fact table — and both join sides of the survivors
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey", _r(F.col("__q")).alias("sum_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )

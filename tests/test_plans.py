@@ -175,3 +175,46 @@ def test_data_pipeline_two_shuffles(spark):
     the scans around them."""
     plan = _plan(spark, "q_data_pipeline")
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The 100 TB skew story, demonstrated: a join where one key owns
+    ~90% of rows produces one huge shuffle partition; with the skew
+    thresholds scaled down to test size, AQE must detect it and split
+    the hot partition across tasks (the executedPlan advertises the
+    skew-split shuffle read). This is the runtime safety net under
+    every non-broadcast join in the engine."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            # incompressible payload so the hot partition's COMPRESSED
+            # shuffle size (what AQE measures) clears the threshold
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, 500).select(
+            F.col("id").alias("k"), F.col("id").alias("dim")
+        )
+        joined = left.join(right, "k")
+        # collect() (not count()) so THIS queryExecution materializes
+        # and its AdaptiveSparkPlan reaches isFinalPlan=true
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
