@@ -114,3 +114,22 @@ def test_misra_gries_guarantees(spark):
         assert item in exact
         assert lb <= exact[item], (item, lb, exact[item])
         assert lb >= exact[item] - err, (item, lb, exact[item], err)
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution across parquet batches (a corpus that gained a
+    column mid-ingest): mergeSchema unions the fields, old files read
+    the new column as null — and WITHOUT mergeSchema the footer of one
+    file dictates the schema (documented trade-off: schema merge costs
+    a footer pass per file, so it is opt-in)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(0, "a")], "doc_id long, text string").write.parquet(
+        f"{base}/b1"
+    )
+    spark.createDataFrame(
+        [(1, "b", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(f"{base}/b2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{base}/b1", f"{base}/b2")
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows == {0: None, 1: "en"}
