@@ -145,3 +145,44 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -
         lambda i: (i * every_n_bytes).cast("bigint"),
     )
     return df.select("doc_id", F.posexplode(offsets).alias("frame_idx", "byte_offset"))
+
+
+def resize_payloads(
+    df: DataFrame, target_bytes: int = 64
+) -> DataFrame:
+    """Resize plumbing (image-thumbnail analog): downsample each binary
+    payload to ≤ ``target_bytes`` by keeping evenly spaced bytes — the
+    deterministic stand-in for a real pixel resize (which would
+    `decode_image` → interpolate → re-encode inside the same Arrow
+    batch loop; the container has no image libs, see decode_image).
+    The engine-side shape is the production one: BinaryType in,
+    BinaryType + updated metadata struct out, vectorized mapInPandas,
+    no shuffle — at 100 TB this is a pure scan-transform stage whose
+    output is ~target/source of the input bytes (the whole point of
+    thumbnailing before shipping to GPU feature extractors)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def shrink(b: bytes) -> bytes:
+            b = bytes(b)
+            if len(b) <= target_bytes:
+                return b
+            # evenly spaced byte sample, first byte always kept
+            step = len(b) / target_bytes
+            return bytes(b[int(i * step)] for i in range(target_bytes))
+
+        for pdf in it:
+            out = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                    "new_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        batches, "doc_id long, payload binary, orig_bytes long, new_bytes long"
+    )

@@ -1236,3 +1236,14 @@ def q_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality_score"), 4).alias("avg_quality"),
         )
     )
+
+
+@query("q_resize_payloads")
+def q_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-resize plumbing over binary payloads (vectorized
+    mapInPandas byte downsample; real pixel resize slots into the same
+    Arrow loop — decode is stubbed, see operators/multimodal.py).
+    Binary output ⇒ rows-only; invariants (size cap, passthrough,
+    determinism) in tests/test_llm_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_payloads(M.attach_binary_payload(docs), target_bytes=64)

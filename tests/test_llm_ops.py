@@ -331,3 +331,18 @@ def test_winnow_shared_substring_guarantee(spark):
     assert not (fp[0][0] & fp[2][0]) and not (fp[1][0] & fp[2][0])
     assert len(fp[3][0]) == 1 and fp[3][1] == 1  # < w windows: global min
     assert fp[4] == (set(), 0)
+
+
+def test_resize_payloads_plumbing(spark):
+    """Resize (thumbnail) plumbing: output payloads are capped at the
+    target size, short payloads pass through untouched, and the first
+    byte survives (deterministic even-spaced sampling)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    resized = M.resize_payloads(M.attach_binary_payload(docs), target_bytes=64).collect()
+    assert len(resized) == docs.count()
+    for r in resized:
+        assert r["new_bytes"] == len(r["payload"]) <= 64
+        assert r["new_bytes"] == min(r["orig_bytes"], 64)
+    full = {r["doc_id"]: bytes(r["payload"]) for r in M.attach_binary_payload(docs).collect()}
+    for r in resized[:20]:
+        assert bytes(r["payload"])[0:1] == full[r["doc_id"]][0:1]
