@@ -82,3 +82,61 @@ def stream_dedup(
     passes — bounded state for unbounded streams (the batch exact
     dedup's streaming twin)."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([id_col])
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf on the Python workers
+    (its state-server protocol is proto-encoded). This container ships
+    without it (and without pip), so the v2 stateful path is gated the
+    same way the live Kafka loop is — present, tested where the
+    dependency exists, skipped cleanly where not."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_page_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-page running (count, value-total) on the v2 arbitrary-state
+    API (`transformWithStateInPandas`, Spark 4): typed ValueState per
+    key, Arrow-batched input, update-mode emission — the successor of
+    `running_page_stats`'s applyInPandasWithState with composable
+    state variables and (unused here) timers. Requires protobuf on the
+    workers — see tws_available()."""
+    from typing import Iterator
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            if self._agg.exists():
+                prev = self._agg.get()
+                n, total = int(prev[0]), float(prev[1])
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame({"name": [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(F.col("event_type").alias("name"), F.col("value"))
+        .groupBy("name")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="name string, n long, total double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

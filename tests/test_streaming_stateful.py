@@ -221,3 +221,31 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
         assert (1, None) in got, got
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_totals(spark, stream_dir):
+    """v2 arbitrary state (transformWithStateInPandas): ValueState
+    accumulates across triggers per key. Gated on protobuf — absent in
+    this container (documented env blocker, like the Kafka broker)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming.stateful import (
+        running_page_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf not available: transformWithState needs it on workers")
+    out = running_page_totals_tws(_file_stream(spark, stream_dir))
+    q = (
+        out.writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").start()
+    )
+    try:
+        _write_batch(stream_dir, "b1", [_event(0, 1.0, "P1", 100.0), _event(1, 2.0, "P1", 50.0)])
+        q.processAllAvailable()
+        _write_batch(stream_dir, "b2", [_event(2, 3.0, "P1", 25.0)])
+        q.processAllAvailable()
+        rows = [tuple(r) for r in spark.sql(
+            "SELECT * FROM tws_totals ORDER BY n DESC LIMIT 1").collect()]
+        assert rows == [("P1", 3, 175.0)]
+    finally:
+        q.stop()
