@@ -97,6 +97,7 @@ _FRONT = [
     "q_winnow_fingerprint",
     "q_data_pipeline",
     "q_tpch_q18",
+    "q_join_null_safe",
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
     "q_asof_join",
     "q_subqueries",

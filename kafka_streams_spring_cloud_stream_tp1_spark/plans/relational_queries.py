@@ -1360,3 +1360,39 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH l AS (SELECT nullif(event_type, 'click') AS k, value FROM events),
+    r AS (SELECT DISTINCT nullif(event_type, 'click') AS k,
+                 upper(coalesce(nullif(event_type, 'click'), 'none')) AS label
+          FROM events)
+    SELECT label, count(*) AS n, round(sum(l.value), 4) AS total
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY label
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantic needed
+    when a join key is legitimately absent (here 'click' mapped to
+    NULL). Same hash-join machinery as `=`: the null bucket is just a
+    value, so it broadcasts/aggregates like any key — but note a hot
+    NULL key is the classic skew case at scale (AQE skew split or
+    pre-filtering nulls is the mitigation)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("click"))
+    left = ev.select(k.alias("k"), "value")
+    right = ev.select(k.alias("rk")).distinct().select(
+        "rk", F.upper(F.coalesce(F.col("rk"), F.lit("none"))).alias("label")
+    )
+    return (
+        left.join(F.broadcast(right), F.col("k").eqNullSafe(F.col("rk")))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.sum("value")).alias("total"),
+        )
+    )
