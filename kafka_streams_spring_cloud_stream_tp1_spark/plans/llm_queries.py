@@ -1247,3 +1247,42 @@ def q_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism) in tests/test_llm_ops.py."""
     docs = load_table(spark, sf_dir, "documents")
     return M.resize_payloads(M.attach_binary_payload(docs), target_bytes=64)
+
+
+@query(
+    "q_dup_chunk_fraction",
+    oracle=f"""
+    WITH chunks AS ({_CHUNKS_SQL}),
+    c AS (SELECT doc_id, count(*) OVER (PARTITION BY md5(chunk)) AS cnt
+          FROM chunks)
+    SELECT doc_id, count(*) AS n_chunks,
+           sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+           round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+               AS dup_chunk_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def q_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-chunk fraction per document (the Gopher 'repeated
+    paragraph' quality filter at chunk granularity): chunk the corpus
+    with the UDTF, count each chunk's corpus-wide occurrences via a
+    window over its hash, report the per-doc fraction living in
+    non-unique chunks. Two shuffles (chunk-hash window + doc_id agg)
+    regardless of corpus size; the chunk text itself never joins —
+    only its md5 partitions."""
+    from pyspark.sql.window import Window
+
+    from ..operators.udx import chunk_documents
+
+    ch = chunk_documents(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy(F.md5("chunk"))
+    dup = F.when(F.count(F.lit(1)).over(w) > 1, 1).otherwise(0)
+    return (
+        ch.select("doc_id", dup.alias("is_dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("is_dup").alias("n_dup_chunks"),
+            F.round(F.sum("is_dup") / F.count(F.lit(1)), 4).alias("dup_chunk_frac"),
+        )
+    )

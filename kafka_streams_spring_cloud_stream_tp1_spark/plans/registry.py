@@ -98,6 +98,7 @@ _FRONT = [
     "q_data_pipeline",
     "q_tpch_q18",
     "q_join_null_safe",
+    "q_dup_chunk_fraction",
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
     "q_asof_join",
     "q_subqueries",
