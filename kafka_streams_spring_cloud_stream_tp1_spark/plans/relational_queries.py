@@ -1396,3 +1396,32 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.sum("value")).alias("total"),
         )
     )
+
+
+@query(
+    "q_agg_correlation",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, user_id), 4) AS corr_vu,
+           round(covar_samp(value, user_id), 4) AS covar_s,
+           round(covar_pop(value, user_id), 4) AS covar_p,
+           round(regr_slope(value, user_id), 4) AS slope,
+           round(regr_intercept(value, user_id), 4) AS intercept
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregates — Pearson correlation, sample/population
+    covariance, and the least-squares regression line per group (the
+    feature-vs-target screening pass). All are single-pass partial-
+    aggregable moments (Spark's ImperativeAggregates keep the running
+    co-moment), so a 100 TB scan shuffles one moment tuple per group
+    per task."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _r(F.corr("value", "user_id")).alias("corr_vu"),
+        _r(F.covar_samp("value", "user_id")).alias("covar_s"),
+        _r(F.covar_pop("value", "user_id")).alias("covar_p"),
+        _r(F.regr_slope("value", "user_id")).alias("slope"),
+        _r(F.regr_intercept("value", "user_id")).alias("intercept"),
+    )
