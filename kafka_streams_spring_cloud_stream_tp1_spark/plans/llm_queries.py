@@ -1286,3 +1286,34 @@ def q_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("is_dup") / F.count(F.lit(1)), 4).alias("dup_chunk_frac"),
         )
     )
+
+
+@query(
+    "q_winnow_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_transform({_ngrams_multiset_sql(_TOKS, _WINNOW_K)},
+                                     g -> {xhash_sql('g')}) AS h
+               FROM documents),
+    f AS (SELECT doc_id,
+            CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                 WHEN len(h) < {_WINNOW_W} THEN [list_min(h)]
+                 ELSE list_sort(list_distinct(
+                     [list_min(h[i:i+{_WINNOW_W - 1}])
+                      for i in range(1, len(h) - {_WINNOW_W} + 2)]))
+            END AS fp
+          FROM t),
+    u AS (SELECT doc_id, unnest(fp) AS v FROM f)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM u a JOIN u b ON a.v = b.v AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style substring-overlap pairs: docs sharing ≥3 winnowing
+    fingerprint values (≈3 distinct ≥6-word substrings). Pairs emitted
+    by per-value bucket grouping — one shuffle, no fingerprint
+    self-join. operators/text.py::winnow_overlap_pairs."""
+    return T.winnow_overlap_pairs(
+        load_table(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W, min_shared=3
+    )

@@ -55,11 +55,11 @@ def _ensure_loaded() -> None:
 #      each round so every oracle eventually re-shows green;
 #   3. rows-only queries LAST — they yield `no_oracle` rows wherever
 #      they sit, so they must not occupy checked slots.
-# Round 2 final: 96 registered (88 oracle-backed, 8 rows-only); the
-# 50-slot window holds the 45 _FRONT queries (no green row yet: this
-# round's new ones + round 1's 11 unchecked) plus the first 5
-# mid_oracle entries; the rest sit past slot 50 — all of them green
-# in CORRECTNESS_r01.
+# Round 2 final: 97 registered (89 oracle-backed, 8 rows-only); the
+# 50-slot window holds the _FRONT queries (no green row yet: this
+# round's new ones + round 1's 11 unchecked) plus however many
+# mid_oracle entries fit; the rest sit past slot 50 — all of them
+# green in CORRECTNESS_r01.
 # Round 3+: rotate — move the r02-checked queries into _DEFERRED and
 # bring the 27 r01-green ones back into the window so every oracle
 # re-shows green on a cadence.
@@ -100,6 +100,7 @@ _FRONT = [
     "q_join_null_safe",
     "q_dup_chunk_fraction",
     "q_agg_correlation",
+    "q_winnow_overlap",
     # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
     "q_asof_join",
     "q_subqueries",
