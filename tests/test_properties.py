@@ -150,3 +150,39 @@ def test_misra_gries_bounds_hold_on_generated_streams(spark, rows):
             assert item in got, (item, c, err, got)
     for item, lb in got.items():
         assert lb <= exact[item] and lb >= exact[item] - err, (item, lb, exact[item])
+
+
+@given(docs=st.lists(words_st, min_size=1, max_size=6))
+@_SETTINGS
+def test_bpe_pair_counts_match_python_reference(spark, docs):
+    """bpe_pair_counts ≡ the direct Python construction (word
+    frequencies, then per-word adjacent char pairs weighted by word
+    frequency; words shorter than 2 chars contribute nothing) for
+    arbitrary generated corpora."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.vocab import (
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["pair"]: (r["n_occurrences"], r["n_words"])
+        for r in bpe_pair_counts(df, k=1000).collect()
+    }
+    wf: dict = {}
+    for ws in docs:
+        for w in (" ".join(ws).strip().split() or [""]):
+            wf[w] = wf.get(w, 0) + 1
+    occ: dict = {}
+    words_with: dict = {}
+    for w, f in wf.items():
+        if len(w) < 2:
+            continue
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            occ[p] = occ.get(p, 0) + f
+        for p in {w[i : i + 2] for i in range(len(w) - 1)}:
+            words_with[p] = words_with.get(p, 0) + 1
+    expect = {p: (occ[p], words_with[p]) for p in occ}
+    assert got == expect, (docs, got, expect)
