@@ -218,3 +218,24 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_results_invariant_to_shuffle_partition_count(spark):
+    """Every oracle-checked claim rests on partition-invariance: the
+    same query must produce identical rows under a different shuffle
+    partition count (exercises hash-agg merge, collect_list sorting,
+    window determinism, and the salted/bucketed dedup paths)."""
+    targets = ["q_windowed_count", "q_dedup_minhash_lsh", "q_group_sample",
+               "q_winnow_fingerprint", "q_bpe_pair_counts"]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for name in targets:
+                rows = queries_map()[name](spark, SF_SMOKE).collect()
+                results.setdefault(name, []).append(sorted(map(repr, rows)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} changed under a different partition count"
