@@ -459,10 +459,11 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     s AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e)
     SELECT vec_id, lo, hi,
-           CASE WHEN hi > lo
-                THEN list_transform(v, x ->
-                     (floor((x - lo) / ((hi - lo) / 255.0) + 0.5) - 128)::INT)
-                ELSE list_transform(v, x -> 0) END AS q
+           coalesce(array_to_string(
+               CASE WHEN hi > lo
+                    THEN list_transform(v, x ->
+                         (floor((x - lo) / ((hi - lo) / 255.0) + 0.5) - 128)::INT)
+                    ELSE list_transform(v, x -> 0) END, ','), '') AS q
     FROM s
     """,
 )
@@ -471,8 +472,15 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN index-compression step. Pure projection, no shuffle; the
     explicit floor(t+0.5) rounding plus exact float→double casts make
     the int codes bit-identical in the oracle
-    (operators/similarity.py::quantize_int8)."""
-    return S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    (operators/similarity.py::quantize_int8). The code array is
+    comma-joined in the final projection — the driver's pandas
+    canonicalizer cannot hash raw list cells (r02 err) — and the join
+    is bijective on int codes."""
+    q = S.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "lo", "hi",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q"),
+    )
 
 
 @query("q_ann_lsh")  # approximate by design → rows-only; recall tested in pytest
@@ -865,7 +873,11 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       generate_subscripts(embedding, 1) AS pos
                FROM embeddings),
     c AS (SELECT label, pos, round(avg(v), 4) AS m FROM e GROUP BY label, pos),
-    cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM c GROUP BY label)
+    cent AS (SELECT label,
+                    coalesce(array_to_string(
+                        list(CAST(round(m * 10000) AS BIGINT) ORDER BY pos),
+                        ','), '') AS centroid
+             FROM c GROUP BY label)
     SELECT label, n_vectors, centroid
     FROM (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
     JOIN cent USING (label)
@@ -876,8 +888,17 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF seeding / cluster QA). posexplode to components, map-side
     partial mean collapses the shuffle to |labels|·dim rows regardless
     of corpus size, array rebuilt by in-group sort on position.
-    operators/similarity.py::label_centroids."""
-    return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    operators/similarity.py::label_centroids. For the driver hash the
+    double centroid is serialized as comma-joined 1e-4-scaled BIGINTs
+    (components are already rounded to 4 decimals, so the scaling is
+    lossless and sidesteps cross-engine float formatting)."""
+    cent = S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+    scaled = F.transform(
+        F.col("centroid"), lambda m: F.round(m * 10000).cast("long").cast("string")
+    )
+    return cent.select(
+        "label", "n_vectors", F.array_join(scaled, ",").alias("centroid")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -897,7 +918,7 @@ _MIX_ALPHA = 0.3
         FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
         GROUP BY term, doc_id)
     SELECT term,
-           list(doc_id ORDER BY doc_id) AS postings,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
            count(*) AS df,
            sum(tf)::BIGINT AS tf_total
     FROM tf GROUP BY term HAVING count(*) >= 2
@@ -909,10 +930,19 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     index). Word-count plan plus one sort_array(collect_list):
     vocabulary-sized shuffle keys, min_df pruning, deterministic
     postings under any partitioning.
-    operators/retrieval.py::inverted_index."""
+    operators/retrieval.py::inverted_index. Postings serialize to a
+    comma-joined string in the final projection (driver canonicalizer
+    cannot hash list cells — r02 err); min_df=2 guarantees non-empty
+    lists so no empty-vs-NULL edge."""
     from ..operators.retrieval import inverted_index
 
-    return inverted_index(load_table(spark, sf_dir, "documents"), min_df=2)
+    idx = inverted_index(load_table(spark, sf_dir, "documents"), min_df=2)
+    return idx.select(
+        "term",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias("postings"),
+        "df",
+        "tf_total",
+    )
 
 
 @query(
@@ -1118,12 +1148,13 @@ _WINNOW_K, _WINNOW_W = 3, 4
                                      g -> {xhash_sql('g')}) AS h
                FROM documents)
     SELECT doc_id,
-           CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
-                WHEN len(h) < {_WINNOW_W} THEN [list_min(h)]
-                ELSE list_sort(list_distinct(
-                    [list_min(h[i:i+{_WINNOW_W - 1}])
-                     for i in range(1, len(h) - {_WINNOW_W} + 2)]))
-           END AS fp_winnow,
+           coalesce(array_to_string(
+               CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[])
+                    WHEN len(h) < {_WINNOW_W} THEN [list_min(h)]
+                    ELSE list_sort(list_distinct(
+                        [list_min(h[i:i+{_WINNOW_W - 1}])
+                         for i in range(1, len(h) - {_WINNOW_W} + 2)]))
+               END, ','), '') AS fp_winnow,
            len(h) AS n_grams
     FROM t
     """,
@@ -1133,9 +1164,18 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-minima of positional 3-gram shingle hashes, window 4 — any
     shared word substring of length ≥ w+k−1 = 6 forces a shared
     fingerprint value. One doc-partitioned shuffle; hash stays in
-    whole-stage codegen. operators/text.py::winnow_fingerprints."""
-    return T.winnow_fingerprints(
+    whole-stage codegen. operators/text.py::winnow_fingerprints.
+    Fingerprints serialize to a comma-joined string for the driver
+    hash (list cells are unhashable in pandas — r02 err); DuckDB's
+    array_to_string yields NULL on empty lists where Spark's
+    array_join yields '', hence the coalesce."""
+    fp = T.winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W
+    )
+    return fp.select(
+        "doc_id",
+        F.array_join(F.col("fp_winnow").cast("array<string>"), ",").alias("fp_winnow"),
+        "n_grams",
     )
 
 

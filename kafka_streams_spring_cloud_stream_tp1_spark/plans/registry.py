@@ -55,66 +55,43 @@ def _ensure_loaded() -> None:
 #      each round so every oracle eventually re-shows green;
 #   3. rows-only queries LAST — they yield `no_oracle` rows wherever
 #      they sit, so they must not occupy checked slots.
-# Round 2 final: 97 registered (89 oracle-backed, 8 rows-only); the
-# 50-slot window holds the _FRONT queries (no green row yet: this
-# round's new ones + round 1's 11 unchecked) plus however many
-# mid_oracle entries fit; the rest sit past slot 50 — all of them
-# green in CORRECTNESS_r01.
-# Round 3+: rotate — move the r02-checked queries into _DEFERRED and
-# bring the 27 r01-green ones back into the window so every oracle
-# re-shows green on a cadence.
+# Round 3 window (per VERDICT r02 §Next-round #3): the 50 slots hold
+#   1. the six r02-broken queries, now fixed (array serialization /
+#      floor-ceil-sign type alignment) — these need their first green;
+#   2. new round-3 queries — first green needed;
+#   3. the 39 oracle-backed queries NOT in the r02 window (green in
+#      r01, one round stale) — re-checked so nothing goes >1 round
+#      without a row.
+# The 44 r02-green queries rotate into _DEFERRED (past slot 50) and
+# come back in round 4. Rows-only queries always register last.
 _FRONT = [
-    # new this round — no correctness row yet. The pair producer
-    # registers immediately before the cluster consumer so bench
-    # (registration order) bills the cached PPJoin to its producer.
-    "q_sample_split",
-    "q_repetition_stats",
-    "q_decontaminate",
+    # (1) fixed this round — r02 err/hash-mismatch, no green row yet
     "q_quantize_embeddings",
-    "q_pack_sequences",
-    "q_vocab_topk",
-    "q_tfidf_topk",
-    "q_group_sample",
     "q_label_centroids",
-    "q_exact_percentiles",
-    "q_value_histogram",
-    "q_time_gapfill",
-    "q_window_ntile",
     "q_inverted_index",
-    "q_bm25",
-    "q_source_mixture",
-    "q_join_range_banded",
-    "q_forward_fill",
-    "q_window_range_frame",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",  # gained its recursive-CTE oracle in round 2
-    # added later in round 2 — also no correctness row yet
-    "q_unigram_logprob",
-    "q_random_projection",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_bpe_pair_counts",
     "q_winnow_fingerprint",
-    "q_data_pipeline",
-    "q_tpch_q18",
-    "q_join_null_safe",
-    "q_dup_chunk_fraction",
-    "q_agg_correlation",
-    "q_winnow_overlap",
-    # round-1 unchecked oracle-backed (VERDICT §Next-round #1)
-    "q_asof_join",
-    "q_subqueries",
-    "q_session_window",
-    "q_sliding_window_count",
-    "q_multires_rollup",
-    "q_salted_distinct",
-    "q_unpivot",
-    "q_math_funcs",
-    "q_json_funcs",
     "q_array_map_funcs",
-    "q_case_null_handling",
-]
-_DEFERRED = [
+    "q_math_funcs",
+    # (2) new in round 3 — no correctness row yet (max 5 slots)
+    # (3) r01-green, rotated out of the r02 window — one round stale
+    "q_dedup_simhash",
+    "q_dedup_simhash_hamming",
+    "q_dedup_embedding_cosine",
+    "q_knn_cosine",
+    "q_multimodal_features",
+    "q_frame_sample",
+    "q_readability_udf",
+    "q_weighted_mean_udaf",
+    "q_chunk_documents_udtf",
+    "q_redact_pii",
+    "q_windowed_count",
+    "q_windowed_count_keyed",
+    "q_store_range_fetch",
+    "q_agg_pricing_summary",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_left_outer",
+    "q_join_range",
     "q_filter",
     "q_project_rekey",
     "q_console_echo",
@@ -136,6 +113,53 @@ _DEFERRED = [
     "q_window_analytics",
     "q_agg_stats",
     "q_count_distinct",
+]
+_DEFERRED = [
+    # r02-green — eligible to rotate back into the window in round 4
+    "q_sample_split",
+    "q_repetition_stats",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_vocab_topk",
+    "q_tfidf_topk",
+    "q_group_sample",
+    "q_exact_percentiles",
+    "q_value_histogram",
+    "q_time_gapfill",
+    "q_window_ntile",
+    "q_bm25",
+    "q_source_mixture",
+    "q_join_range_banded",
+    "q_forward_fill",
+    "q_window_range_frame",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_unigram_logprob",
+    "q_random_projection",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_bpe_pair_counts",
+    "q_data_pipeline",
+    "q_tpch_q18",
+    "q_join_null_safe",
+    "q_dup_chunk_fraction",
+    "q_agg_correlation",
+    "q_winnow_overlap",
+    "q_asof_join",
+    "q_subqueries",
+    "q_session_window",
+    "q_sliding_window_count",
+    "q_multires_rollup",
+    "q_salted_distinct",
+    "q_unpivot",
+    "q_json_funcs",
+    "q_case_null_handling",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
 ]
 
 

@@ -630,12 +630,12 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 6) AS abs_d,
-           floor(l_quantity) AS flr,
-           ceil(l_quantity) AS cl,
+           CAST(floor(l_quantity) AS BIGINT) AS flr,
+           CAST(ceil(l_quantity) AS BIGINT) AS cl,
            round(sqrt(l_extendedprice), 4) AS sqrt_price,
            round(ln(l_extendedprice + 1), 6) AS ln_price,
            round(pow(l_quantity, 2), 4) AS qty_sq,
-           sign(l_discount - 0.05) AS sgn,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS sgn,
            CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
            greatest(l_tax, l_discount) AS gr,
            least(l_tax, l_discount) AS ls
@@ -644,7 +644,11 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math-function surface: abs, floor/ceil, sqrt/ln/pow, sign, mod,
-    greatest/least."""
+    greatest/least. Cross-engine type alignment (r02 hash mismatch):
+    Spark floor/ceil yield BIGINT but DuckDB's yield DOUBLE, and Spark
+    signum yields DOUBLE but DuckDB sign yields INT — pandas hashes
+    int64 vs float64 columns differently even when values agree, so
+    both sides cast those three to BIGINT explicitly."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -655,7 +659,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.sqrt("l_extendedprice")).alias("sqrt_price"),
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
         _r(F.pow("l_quantity", F.lit(2))).alias("qty_sq"),
-        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("sgn"),
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
         F.greatest("l_tax", "l_discount").alias("gr"),
         F.least("l_tax", "l_discount").alias("ls"),
@@ -689,17 +693,20 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_map_funcs",
     oracle="""
     SELECT event_id,
-           [user_id, CAST(floor(value) AS BIGINT)] AS pair,
+           array_to_string([user_id, CAST(floor(value) AS BIGINT)], ',') AS pair,
            len([user_id, CAST(floor(value) AS BIGINT)]) AS pair_len,
            list_contains([user_id, CAST(floor(value) AS BIGINT)], user_id) AS has_uid,
-           list_sort([CAST(floor(value) AS BIGINT), user_id]) AS sorted_pair,
+           array_to_string(list_sort([CAST(floor(value) AS BIGINT), user_id]), ',') AS sorted_pair,
            CAST(list_sum([user_id, CAST(floor(value) AS BIGINT)]) AS BIGINT) AS pair_sum
     FROM events
     """,
 )
 def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array construction + element ops (higher-order aggregate for the
-    sum — stays in codegen, no UDF)."""
+    sum — stays in codegen, no UDF). The array-valued columns are
+    serialized with array_join/array_to_string in the FINAL projection
+    only — the driver's pandas canonicalizer cannot sort/hash raw list
+    cells (r02 err), and a comma-joined string is bijective here."""
     ev = load_table(spark, sf_dir, "events")
     # floor-then-cast: Spark's double->long cast truncates but DuckDB's
     # rounds; floor is unambiguous in both
@@ -708,10 +715,10 @@ def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rpair = F.array(v_long, F.col("user_id"))
     return ev.select(
         "event_id",
-        pair.alias("pair"),
+        F.array_join(pair.cast("array<string>"), ",").alias("pair"),
         F.size(pair).cast("long").alias("pair_len"),
         F.array_contains(pair, F.col("user_id")).alias("has_uid"),
-        F.sort_array(rpair).alias("sorted_pair"),
+        F.array_join(F.sort_array(rpair).cast("array<string>"), ",").alias("sorted_pair"),
         F.aggregate(pair, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("pair_sum"),
     )
 

@@ -53,8 +53,29 @@ def normalize_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(normed, key=repr)
 
 
+def _assert_hashable_schema(sdf) -> None:
+    """The REAL driver canonicalizes with pandas sort_values over all
+    columns; list/dict cells are unhashable there, so any array, map,
+    or struct column in an oracle-backed query's FINAL projection dies
+    at the driver even though local tuple-normalization would pass
+    (round-2 lesson: five err rows). Fail fast locally instead."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"oracle-backed query output has non-scalar columns {bad}; serialize "
+        "them (array_join/to_json) in the final projection — the driver's "
+        "pandas canonicalizer cannot hash list cells"
+    )
+
+
 def compare_query(spark, con, builder, oracle: str, sf_dir: str) -> None:
     sdf = builder(spark, sf_dir)
+    _assert_hashable_schema(sdf)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
 
