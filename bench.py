@@ -1,6 +1,14 @@
 """Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print the
+result JSON {"metric", "value", "unit", "queries", "sf"}.
+
+Output layout (r02 lesson: the driver keeps only the LAST 2 KB of
+stdout and parses a line out of it — the single long line with ~100
+per-query timings got cut mid-stream and the total was lost): a
+compact totals line (full contract keys, `queries` summarized) is
+printed FIRST and repeated as the LAST line, with the full per-query
+detail line in between. Any head- or tail-window parser therefore
+always sees one complete parseable JSON line with the total.
 
 Each query executes end-to-end into a `noop` sink — full plan runs
 (scan -> shuffle -> agg), nothing funnels through the driver, so the
@@ -55,14 +63,33 @@ def main() -> None:
         builders[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    out = {
+    total = round(sum(timings.values()), 4)
+    sf = _sf_of(sf_dir)
+    # compact totals: the contract keys with `queries` summarized (the
+    # slowest entries only) so the whole line stays well under the
+    # driver's 2 KB stdout window
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
         "metric": "total_query_time",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            "_n_queries": len(timings),
+            "_mean_sec": round(total / max(len(timings), 1), 4),
+            **{k: round(v, 3) for k, v in slowest.items()},
+        },
+        "sf": sf,
+    }
+    detail = {
+        "metric": "total_query_time",
+        "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_of(sf_dir),
+        "sf": sf,
     }
-    print(json.dumps(out))
+    print(json.dumps(summary, separators=(",", ":")))
+    print(json.dumps(detail, separators=(",", ":")))
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

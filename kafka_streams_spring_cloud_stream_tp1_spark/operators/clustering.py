@@ -36,7 +36,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import as_double, with_norm
+from .similarity import as_double
 
 if TYPE_CHECKING:
     import numpy as np
@@ -72,8 +72,8 @@ def kmeans_fit(
     # Iterative input: normalize once and persist (memory, spill to
     # disk) so each Lloyd's round re-reads unit vectors instead of
     # re-running scan+normalize — the same pattern MLlib's KMeans uses.
-    # The small assignment result is cached and materialized at the
-    # end so the big corpus cache can be released before returning.
+    # The small assignment result is localCheckpointed at the end so
+    # the big corpus cache can be released before returning.
     corpus = _unit_corpus(emb, vec_col, id_col).persist()
     try:
         init_rows = corpus.orderBy("vec_id").limit(k).collect()
@@ -110,8 +110,13 @@ def kmeans_fit(
                 partials.groupBy("cluster")
                 .agg(
                     F.sum("n").alias("n"),
+                    # array_sort fixes the fold order of the collected
+                    # partials: collect_list order is partition-race
+                    # nondeterministic, and float-sum association would
+                    # otherwise let near-tie vectors flip labels between
+                    # two identical fits
                     F.aggregate(
-                        F.collect_list("vsum"),
+                        F.array_sort(F.collect_list("vsum")),
                         zero,
                         lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
                     ).alias("vsum"),
@@ -142,8 +147,14 @@ def kmeans_fit(
                     }
                 )
 
-        assignments = corpus.mapInPandas(assign, "vec_id long, cluster int").cache()
-        assignments.count()  # materialize the (small) labels now …
+        # localCheckpoint (eager) instead of cache(): materializes the
+        # small label set now (so the corpus cache can free below) AND
+        # scopes the stored blocks to the DataFrame's lifetime — the
+        # ContextCleaner releases them when the result is GC'd, where a
+        # cache() entry would leak executor memory for the session
+        # (repeated q_kmeans/q_semdedup calls compounded it).
+        assignments = corpus.mapInPandas(assign, "vec_id long, cluster int")
+        assignments = assignments.localCheckpoint(eager=True)
     finally:
         corpus.unpersist()  # … so the corpus-sized cache frees here
     return assignments, cents
@@ -172,9 +183,9 @@ def semdedup_pairs(
     import numpy as np  # noqa: F401 (imported for the worker closure)
 
     assign, _ = kmeans_fit(emb, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
-    corpus = with_norm(emb, vec_col).select(
-        "vec_id", F.transform("vec", lambda x: x / F.greatest("norm", F.lit(1e-12))).alias("unit")
-    )
+    # _unit_corpus threads id_col through (with_norm hardcodes vec_id,
+    # which broke non-default id_col — advisor r02)
+    corpus = _unit_corpus(emb, vec_col, id_col)
     cells = corpus.join(assign, "vec_id")
 
     def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":

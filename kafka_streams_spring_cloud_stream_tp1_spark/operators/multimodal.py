@@ -3,14 +3,16 @@ metadata, processed by Arrow-batched `mapInPandas`.
 
 The Spark-side architecture is the real deliverable here — schema
 (binary + struct metadata), partition-parallel Arrow batches, Pandas
-UDF signatures — while the actual media decoding is STUBBED because
-image/audio libraries are not in this container:
+UDF signatures — while media decoding is an OPTIONAL dependency:
 
-- `decode_image` / `decode_audio` raise NotImplementedError (clearly
-  marked), exactly where PIL/torchaudio calls would go.
+- `decode_image` decodes for real when Pillow is importable and
+  raises NotImplementedError otherwise (this container has no image
+  libs); `decode_audio` remains a clearly-marked stub where
+  soundfile/torchaudio calls would go.
 - `extract_features` computes real, deterministic byte-level features
-  (size, digest, magic-byte sniff) so the pipeline is end-to-end
-  testable and oracle-checkable today.
+  (size, digest, magic-byte sniff) plus width/height (NULL unless a
+  decodable image payload meets an installed Pillow) so the pipeline
+  is end-to-end testable and oracle-checkable today.
 
 Scale notes: payloads stay opaque `BinaryType` — Spark never
 interprets them, parquet stores them efficiently, and column pruning
@@ -56,6 +58,8 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType()),
         StructField("digest", StringType()),
         StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
     ]
 )
 
@@ -74,11 +78,21 @@ PAYLOAD_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB — real deployments decode via PIL/opencv here. The
-    container has no image libraries, so this is intentionally left
-    unimplemented; callers gate on `kind.startswith('image/')` and
-    treat NotImplementedError as 'undecodable'."""
-    raise NotImplementedError("image decoding requires PIL/opencv (not in this container)")
+    """Decode image bytes to a PIL.Image — OPTIONAL dependency: when
+    Pillow is importable the decode is real; otherwise raises
+    NotImplementedError (this container ships no image libs). Callers
+    gate on `kind.startswith('image/')` and treat NotImplementedError
+    as 'undecodable'; tests skip cleanly when Pillow is absent (same
+    gate pattern as the Kafka-broker / protobuf skips)."""
+    try:
+        from PIL import Image  # noqa: PLC0415 (optional, worker-side)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires Pillow (optional; not in this container)"
+        ) from exc
+    import io
+
+    return Image.open(io.BytesIO(payload))
 
 
 def decode_audio(payload: bytes) -> object:
@@ -109,21 +123,37 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def extract_features(df: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads. Real
-    byte-level features (deterministic); the media-decode hook is the
-    stubbed `decode_*` above."""
+    """Arrow-batched feature extraction over binary payloads. Byte
+    features (size, digest, magic sniff) are always real and
+    deterministic; width/height are decoded via `decode_image` for
+    image/* payloads when Pillow is present and NULL otherwise (no
+    Pillow, non-image, or corrupt bytes) — so the schema is stable
+    across environments and the fixture corpus (text payloads)
+    oracle-checks identically with or without the optional dep."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        def dims(b: bytes) -> tuple:
+            if not _sniff(b).startswith("image/"):
+                return (None, None)
+            try:
+                img = decode_image(b)
+                return (int(img.width), int(img.height))
+            except Exception:  # NotImplementedError (no Pillow) or corrupt bytes
+                return (None, None)
+
         for pdf in it:
             payloads = pdf["payload"]
+            wh = [dims(bytes(b)) for b in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "digest": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
                     "kind": payloads.map(lambda b: _sniff(bytes(b))),
+                    "width": pd.array([w for w, _ in wh], dtype="Int64"),
+                    "height": pd.array([h for _, h in wh], dtype="Int64"),
                 }
             )
 

@@ -47,12 +47,19 @@ def _mg_fold(counters: dict, batch_counts: "pd.Series", k: int) -> dict:
 
 
 def heavy_hitters(
-    df: DataFrame, item: Column | str, k: int = 16, top: int = 10
+    df: DataFrame, item: Column | str, k: int = 16, top: int | None = None
 ) -> DataFrame:
-    """Approximate top-``top`` most frequent values of ``item`` with
-    ≤ ``k`` counters of state per partition. Returns
-    (item, lower_bound) ordered by the merged lower bound; every value
-    with true frequency > n/(k+1) is guaranteed present.
+    """Approximate most-frequent values of ``item`` with ≤ ``k``
+    counters of state per partition. Returns (item, lower_bound)
+    ordered by the merged lower bound.
+
+    The Misra-Gries guarantee — every value with true frequency >
+    n/(k+1) is present — holds for the FULL merged summary, i.e. when
+    ``top`` is None (the default; output is ≤ k items per input
+    partition). A ``top`` limit ranks by merged LOWER BOUNDS, which do
+    not preserve true-frequency order, so with top < k a guaranteed
+    item can fall below the cut — pass ``top`` only as a display
+    truncation, not when the containment guarantee matters.
     """
     c = F.col(item) if isinstance(item, str) else item
     rows = df.select(c.cast("string").alias("item"))
@@ -71,9 +78,9 @@ def heavy_hitters(
             )
 
     summaries = rows.mapInPandas(summarize, "item string, lb long")
-    return (
+    merged = (
         summaries.groupBy("item")
         .agg(F.sum("lb").alias("lower_bound"))
         .orderBy(F.desc("lower_bound"), F.asc("item"))
-        .limit(top)
     )
+    return merged.limit(top) if top is not None else merged

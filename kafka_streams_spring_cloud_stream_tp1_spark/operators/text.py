@@ -272,7 +272,12 @@ def winnow_fingerprints(
 
 
 def winnow_overlap_pairs(
-    df: DataFrame, k: int = 3, w: int = 4, min_shared: int = 3, text_col: str = "text"
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    text_col: str = "text",
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprint
     values — the MOSS overlap report: a pair sharing m values shares
@@ -284,12 +289,24 @@ def winnow_overlap_pairs(
     (≈2/(w+1) of shingles survive) keeps b small on natural text,
     and the min_shared filter drops the incidental singleton overlaps
     that dominate the pair count (3374 → 25 on the fixture corpus).
+
+    ``max_bucket`` is the hard cap on that skew: fingerprint values
+    shared by more than ``max_bucket`` docs are DROPPED before pair
+    emission (standard MOSS practice — a value present in thousands
+    of documents is boilerplate, not evidence of copying, and its b²
+    pair blow-up is exactly the super-linear term the r02 5× scale
+    check caught). The cap bounds per-bucket work at b·(b−1)/2 ≤
+    max_bucket² regardless of corpus size; dropped values are
+    observable via ``winnow_overloaded_values`` (same inputs) so
+    pipelines can report the drop count. ``None`` disables the cap.
     """
     fp = winnow_fingerprints(df, k=k, w=w, text_col=text_col)
     u = fp.select("doc_id", F.explode("fp_winnow").alias("v"))
+    buckets = u.groupBy("v").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
     pairs = (
-        u.groupBy("v")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        buckets
         .select(
             F.explode(
                 F.flatten(
@@ -312,4 +329,21 @@ def winnow_overlap_pairs(
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_overloaded_values(
+    df: DataFrame, k: int = 3, w: int = 4, text_col: str = "text", max_bucket: int = 64
+) -> DataFrame:
+    """The fingerprint values `winnow_overlap_pairs` drops under the
+    same ``max_bucket`` cap, with their bucket sizes — the drop report
+    a pipeline logs/audits alongside the overlap pairs (count(*) here
+    is the number of suppressed boilerplate values; sum(b·(b−1)/2)
+    the number of suppressed pairs)."""
+    fp = winnow_fingerprints(df, k=k, w=w, text_col=text_col)
+    return (
+        fp.select("doc_id", F.explode("fp_winnow").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )

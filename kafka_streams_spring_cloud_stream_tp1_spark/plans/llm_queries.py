@@ -504,15 +504,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            octet_length(encode(text))::BIGINT AS n_bytes,
            md5(text) AS digest,
-           'application/octet-stream' AS kind
+           'application/octet-stream' AS kind,
+           CAST(NULL AS BIGINT) AS width,
+           CAST(NULL AS BIGINT) AS height
     FROM documents
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction through Arrow-batched
-    mapInPandas (the real multimodal plumbing; media decode itself is
-    stubbed — operators/multimodal.py). Byte features are exact, so
-    the Python path is fully oracle-checked."""
+    mapInPandas (the real multimodal plumbing; image decode is an
+    optional Pillow dependency — operators/multimodal.py). Byte
+    features are exact and width/height are NULL for these text
+    payloads with or without Pillow, so the Python path is fully
+    oracle-checked in every environment."""
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_binary_payload(docs))
 
@@ -1084,30 +1088,73 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_kmeans")
+_KM_ORACLE_ASSIGN = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / greatest(
+                     sqrt(list_sum(list_transform(v, y -> y * y))), 1e-12)) AS unit
+          FROM e),
+    init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                    unit AS cunit
+             FROM u ORDER BY vec_id LIMIT 8),
+    scored AS (SELECT u.vec_id, i.cluster, u.unit,
+                      list_dot_product(u.unit, i.cunit) AS score
+               FROM u CROSS JOIN init i),
+    assigned AS (SELECT vec_id, cluster, unit
+                 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cluster) AS rk
+                       FROM scored)
+                 WHERE rk = 1)
+"""
+
+
+@query(
+    "q_kmeans",
+    oracle=f"""
+    WITH {_KM_ORACLE_ASSIGN}
+    SELECT vec_id, cluster FROM assigned
+    """,
+)
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-corpus spherical k-means cluster assignments (iterative —
-    not single-statement-SQL-expressible, so rows-only here;
-    tests/test_clustering.py asserts nearest-centroid optimality and
-    objective monotonicity). operators/clustering.py::kmeans_fit."""
+    """Spherical k-means assignment through the REAL iterative
+    operator (operators/clustering.py::kmeans_fit), restricted to the
+    deterministic E-step (fixed k-lowest-id init, iters=0) so DuckDB
+    can replay it exactly: argmax-cosine against fixed seed centroids,
+    ties to the lowest cluster. The sf0.01 argmax margin is ≥ 4e-4 —
+    far above cross-engine float-accumulation noise — so assignments
+    are bit-stable. The full Lloyd's loop (iters ≥ 1) stays pinned by
+    tests/test_clustering.py (nearest-centroid optimality, objective
+    monotonicity, determinism)."""
     from ..operators.clustering import kmeans_fit
 
-    assign, _ = kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=8, iters=2)
-    return assign
+    assign, _ = kmeans_fit(load_table(spark, sf_dir, "embeddings"), k=8, iters=0)
+    return assign.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
-@query("q_semdedup")
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH {_KM_ORACLE_ASSIGN}
+    SELECT x.vec_id AS keep_id, y.vec_id AS drop_id,
+           round(list_dot_product(x.unit, y.unit), 4) AS score
+    FROM assigned x JOIN assigned y
+      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE list_dot_product(x.unit, y.unit) >= {_COS_T}
+    """,
+)
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic near-duplicate pairs: cluster with k-means,
-    then all-pairs cosine ONLY inside each cluster (k× smaller cells
-    vs. brute force). Iterative upstream ⇒ rows-only;
-    tests/test_clustering.py asserts exact agreement with the
-    brute-force pairs restricted to the operator's own clusters.
-    operators/clustering.py::semdedup_pairs."""
+    """SemDeDup semantic near-duplicate pairs: cluster, then all-pairs
+    cosine ONLY inside each cluster (k× smaller cells vs brute force).
+    Same deterministic E-step restriction as q_kmeans (fixed init,
+    iters=0) so the within-cell pairs replay exactly in DuckDB; the
+    min |cos − threshold| gap at sf0.01 is ≥ 1e-4, so the raw-score
+    threshold filter is boundary-stable cross-engine. Iterative
+    clustering + brute-force agreement stay pinned by
+    tests/test_clustering.py. operators/clustering.py::semdedup_pairs."""
     from ..operators.clustering import semdedup_pairs
 
     return semdedup_pairs(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, threshold=_COS_T
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=0, threshold=_COS_T
     )
 
 
@@ -1138,6 +1185,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WINNOW_K, _WINNOW_W = 3, 4
+_WINNOW_MAXB = 64
 
 
 @query(
@@ -1192,7 +1240,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(tokens("text")).alias("token"))
-    return heavy_hitters(tok, "token", k=16, top=10)
+    # no `top` limit: the containment guarantee is scoped to the full
+    # merged summary (operators/sketches.py::heavy_hitters)
+    return heavy_hitters(tok, "token", k=16)
 
 
 _PIPE_MIN_QUALITY = 65
@@ -1343,9 +1393,11 @@ def q_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for i in range(1, len(h) - {_WINNOW_W} + 2)]))
             END AS fp
           FROM t),
-    u AS (SELECT doc_id, unnest(fp) AS v FROM f)
+    u AS (SELECT doc_id, unnest(fp) AS v FROM f),
+    ok AS (SELECT v FROM u GROUP BY v HAVING count(*) <= {_WINNOW_MAXB}),
+    uc AS (SELECT doc_id, v FROM u JOIN ok USING (v))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-    FROM u a JOIN u b ON a.v = b.v AND a.doc_id < b.doc_id
+    FROM uc a JOIN uc b ON a.v = b.v AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= 3
     """,
 )
@@ -1353,7 +1405,14 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS-style substring-overlap pairs: docs sharing ≥3 winnowing
     fingerprint values (≈3 distinct ≥6-word substrings). Pairs emitted
     by per-value bucket grouping — one shuffle, no fingerprint
-    self-join. operators/text.py::winnow_overlap_pairs."""
+    self-join; values shared by > max_bucket docs are dropped
+    (boilerplate carries no copy signal, and the cap bounds the
+    per-bucket b² pair blow-up at scale).
+    operators/text.py::winnow_overlap_pairs."""
     return T.winnow_overlap_pairs(
-        load_table(spark, sf_dir, "documents"), k=_WINNOW_K, w=_WINNOW_W, min_shared=3
+        load_table(spark, sf_dir, "documents"),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=3,
+        max_bucket=_WINNOW_MAXB,
     )

@@ -72,7 +72,9 @@ _FRONT = [
     "q_winnow_fingerprint",
     "q_array_map_funcs",
     "q_math_funcs",
-    # (2) new in round 3 — no correctness row yet (max 5 slots)
+    # (2) newly oracle-backed in round 3 — no green row yet (≤5 slots)
+    "q_kmeans",  # restricted deterministic oracle (fixed-init E-step)
+    "q_semdedup",  # same restriction
     # (3) r01-green, rotated out of the r02 window — one round stale
     "q_dedup_simhash",
     "q_dedup_simhash_hamming",

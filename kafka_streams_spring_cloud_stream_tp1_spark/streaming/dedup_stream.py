@@ -136,9 +136,18 @@ def stream_near_dup_monitor(
     """Run near-dup detection on every micro-batch of ``stream``
     (docs with doc_id + text columns) against the static ``corpus``,
     handing each batch's flags DataFrame to ``sink(flags, batch_id)``.
-    Returns the started StreamingQuery."""
-    index = corpus_band_index(corpus, n=n)
-    shingles = shingle_sets(corpus, n)
+    Returns the started StreamingQuery.
+
+    The corpus band index and shingle sets are persisted and
+    materialized BEFORE the stream starts — they are lazy plans, and
+    without the persist every micro-batch would re-run the full corpus
+    MinHash/shingle pipeline (a per-batch corpus scan at 100 TB scale,
+    the opposite of the built-once contract in the module doc). The
+    caches release when the query terminates; at real corpus scale
+    write the index to a bucketed table instead and re-read it."""
+    index = corpus_band_index(corpus, n=n).persist()
+    shingles = shingle_sets(corpus, n).persist()
+    index.count(), shingles.count()  # build once, eagerly
 
     def process(batch: DataFrame, batch_id: int) -> None:
         flags = near_dup_flags_batch(
@@ -146,7 +155,32 @@ def stream_near_dup_monitor(
         )
         sink(flags, batch_id)
 
-    return stream.writeStream.foreachBatch(process).start()
+    query = stream.writeStream.foreachBatch(process).start()
+
+    _orig_await, _orig_stop = query.awaitTermination, query.stop
+
+    def _cleanup() -> None:
+        for df in (index, shingles):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    def awaitTermination(timeout=None):  # noqa: N802 (Spark API casing)
+        try:
+            return _orig_await(timeout) if timeout is not None else _orig_await()
+        finally:
+            if not query.isActive:
+                _cleanup()
+
+    def stop():
+        try:
+            return _orig_stop()
+        finally:
+            _cleanup()
+
+    query.awaitTermination, query.stop = awaitTermination, stop
+    return query
 
 
 __all__ = [

@@ -96,6 +96,27 @@ def test_semdedup_matches_bruteforce_within_cells(spark):
     assert got == want
 
 
+def test_semdedup_custom_id_and_vec_cols(spark):
+    """The advertised id_col/vec_col parameters must actually work
+    (r02 advisor: the exact-verify side hardcoded vec_id and broke on
+    renames): renamed columns give the identical pair set."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    renamed = emb.select(
+        emb["vec_id"].alias("row_key"), emb["embedding"].alias("vec")
+    )
+    base = {
+        (r["keep_id"], r["drop_id"], r["score"])
+        for r in semdedup_pairs(emb, k=8, iters=2, threshold=0.4).collect()
+    }
+    got = {
+        (r["keep_id"], r["drop_id"], r["score"])
+        for r in semdedup_pairs(
+            renamed, k=8, iters=2, threshold=0.4, vec_col="vec", id_col="row_key"
+        ).collect()
+    }
+    assert got == base and base
+
+
 def test_random_projection_shape_and_signs(spark):
     """The projected frame must equal a numpy recomputation from the
     same sign matrix (up to the 4-decimal rounding both apply), and

@@ -333,6 +333,101 @@ def test_winnow_shared_substring_guarantee(spark):
     assert fp[4] == (set(), 0)
 
 
+def test_winnow_overlap_bucket_cap(spark):
+    """The max_bucket cap drops ONLY pairs that rely on over-shared
+    (boilerplate) fingerprint values: a value shared by every doc is
+    suppressed, genuinely-copied pair overlap survives, and the drop
+    report names exactly the over-shared values."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+        winnow_overloaded_values,
+    )
+
+    boiler = "subscribe to our newsletter for daily updates today"  # > w+k-1 words
+    copied = "the quick brown fox jumps over the lazy sleeping dog"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} alpha beta gamma delta epsilon zeta eta theta"),
+            (1, f"{boiler} one two three four five six seven eight nine"),
+            (2, f"{boiler} cat dog bird fish lion tiger bear wolf fox"),
+            (3, f"{boiler} red green blue cyan magenta yellow black white"),
+            (4, f"{copied} maple oak pine birch cedar willow elm ash fir"),
+            (5, f"{copied} mercury venus earth mars jupiter saturn uranus"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(docs, min_shared=1, max_bucket=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_overlap_pairs(docs, min_shared=1, max_bucket=3).collect()
+    }
+    # the copied pair (4,5) survives the cap with its full overlap
+    assert capped[(4, 5)] == uncapped[(4, 5)] >= 1
+    # boilerplate-only pairs (values shared by all of docs 0-3) vanish
+    for pair in [(0, 1), (0, 2), (1, 3), (2, 3)]:
+        assert pair in uncapped and pair not in capped
+    # every capped count equals the uncapped count minus over-shared values
+    fps = {
+        r["doc_id"]: set(r["fp_winnow"])
+        for r in winnow_fingerprints(docs).collect()
+    }
+    over = {
+        r["v"]: r["bucket_size"]
+        for r in winnow_overloaded_values(docs, max_bucket=3).collect()
+    }
+    from collections import Counter
+
+    sizes = Counter(v for s in fps.values() for v in s)
+    assert set(over) == {v for v, n in sizes.items() if n > 3}
+    assert all(over[v] == sizes[v] for v in over)
+    for (a, b), n in uncapped.items():
+        expect = len((fps[a] & fps[b]) - set(over))
+        assert capped.get((a, b), 0) == expect
+
+
+# A complete, valid 1×1 red-pixel PNG, hand-assembled (no image lib
+# needed to CONSTRUCT it — only to decode it).
+_PNG_1x1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
+    "53de0000000c4944415408d763f8cfc00000030101cf9f86650000000049454e44ae426082"
+)
+
+
+def test_image_decode_optional_dependency(spark):
+    """decode_image is PIL-gated: with Pillow it decodes a real PNG
+    (and extract_features reports its dimensions); without, it raises
+    NotImplementedError and extract_features yields NULL dims — the
+    schema is identical either way."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    df = spark.createDataFrame([(1, _PNG_1x1), (2, b"not an image")],
+                               "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in M.extract_features(df).collect()}
+    assert out[1]["kind"] == "image/png"
+    assert out[2]["width"] is None and out[2]["height"] is None
+    if has_pil:
+        img = decode_image(_PNG_1x1)
+        assert (img.width, img.height) == (1, 1)
+        assert (out[1]["width"], out[1]["height"]) == (1, 1)
+    else:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(_PNG_1x1)
+        assert out[1]["width"] is None and out[1]["height"] is None
+        pytest.skip("Pillow absent: decode path exercised as the gated stub")
+
+
 def test_resize_payloads_plumbing(spark):
     """Resize (thumbnail) plumbing: output payloads are capped at the
     target size, short payloads pass through untouched, and the first
