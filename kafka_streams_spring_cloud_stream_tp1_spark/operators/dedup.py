@@ -215,6 +215,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_df: int = 64,
+) -> DataFrame:
+    """Document pairs by n-gram set CONTAINMENT — C(A→B) = |A∩B|/|A| —
+    kept when either direction clears ``threshold``. Containment is
+    the asymmetric complement to `ngram_jaccard_pairs`: a short doc
+    fully embedded in a long one (quote farms, wrapper boilerplate,
+    excerpt pages) has high containment but LOW Jaccard (the union is
+    dominated by the long doc), so Jaccard dedup misses exactly the
+    near-superset duplicates this catches. Returns
+    (doc_a, doc_b, n_shared, containment_a, containment_b),
+    doc_a < doc_b, containments rounded to 4.
+
+    Candidate generation is the per-shingle bucket-group (one shuffle,
+    no shingle self-join, same shape as winnow_overlap_pairs):
+    shingles held by fewer than 2 or more than ``max_df`` docs are
+    dropped before pair emission — singletons generate nothing and
+    over-shared shingles are boilerplate whose b² pair blow-up is the
+    scale killer. n_shared therefore counts only sub-``max_df``
+    shingles (both engines agree; the denominators |A|, |B| stay
+    uncapped), making the score conservative on boilerplate-heavy
+    pairs by design.
+    """
+    sh = shingle_sets(df, n, text_col)
+    # carry each doc's set size INSIDE the bucket structs: the pair
+    # emitter then has both denominators in-row and the corpus-sized
+    # (doc_id, n_sh) table never joins back (a join would shuffle or
+    # broadcast one row per document — wrong at corpus scale; the
+    # struct rides the same one shuffle the buckets already pay).
+    # sort_array on (doc_id, n_sh) structs orders by doc_id first, so
+    # pair emission stays deterministic.
+    ex = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode_outer("shingles").alias("g"),
+    ).filter(F.col("g").isNotNull())
+    buckets = (
+        ex.groupBy("g")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x: F.filter(
+                        F.transform(
+                            "ds",
+                            lambda y: F.struct(
+                                x["doc_id"].alias("doc_a"),
+                                x["n_sh"].alias("n_a"),
+                                y["doc_id"].alias("doc_b"),
+                                y["n_sh"].alias("n_b"),
+                            ),
+                        ),
+                        lambda p: p["doc_a"] < p["doc_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.n_a", "p.doc_b", "p.n_b")
+    shared = pairs.groupBy("doc_a", "n_a", "doc_b", "n_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    ca = F.col("n_shared") / F.col("n_a")
+    cb = F.col("n_shared") / F.col("n_b")
+    return (
+        shared.filter(F.greatest(ca, cb) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(ca, 4).alias("containment_a"),
+            F.round(cb, 4).alias("containment_b"),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, k: int = 12, n: int = 2, text_col: str = "text") -> DataFrame:
     """(doc_id, sig_0..sig_{k-1}) MinHash signature over word n-gram
     shingles. Permutation i is XOR with a fixed mask (see hashing.py);

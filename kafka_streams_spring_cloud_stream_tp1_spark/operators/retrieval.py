@@ -65,6 +65,40 @@ def inverted_index(
     return post
 
 
+def idf_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document rarity profile over its DISTINCT tokens: mean and
+    max smoothed IDF, idf(t) = ln((N+1)/(df(t)+1)) — the cheap
+    "rare-token density" quality signal (jargon/code/named-entity-rich
+    docs score high; pure-stopword boilerplate scores near 0), the
+    inverse view of `unigram_logprob`'s frequency weighting. Returns
+    (doc_id, n_unique, mean_idf, max_idf).
+
+    Plan: distinct (doc, token) pairs in ONE Expand-free aggregate
+    (groupBy doc+token), df(t) as a vocab-sized re-aggregate joined
+    back on the token (broadcast while it fits, shuffled hash join
+    beyond — either way the scoring aggregate is keyed by doc_id, so
+    stopword skew spreads across reducers), N as a broadcast 1-row
+    aggregate."""
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+    return (
+        pairs.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.round(F.avg(idf), 4).alias("mean_idf"),
+            F.round(F.max(idf), 4).alias("max_idf"),
+        )
+    )
+
+
 def bm25(
     df: DataFrame,
     query_terms: Sequence[str],

@@ -118,6 +118,57 @@ def unigram_logprob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def bigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", alpha: float = 0.5
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own add-α bigram LM — the next step up from `unigram_logprob` in
+    the CCNet-style perplexity-filtering ladder (a doc whose word
+    ORDER is unusual scores high even when its unigrams are common —
+    catches shuffled/garbled text that unigram scoring cannot).
+    P(w2|w1) = (c(w1 w2) + α) / (c(w1·) + α·V), V = distinct unigram
+    vocabulary. Returns (doc_id, n_bigrams, avg_nll); docs with < 2
+    tokens (no bigrams) drop out, mirroring the oracle's len ≥ 2.
+
+    Scale shape: the LM build is the word-count plan over bigram keys
+    (map-side partials → bigram-vocabulary-sized shuffle); c(w1·) is a
+    re-aggregate of that table (vocab-sized input, not corpus-sized);
+    V and the scoring tables broadcast while they fit, degrading to a
+    shuffled hash join on the bigram key — the right plan either way.
+    Like unigram_logprob, the scoring pass aggregates by doc_id, so
+    token-frequency skew never lands on one reducer.
+    """
+    from .text import word_ngrams_multiset
+
+    bg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams_multiset(tokens(text_col), 2)).alias("bg"),
+    )
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        c12.withColumn("w1", F.split("bg", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vsize = df.select(F.explode(tokens(text_col)).alias("token")).agg(
+        F.count_distinct("token").alias("vsz")
+    )
+    nll = -F.log(
+        (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("vsz"))
+    )
+    return (
+        bg.join(F.broadcast(c12), "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )
+
+
 def bpe_pair_counts(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     """Corpus-weighted adjacent character-pair counts — the statistic
     a BPE/WordPiece tokenizer trainer maximizes at each merge step

@@ -1065,6 +1065,107 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(load_table(spark, sf_dir, "documents"))
 
 
+_BG_ALPHA = 0.5
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS h FROM documents),
+    bg AS (SELECT doc_id, unnest({_ngrams_multiset_sql(_TOKS, 2)}) AS bg
+           FROM documents),
+    c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+    c1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+           FROM c12 GROUP BY 1),
+    v AS (SELECT count(DISTINCT token) AS vsz
+          FROM (SELECT unnest(h) AS token FROM t))
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln((c12.c12 + {_BG_ALPHA})
+                         / (c1.c1 + {_BG_ALPHA} * v.vsz))), 4) AS avg_nll
+    FROM bg JOIN c12 USING (bg)
+            JOIN c1 ON split_part(bg.bg, ' ', 1) = c1.w1
+            CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality score under the corpus's own
+    add-α bigram LM: mean −ln P(w2|w1) per doc — flags word-ORDER
+    anomalies (garbled/shuffled text) that the unigram score cannot.
+    LM build is the word-count plan over bigram keys; scoring
+    aggregates by doc_id so token skew spreads.
+    operators/vocab.py::bigram_logprob."""
+    from ..operators.vocab import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"), alpha=_BG_ALPHA)
+
+
+_CONT_N, _CONT_T, _CONT_MAXDF = 3, 0.5, 64
+
+
+@query(
+    "q_containment_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_ngrams_sql(_TOKS, _CONT_N)} AS sh FROM documents),
+    u AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM t),
+    ok AS (SELECT g FROM u GROUP BY g
+           HAVING count(*) BETWEEN 2 AND {_CONT_MAXDF}),
+    uc AS (SELECT doc_id, n_sh, g FROM u JOIN ok USING (g)),
+    p AS (SELECT a.doc_id AS doc_a, a.n_sh AS n_a,
+                 b.doc_id AS doc_b, b.n_sh AS n_b,
+                 count(*) AS n_shared
+          FROM uc a JOIN uc b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b, n_shared,
+           round(n_shared / n_a, 4) AS containment_a,
+           round(n_shared / n_b, 4) AS containment_b
+    FROM p
+    WHERE greatest(n_shared / n_a, n_shared / n_b) >= {_CONT_T}
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset duplicate pairs by trigram-set CONTAINMENT
+    |A∩B|/|A| ≥ 0.5 (either direction) — the asymmetric complement to
+    Jaccard dedup: an excerpt embedded in a longer page has high
+    containment but low Jaccard. Per-shingle bucket grouping (one
+    shuffle, sizes carried in the bucket structs — no corpus-sized
+    join-back), buckets outside [2, max_df] dropped (singletons
+    pair-less, over-shared shingles boilerplate).
+    operators/dedup.py::containment_pairs."""
+    return D.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=_CONT_N,
+        threshold=_CONT_T,
+        max_df=_CONT_MAXDF,
+    )
+
+
+@query(
+    "q_idf_rarity",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, count(*) AS n_unique,
+           round(avg(ln((n_docs + 1) / (df + 1))), 4) AS mean_idf,
+           round(max(ln((n_docs + 1) / (df + 1))), 4) AS max_idf
+    FROM pairs JOIN dfreq USING (term) CROSS JOIN n
+    GROUP BY doc_id
+    """,
+)
+def q_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity profile: mean/max smoothed IDF over the
+    doc's distinct tokens — the rare-token-density quality signal
+    (inverse view of q_unigram_logprob). Vocab-sized df table joined
+    back on the token; the scoring aggregate keys on doc_id.
+    operators/retrieval.py::idf_rarity."""
+    from ..operators.retrieval import idf_rarity
+
+    return idf_rarity(load_table(spark, sf_dir, "documents"))
+
+
 def _rp_oracle(out_dim: int = 8, in_dim: int = 64) -> str:
     cols = []
     for j, row in enumerate(S.rp_sign_matrix(out_dim, in_dim)):

@@ -75,6 +75,9 @@ _FRONT = [
     # (2) newly oracle-backed in round 3 — no green row yet (≤5 slots)
     "q_kmeans",  # restricted deterministic oracle (fixed-init E-step)
     "q_semdedup",  # same restriction
+    "q_bigram_logprob",
+    "q_containment_dedup",
+    "q_idf_rarity",
     # (3) r01-green, rotated out of the r02 window — one round stale
     "q_dedup_simhash",
     "q_dedup_simhash_hamming",

@@ -333,6 +333,105 @@ def test_winnow_shared_substring_guarantee(spark):
     assert fp[4] == (set(), 0)
 
 
+def test_containment_catches_near_supersets_jaccard_misses(spark):
+    """The defining case for containment dedup: a short excerpt fully
+    embedded in a long page has containment 1.0 but Jaccard well under
+    a dedup threshold; unrelated docs produce nothing. Values check
+    against a driver-side set computation."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    excerpt = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, excerpt),
+            (1, f"{excerpt} {filler}"),
+            (2, "cat dog bird fish lion tiger bear wolf fox deer elk"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_shared"], r["containment_a"], r["containment_b"]
+        )
+        for r in containment_pairs(docs, n=3, threshold=0.5).collect()
+    }
+
+    def tri(s):
+        t = s.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    a, b = tri(excerpt), tri(f"{excerpt} {filler}")
+    shared = len(a & b)
+    assert got == {
+        (0, 1): (shared, round(shared / len(a), 4), round(shared / len(b), 4))
+    }
+    assert got[(0, 1)][1] == 1.0  # excerpt fully contained
+    # Jaccard at the same 0.5 bar misses this pair entirely
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert not [r for r in jac if (r["doc_a"], r["doc_b"]) == (0, 1)]
+
+
+def test_containment_max_df_drops_boilerplate_shingles(spark):
+    """Shingles held by more than max_df docs must not contribute to
+    n_shared (denominators stay uncapped): with boilerplate on every
+    doc and max_df below the doc count, only genuine overlap scores."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    boiler = "all rights reserved contact us today"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique{i} token{i} val{i} item{i}") for i in range(5)]
+        + [(5, f"{boiler} unique0 token0 val0 item0")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in containment_pairs(docs, n=3, threshold=0.5, max_df=3).collect()
+    }
+    # every boilerplate trigram spans all 6 docs (> max_df=3) and is
+    # dropped; only the doc0/doc5 unique-suffix overlap survives, and
+    # the bridging trigrams (boiler tail + unique head) appear in
+    # exactly those two docs so they count
+    assert set(got) == {(0, 5)}
+
+
+def test_idf_rarity_matches_python(spark):
+    """idf_rarity must equal the driver-side smoothed-IDF recount."""
+    import math
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.retrieval import (
+        idf_rarity,
+    )
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    corpus = {
+        r["doc_id"]: set(r["text"].strip().split())
+        for r in docs.select("doc_id", "text").collect()
+    }
+    from collections import Counter
+
+    dfreq = Counter(t for s in corpus.values() for t in s)
+    n = len(corpus)
+    want = {}
+    for did, terms in corpus.items():
+        idfs = [math.log((n + 1) / (dfreq[t] + 1)) for t in terms]
+        want[did] = (
+            len(terms),
+            round(sum(idfs) / len(idfs), 4),
+            round(max(idfs), 4),
+        )
+    got = {
+        r["doc_id"]: (r["n_unique"], r["mean_idf"], r["max_idf"])
+        for r in idf_rarity(docs).collect()
+    }
+    assert got == want
+
+
 def test_winnow_overlap_bucket_cap(spark):
     """The max_bucket cap drops ONLY pairs that rely on over-shared
     (boilerplate) fingerprint values: a value shared by every doc is

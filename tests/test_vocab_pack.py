@@ -157,3 +157,41 @@ def test_bpe_pair_counts_hand_check(spark):
     )
     rows = {r["pair"]: (r["n_occurrences"], r["n_words"]) for r in bpe_pair_counts(docs, k=10).collect()}
     assert rows == {"ab": (3, 2), "ba": (2, 1)}
+
+
+def test_bigram_logprob_matches_python_lm(spark, docs):
+    """bigram_logprob must equal a driver-side add-α bigram LM built
+    from the same corpus: c12/c1 counts, V = distinct unigrams,
+    P = (c12+α)/(c1+α·V), per-doc mean −ln P rounded to 4."""
+    import math
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.vocab import (
+        bigram_logprob,
+    )
+
+    alpha = 0.5
+    corpus = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    c12, c1, vocab = Counter(), Counter(), set()
+    for toks in corpus.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    want = {}
+    for did, toks in corpus.items():
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        nll = [
+            -math.log((c12[bg] + alpha) / (c1[bg[0]] + alpha * len(vocab)))
+            for bg in bgs
+        ]
+        want[did] = (len(bgs), round(sum(nll) / len(nll), 4))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in bigram_logprob(docs, alpha=alpha).collect()
+    }
+    assert got == want
