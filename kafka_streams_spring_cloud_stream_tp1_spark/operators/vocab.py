@@ -132,23 +132,32 @@ def bigram_logprob(
 
     Scale shape: the LM build is the word-count plan over bigram keys
     (map-side partials → bigram-vocabulary-sized shuffle); c(w1·) is a
-    re-aggregate of that table (vocab-sized input, not corpus-sized);
-    V and the scoring tables broadcast while they fit, degrading to a
-    shuffled hash join on the bigram key — the right plan either way.
-    Like unigram_logprob, the scoring pass aggregates by doc_id, so
-    token-frequency skew never lands on one reducer.
+    WINDOW sum over that table — c12 has one row per distinct bigram,
+    so sum(c12) over (partition by w1) is exactly the left-context
+    count with no second corpus pass. The corpus explode fans out
+    first (CPU-heavy zip projection must use every core even off one
+    scan split). The finished (bg, c12, c1) table broadcasts while it
+    fits, degrading to a shuffled hash join on the bigram key — the
+    right plan either way. Like unigram_logprob, the scoring pass
+    aggregates by doc_id, so token-frequency skew never lands on one
+    reducer.
     """
+    from pyspark.sql.window import Window
+
+    from .hashing import fan_out
     from .text import word_ngrams_multiset
 
-    bg = df.select(
+    bg = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams_multiset(tokens(text_col), 2)).alias("bg"),
     )
-    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = (
-        c12.withColumn("w1", F.split("bg", " ")[0])
-        .groupBy("w1")
-        .agg(F.sum("c12").alias("c1"))
+    lm = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn(
+            "c1",
+            F.sum("c12").over(Window.partitionBy(F.split("bg", " ")[0])),
+        )
     )
     vsize = df.select(F.explode(tokens(text_col)).alias("token")).agg(
         F.count_distinct("token").alias("vsz")
@@ -157,9 +166,7 @@ def bigram_logprob(
         (F.col("c12") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("vsz"))
     )
     return (
-        bg.join(F.broadcast(c12), "bg")
-        .withColumn("w1", F.split("bg", " ")[0])
-        .join(F.broadcast(c1), "w1")
+        bg.join(F.broadcast(lm), "bg")
         .crossJoin(F.broadcast(vsize))
         .groupBy("doc_id")
         .agg(

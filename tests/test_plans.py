@@ -239,3 +239,46 @@ def test_results_invariant_to_shuffle_partition_count(spark):
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     for name, (a, b) in results.items():
         assert a == b, f"{name} changed under a different partition count"
+
+
+def test_registry_window_invariants():
+    """The driver's correctness gate reads only the FIRST 50 registered
+    queries, so the ordering in plans/registry.py is part of the
+    contract: every _FRONT/_DEFERRED name must exist, every registered
+    query must be listed exactly once (no accidental mid_oracle
+    stragglers), the 50-slot window must contain only oracle-backed
+    queries, and rows-only queries must sit past every oracle-backed
+    one."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
+        _DEFERRED,
+        _FRONT,
+        _ensure_loaded,
+        _ordered_specs,
+    )
+
+    _ensure_loaded()
+    specs = _ordered_specs()
+    names = [s.name for s in specs]
+    oracle = {s.name for s in specs if s.oracle is not None}
+
+    assert len(names) == len(set(names)), "duplicate registrations"
+    listed = _FRONT + _DEFERRED
+    assert len(listed) == len(set(listed)), "name listed twice"
+    missing = [n for n in listed if n not in set(names)]
+    assert not missing, f"listed but never registered: {missing}"
+    stragglers = [n for n in oracle if n not in set(listed)]
+    assert not stragglers, (
+        f"oracle-backed but not placed in _FRONT/_DEFERRED: {stragglers} — "
+        "unplaced queries land mid-window and break the rotation accounting"
+    )
+    window = names[:50]
+    rows_only_in_window = [n for n in window if n not in oracle]
+    assert not rows_only_in_window, (
+        f"rows-only queries occupy checked slots: {rows_only_in_window}"
+    )
+    first_rows_only = min(
+        (i for i, n in enumerate(names) if n not in oracle), default=len(names)
+    )
+    assert all(n in oracle for n in names[:first_rows_only]), (
+        "rows-only queries must register after every oracle-backed query"
+    )
