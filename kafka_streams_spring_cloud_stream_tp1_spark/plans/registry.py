@@ -165,6 +165,9 @@ _DEFERRED = [
     "q_lang_id",
     "q_token_count",
     "q_doc_fingerprint",
+    # new in round 3 but past the full window — first green row comes
+    # with the round-4 rotation
+    "q_string_agg",
 ]
 
 

@@ -100,6 +100,40 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_string_agg",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_rich,
+           string_agg(c.c_name, '|' ORDER BY c.c_name) AS names
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY n.n_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped string aggregation (LISTAGG / string_agg — the ETL
+    report shape): per nation, the '|'-joined sorted names of
+    high-balance customers. Spark expresses the deterministic ordered
+    variant as array_join(array_sort(collect_list(...))) — the sort
+    happens per GROUP on grouped data, so determinism costs no extra
+    shuffle; the selective acctbal filter bounds group string size
+    (unbounded LISTAGG is the classic reducer-OOM — filter or cap
+    before collecting). Nation dim broadcasts."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rich"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+        )
+    )
+
+
+@query(
     "q_count_distinct",
     oracle="""
     SELECT event_type,
