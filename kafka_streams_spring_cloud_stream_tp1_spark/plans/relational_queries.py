@@ -1466,3 +1466,213 @@ def q_agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.regr_slope("value", "user_id")).alias("slope"),
         _r(F.regr_intercept("value", "user_id")).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, continued (round 3): Q6 / Q10 / Q13 / Q14 / Q4
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q6",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the pure scan-aggregate —
+    no join, no group keys, a single global sum. All three predicates
+    are scan-level (shipdate range + discount band + quantity cap) and
+    push to the parquet reader, so at 100 TB this is a min/max-pruned
+    columnar scan of four columns feeding a one-row partial agg; the
+    'shuffle' is one row per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q10",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    revenue from returned items in a half-year window. Both fact-side
+    predicates (returnflag, orderdate) push to their scans; the
+    date-filtered orders⋈customer⋈nation build side broadcasts, so
+    lineitem never shuffles for the join — its only shuffle is the
+    customer-grain aggregate, and the top-20 is TakeOrderedAndProject
+    over customer-grain rows (never a global sort). Ties broken by
+    c_custkey so the cut is deterministic cross-engine."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    build = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        li.join(F.broadcast(build), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, coalesce(o_cnt, 0) AS c_count
+        FROM customer
+        LEFT JOIN (
+            SELECT o_custkey, count(*) AS o_cnt
+            FROM orders
+            WHERE o_orderpriority <> '1-URGENT'
+            GROUP BY o_custkey
+        ) ON c_custkey = o_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): histogram of how many
+    non-urgent orders each customer placed, INCLUDING zero-order
+    customers. Scale shape: orders is pre-aggregated to customer grain
+    BEFORE the outer join (the textbook left-join-then-count would
+    carry every order row through the join); the customer-grain
+    aggregate then left-joins and the final histogram groups on a
+    small integer domain — two map-side-combinable shuffles, and the
+    join sides are both customer-grain, never order-grain."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("o_cnt"))
+    )
+    return (
+        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("o_cnt"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle="""
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue from
+    PROMO-type parts, computed as a conditional aggregate over a
+    broadcast dimension join — part is the small side (millions of
+    rows even at 100 TB, broadcastable after pruning to two columns),
+    the month predicate prunes lineitem partitions at the scan, and
+    the numerator/denominator fold into ONE aggregate pass via
+    CASE, not two scans."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(_r(F.lit(100.0) * F.sum(promo) / F.sum(disc_price)).alias("promo_revenue"))
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking; the fixture lacks
+    commit/receipt dates, so "late" = some line shipped >60 days after
+    the order date). The oracle states it as EXISTS; the Spark plan
+    rewrites EXISTS-over-the-fact into max-aggregate-then-join:
+    lineitem collapses to (orderkey, max shipdate) with a map-side
+    partial agg — after which the join input is ORDER-grain, not
+    line-grain — and `max(l_shipdate) > o_orderdate + 60d` holds iff
+    some line does. At 100 TB that turns a fact-vs-fact semi join
+    into one fact aggregate plus an order-grain join; the quarter
+    filter on orders pushes to its scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+    )
+    return (
+        orders.join(
+            last_ship,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

@@ -160,6 +160,63 @@ def test_tpch_q5_fact_never_shuffles_for_joins(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_tpch_q6_all_predicates_pushed_no_join(spark):
+    """TPC-H Q6 is the pure scan-aggregate: all three predicates must
+    reach the parquet reader, only the four referenced columns may be
+    read, and the plan must contain no join and no hash exchange
+    (global agg = single-row partials)."""
+    plan = _plan(spark, "q_tpch_q6")
+    # the one-line plan truncates long filter lists — read the full
+    # PushedFilters from formatted explain mode instead
+    df = queries_map()["q_tpch_q6"](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    full = df._jdf.queryExecution().explainString(mode)
+    for frag in ("l_shipdate", "LessThan(l_quantity,24.0)", "GreaterThanOrEqual(l_discount,0.05)"):
+        assert frag in full, full
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read and "l_partkey" not in read
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_tpch_q10_broadcasts_build_and_takes_ordered(spark):
+    """TPC-H Q10: the date-filtered orders⋈customer⋈nation build side
+    must broadcast (lineitem never shuffles for the join), the only
+    hash exchange is the customer-grain aggregate, and the top-20 is
+    TakeOrderedAndProject."""
+    plan = _plan(spark, "q_tpch_q10")
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q13_joins_at_customer_grain(spark):
+    """TPC-H Q13: orders must be aggregated to customer grain BEFORE
+    the outer join — the plan's join inputs are two aggregates, so no
+    order-grain rows cross the join. Concretely: the orders-side
+    aggregate (HashAggregate on o_custkey) must appear UNDER the join
+    node in the plan tree."""
+    plan = _plan(spark, "q_tpch_q13")
+    join_at = plan.find("Join")
+    agg_at = plan.find("keys=[o_custkey")
+    assert join_at != -1 and agg_at != -1, plan
+    assert agg_at > join_at, "orders aggregate must be below the join\n" + plan
+
+
+def test_tpch_q4_rewrites_exists_to_order_grain(spark):
+    """TPC-H Q4 shape: the EXISTS must run as max-agg-then-semi-join —
+    lineitem collapses to order grain (HashAggregate on l_orderkey
+    below the join) and the join itself is LeftSemi; no line-grain
+    rows survive past the aggregate."""
+    plan = _plan(spark, "q_tpch_q4")
+    assert "LeftSemi" in plan, plan
+    join_at = plan.find("Join")
+    agg_at = plan.find("keys=[l_orderkey")
+    assert join_at != -1 and agg_at != -1, plan
+    assert agg_at > join_at, "lineitem max-agg must be below the semi join\n" + plan
+
+
 def test_random_projection_is_shuffle_free(spark):
     """The JL projection must be a pure projection over the scan —
     no exchange of any kind in the plan."""
