@@ -152,3 +152,81 @@ def bm25(
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join: document pairs whose
+    unit-normalized tf-idf vectors (over terms with df ≤ ``max_df``)
+    have cosine ≥ ``threshold``. The lexical sibling of
+    `similarity.cosine_near_dup_pairs` — topical near-duplicates that
+    share vocabulary but not exact spans (rewrites, translations of
+    boilerplate, template articles), invisible to shingle dedup.
+    Returns (doc_a, doc_b, cosine), doc_a < doc_b, cosine rounded to 4
+    and thresholded on the ROUNDED value so the cut is stable against
+    cross-engine float-sum ordering.
+
+    Plan (one posting frame, three key-grain shuffles — never a doc×doc
+    self-join):
+    1. (doc, term, tf) aggregate — the corpus-sized shuffle;
+    2. per-term buckets via groupBy(term): df and the posting list in
+       ONE aggregate; buckets with df < 2 (pair-less) or df > max_df
+       (stopword-grade terms: no discriminative weight AND the b² pair
+       blow-up — the same cap as containment_pairs) are dropped, and
+       tf-idf weights are computed in-bucket;
+    3. per-doc vector norms over the PRUNED space (window by doc_id),
+       so cosine is exact within the pruned term space on both engines;
+    4. bucket-local pair emission (a<b) → groupBy(pair) sum of
+       u_a·u_b. Bucket size ≤ max_df bounds every pair list.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term"))).filter(
+        (F.col("df") >= 2) & (F.col("df") <= max_df)
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = tf.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))).alias("w"),
+    )
+    nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id")))
+    unit = w.select("doc_id", "term", (F.col("w") / nrm).alias("u"))
+    buckets = unit.groupBy("term").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "u"))).alias("ds")
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x: F.filter(
+                        F.transform(
+                            "ds",
+                            lambda y: F.struct(
+                                x["doc_id"].alias("doc_a"),
+                                y["doc_id"].alias("doc_b"),
+                                (x["u"] * y["u"]).alias("prod"),
+                            ),
+                        ),
+                        lambda p: p["doc_a"] < p["doc_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.prod")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum("prod"), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -108,6 +108,43 @@ def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> C
     return F.size(F.filter(toks, lambda t: t.isin(*stopwords))) / F.size(toks)
 
 
+def boilerplate_fraction(
+    df: DataFrame,
+    n: int = 3,
+    min_df: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-internal boilerplate density per document: the fraction
+    of a doc's DISTINCT word n-gram shingles that appear in at least
+    ``min_df`` documents (nav menus, cookie banners, license footers —
+    spans whose document frequency is far above organic text). The
+    complement of `decontaminate`'s external probe set: here the
+    "probe" is the corpus's own over-shared span inventory. Returns
+    (doc_id, n_shingles, boilerplate_frac); docs too short to hold one
+    n-gram drop out (they have no spans to score).
+
+    Plan shape (same as dup_chunk_fraction): the (doc, shingle) frame
+    is built once; each shingle's corpus df is a COUNT window
+    partitioned by the shingle over that frame — no vocabulary-sized
+    join-back — then the per-doc fraction is an aggregate keyed by
+    doc_id, so a hot boilerplate shingle's rows still spread across
+    reducers at the scoring step. Two shuffles of the shingle frame
+    total, both map-side combinable."""
+    from pyspark.sql.window import Window
+
+    sh = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(tokens(text_col), n)).alias("g"),
+    )
+    gdf = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    flagged = sh.select("doc_id", (gdf >= min_df).cast("int").alias("is_bp"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.round(F.sum("is_bp") / F.count(F.lit(1)), 4).alias("boilerplate_frac"),
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality statistics: token counts, average token
     length, alpha/punctuation ratios, stopword ratio, and a composite

@@ -176,6 +176,44 @@ def bigram_logprob(
     )
 
 
+def source_token_kl(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source distribution drift: KL(P_source ‖ P_corpus) over the
+    unigram token distributions — the mixture-monitoring statistic a
+    multi-source training pipeline tracks to spot a crawl slice whose
+    language suddenly diverges from the blend (dataset-shift alarms,
+    source reweighting). KL = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) ≥ 0, zero
+    iff the source matches the corpus blend exactly. Returns
+    (source, n_tokens, kl_vs_corpus).
+
+    One corpus pass: the (source, token) count aggregate (map-side
+    partials; the only corpus-sized shuffle). Everything downstream —
+    corpus marginals, per-source totals, the KL sum — re-aggregates
+    that |sources|×|vocab| frame, so a hot stopword's weight never
+    concentrates: the KL aggregate is keyed by source with
+    vocab-sized input, not token-sized."""
+    tok = df.select(
+        F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    corpus = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    per_source = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    total = corpus.agg(F.sum("c_t").alias("n_tot"))
+    p_s = F.col("c_st") / F.col("n_s")
+    p_c = F.col("c_t") / F.col("n_tot")
+    return (
+        st.join(F.broadcast(corpus), "token")
+        .join(F.broadcast(per_source), "source")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.round(F.sum(p_s * F.log(p_s / p_c)), 4).alias("kl_vs_corpus"),
+        )
+    )
+
+
 def bpe_pair_counts(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
     """Corpus-weighted adjacent character-pair counts — the statistic
     a BPE/WordPiece tokenizer trainer maximizes at each merge step

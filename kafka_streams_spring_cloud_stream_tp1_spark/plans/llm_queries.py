@@ -453,6 +453,38 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(load_table(spark, sf_dir, "embeddings"), n_queries=_KNN_Q, k=_KNN_K)
 
 
+_HN_Q, _HN_K = 20, 3
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+          FROM e WHERE vec_id < {_HN_Q}),
+    scored AS (SELECT query_id, query_label, e.vec_id AS negative_id,
+                      e.label AS negative_label,
+                      round(list_cosine_similarity(e.v, q.qv), 4) AS score
+               FROM e CROSS JOIN q WHERE e.label <> q.query_label),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, negative_id) AS rank
+          FROM scored)
+    SELECT query_id, query_label, negative_id, negative_label, score, rank
+    FROM r WHERE rank <= {_HN_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: top-3 most
+    similar DIFFERENT-label vectors for each of 20 query vectors —
+    the informative negatives. Broadcast query side with labels, the
+    corpus streams through a label-inequality nested loop; only
+    scored triples reach the rank window.
+    operators/similarity.py::hard_negatives."""
+    return S.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), n_queries=_HN_Q, k=_HN_K
+    )
+
+
 @query(
     "q_quantize_embeddings",
     oracle="""
@@ -1164,6 +1196,137 @@ def q_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.retrieval import idf_rarity
 
     return idf_rarity(load_table(spark, sf_dir, "documents"))
+
+
+_BP_N, _BP_MINDF = 3, 3
+
+
+@query(
+    "q_boilerplate_fraction",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_ngrams_sql(_TOKS, _BP_N)}) AS g
+               FROM documents),
+    d AS (SELECT g, count(*) AS gdf FROM t GROUP BY g)
+    SELECT doc_id, count(*) AS n_shingles,
+           round(sum(CASE WHEN gdf >= {_BP_MINDF} THEN 1 ELSE 0 END)
+                 / count(*), 4) AS boilerplate_frac
+    FROM t JOIN d USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-internal boilerplate density: the fraction of each doc's
+    distinct trigram spans appearing in ≥ 3 documents (nav menus /
+    license footers — the RefinedWeb-style repeated-span signal,
+    where the probe set is the corpus's own over-shared spans rather
+    than q_decontaminate's external benchmarks). Shingle df via a
+    count window over the one (doc, shingle) frame — no join-back —
+    then a doc-keyed fraction aggregate.
+    operators/text.py::boilerplate_fraction."""
+    return T.boilerplate_fraction(
+        load_table(spark, sf_dir, "documents"), n=_BP_N, min_df=_BP_MINDF
+    )
+
+
+@query(
+    "q_source_kl",
+    oracle="""
+    WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+                 FROM documents),
+    st AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+    ct AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY 1),
+    ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+    tot AS (SELECT sum(c_t) AS n_tot FROM ct)
+    SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+           round(sum((c_st / n_s) * ln((c_st / n_s) / (c_t / n_tot))), 4)
+             AS kl_vs_corpus
+    FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN tot
+    GROUP BY source
+    """,
+)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution drift KL(P_source ‖ P_corpus)
+    — the mixture-monitoring statistic that flags a crawl slice
+    diverging from the training blend. One corpus-sized (source,
+    token) aggregate; marginals and the KL sum are vocab-sized
+    re-aggregates. operators/vocab.py::source_token_kl."""
+    from ..operators.vocab import source_token_kl
+
+    return source_token_kl(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_length_trim",
+    oracle="""
+    WITH b AS (SELECT lang,
+                      quantile_cont(n_chars, 0.10) AS p10,
+                      quantile_cont(n_chars, 0.90) AS p90
+               FROM documents GROUP BY lang)
+    SELECT doc_id, lang, n_chars
+    FROM documents JOIN b USING (lang)
+    WHERE n_chars >= p10 AND n_chars <= p90
+    """,
+)
+def q_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-percentile trim: keep documents inside
+    their language's [p10, p90] character-length band — the adaptive
+    outlier filter (fixed global length cuts misbehave across
+    languages with different character economies). Exact
+    linear-interpolation percentiles per language (a |langs|-row
+    aggregate) broadcast back onto the corpus scan: the filter pass
+    is broadcast-join + predicate, no corpus shuffle. Percentile
+    interpolation is exact double arithmetic over the same values on
+    both engines, so the band edges agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.10D)").alias("p10"),
+        F.expr("percentile(n_chars, 0.90D)").alias("p90"),
+    )
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .filter((F.col("n_chars") >= F.col("p10")) & (F.col("n_chars") <= F.col("p90")))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_TFIDF_COS_T, _TFIDF_COS_MAXDF = 0.85, 400
+
+
+@query(
+    "q_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+                 FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+              HAVING count(*) BETWEEN 2 AND {_TFIDF_COS_MAXDF}),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (SELECT doc_id, term, tf * ln((n_docs + 1) / (df + 1)) AS w
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+    u AS (SELECT doc_id, term, w / nrm AS u FROM w JOIN nrm USING (doc_id)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(sum(a.u * b.u), 4) AS cosine
+          FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= {_TFIDF_COS_T}
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join over df∈[2,400] terms —
+    topical near-duplicates sharing vocabulary but not spans, the
+    lexical sibling of q_dedup_embedding_cosine. Per-term bucket
+    pair emission (bucket ≤ max_df bounds the blow-up, no doc×doc
+    join); cosine thresholded on the 4-decimal rounded value so the
+    cut is stable cross-engine.
+    operators/retrieval.py::tfidf_cosine_pairs."""
+    from ..operators.retrieval import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=_TFIDF_COS_T,
+        max_df=_TFIDF_COS_MAXDF,
+    )
 
 
 def _rp_oracle(out_dim: int = 8, in_dim: int = 64) -> str:

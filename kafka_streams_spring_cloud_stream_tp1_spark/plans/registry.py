@@ -173,6 +173,13 @@ _DEFERRED = [
     "q_tpch_q13",
     "q_tpch_q14",
     "q_tpch_q4",
+    "q_boilerplate_fraction",
+    "q_source_kl",
+    "q_tfidf_cosine_pairs",
+    "q_funnel_steps",
+    "q_hard_negatives",
+    "q_tpch_q7",
+    "q_length_trim",
 ]
 
 

@@ -1632,6 +1632,145 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tpch_q7",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral two-nation trade
+    revenue by ship year (the fixture names nations NATION_n) — the dual-role dimension pattern (nation
+    joins TWICE under different roles, supplier-side and
+    customer-side, with a disjunctive cross-role predicate). Both
+    nation roles are filtered to the two relevant rows BEFORE their
+    joins (the OR collapses to per-role IN-lists; the cross-role
+    exclusion applies after both roles attach), every dimension side
+    broadcasts, and the two-year shipdate range pushes to the fact
+    scan — lineitem never shuffles for a join, only for the tiny
+    final (nation, nation, year) aggregate."""
+    nations = ("NATION_12", "NATION_10")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*nations))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    orders = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@query(
+    "q_funnel_steps",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS first_view
+        FROM events),
+    w2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click' AND ts > first_view
+                           THEN ts END)
+                    OVER (PARTITION BY user_id) AS first_click
+        FROM w1),
+    w3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > first_click
+                           THEN ts END)
+                    OVER (PARTITION BY user_id) AS first_purchase
+        FROM w2),
+    u AS (SELECT user_id, max(first_view) AS fv, max(first_click) AS fc,
+                 max(first_purchase) AS fp
+          FROM w3 GROUP BY user_id)
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+           CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+    FROM u
+    """,
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral funnel (view → click → purchase, strictly ordered
+    in event time, per user): how many users reach each stage. The
+    sequential dependency (first qualifying click must FOLLOW the
+    first view, first purchase must follow that click) is expressed
+    as three chained partition-only window minima over the SAME
+    user_id partitioning — value conditions, no ORDER BY, so there is
+    no tie-order sensitivity and Catalyst plans ONE user_id exchange
+    for all three windows plus the user-grain rollup that follows
+    (the groupBy reuses the window's partitioning). At 100 TB this is
+    a single fact shuffle and a 1-row final aggregate — never a
+    per-stage self-join of events (the textbook funnel formulation,
+    which costs a shuffle per stage)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("first_view", fv)
+    fc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("first_click", fc)
+    fp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("first_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("first_purchase", fp)
+    per_user = staged.groupBy("user_id").agg(
+        F.max("first_view").alias("fv"),
+        F.max("first_click").alias("fc"),
+        F.max("first_purchase").alias("fp"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("fv").isNotNull().cast("int")).cast("long").alias("n_viewed"),
+        F.sum(F.col("fc").isNotNull().cast("int")).cast("long").alias("n_clicked_after_view"),
+        F.sum(F.col("fp").isNotNull().cast("int")).cast("long").alias("n_purchased_after_click"),
+    )
+
+
+@query(
     "q_tpch_q4",
     oracle="""
     SELECT o_orderpriority, count(*) AS order_count

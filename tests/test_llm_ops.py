@@ -540,3 +540,29 @@ def test_resize_payloads_plumbing(spark):
     full = {r["doc_id"]: bytes(r["payload"]) for r in M.attach_binary_payload(docs).collect()}
     for r in resized[:20]:
         assert bytes(r["payload"])[0:1] == full[r["doc_id"]][0:1]
+
+
+def test_hard_negatives_labels_differ_and_rank_bounded(spark):
+    """Every mined negative must carry a label different from its
+    query's, ranks must be 1..k dense per query, and each query's
+    top-1 negative must score >= its rank-2 and rank-3 (rounded
+    ordering is what the operator sorts on)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = hard_negatives(emb, n_queries=10, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["query_label"] != r["negative_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)

@@ -339,3 +339,12 @@ def test_registry_window_invariants():
     assert all(n in oracle for n in names[:first_rows_only]), (
         "rows-only queries must register after every oracle-backed query"
     )
+
+
+def test_funnel_single_user_shuffle(spark):
+    """The three chained funnel windows and the user-grain rollup
+    must all share ONE user_id exchange — a per-stage self-join (or a
+    window re-partition per stage) would show extra exchanges."""
+    plan = _plan(spark, "q_funnel_steps")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan

@@ -195,3 +195,115 @@ def test_bigram_logprob_matches_python_lm(spark, docs):
         for r in bigram_logprob(docs, alpha=alpha).collect()
     }
     assert got == want
+
+
+def test_source_kl_matches_python(spark, docs):
+    """source_token_kl must equal a driver-side recount: per-source
+    unigram distributions vs the corpus marginal, KL in nats rounded
+    to 4; every KL non-negative."""
+    import math
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.vocab import (
+        source_token_kl,
+    )
+
+    per_src: dict[str, Counter] = {}
+    for r in docs.select("source", "text").collect():
+        per_src.setdefault(r["source"], Counter()).update(r["text"].strip().split())
+    corpus = Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    n_tot = sum(corpus.values())
+    want = {}
+    for src, c in per_src.items():
+        n_s = sum(c.values())
+        kl = sum(
+            (v / n_s) * math.log((v / n_s) / (corpus[t] / n_tot)) for t, v in c.items()
+        )
+        want[src] = (n_s, round(kl, 4))
+    got = {
+        r["source"]: (r["n_tokens"], r["kl_vs_corpus"])
+        for r in source_token_kl(docs).collect()
+    }
+    assert got == want
+    assert all(kl >= 0 for _, kl in got.values())
+
+
+def test_boilerplate_fraction_matches_python(spark, docs):
+    """boilerplate_fraction must equal a driver-side recount of
+    distinct-trigram document frequencies: frac = |{g in doc :
+    df(g) >= min_df}| / |doc shingles|."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        boilerplate_fraction,
+    )
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(x: float) -> float:
+        # Spark/DuckDB round() is HALF_UP; python round() is banker's —
+        # 9/32 = 0.28125 is an exactly-representable tie that splits them
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    min_df = 3
+    sets = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r["text"].strip().split()
+        sets[r["doc_id"]] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    df_counter = Counter()
+    for s in sets.values():
+        df_counter.update(s)
+    want = {
+        did: (len(s), r4(sum(df_counter[g] >= min_df for g in s) / len(s)))
+        for did, s in sets.items()
+        if s
+    }
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["boilerplate_frac"])
+        for r in boilerplate_fraction(docs, n=3, min_df=min_df).collect()
+    }
+    assert got == want
+
+
+def test_tfidf_cosine_pairs_matches_numpy(spark, docs):
+    """tfidf_cosine_pairs must equal a dense numpy recompute of the
+    pruned-space tf-idf cosine matrix (df in [2, max_df] terms,
+    smoothed idf, unit rows), thresholded on the rounded value."""
+    import numpy as np
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.retrieval import (
+        tfidf_cosine_pairs,
+    )
+
+    threshold, max_df = 0.8, 400
+    texts = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    n_docs = len(texts)
+    df_counter = Counter()
+    for toks in texts.values():
+        df_counter.update(set(toks))
+    terms = sorted(t for t, d in df_counter.items() if 2 <= d <= max_df)
+    tix = {t: i for i, t in enumerate(terms)}
+    ids = sorted(texts)
+    mat = np.zeros((n_docs, len(terms)))
+    for ri, did in enumerate(ids):
+        for t, tf in Counter(texts[did]).items():
+            if t in tix:
+                mat[ri, tix[t]] = tf * np.log((n_docs + 1) / (df_counter[t] + 1))
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    keep = norms[:, 0] > 0
+    unit = np.where(norms > 0, mat / np.where(norms == 0, 1, norms), 0)
+    cos = unit @ unit.T
+    want = set()
+    for i in range(n_docs):
+        for j in range(i + 1, n_docs):
+            if keep[i] and keep[j] and round(cos[i, j], 4) >= threshold:
+                want.add((ids[i], ids[j], round(float(cos[i, j]), 4)))
+    got = {
+        (r["doc_a"], r["doc_b"], r["cosine"])
+        for r in tfidf_cosine_pairs(docs, threshold=threshold, max_df=max_df).collect()
+    }
+    assert got == want
