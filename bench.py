@@ -57,11 +57,23 @@ def main() -> None:
     # its consumers, so every entry reflects that query's own cost
     # (alphabetical order ran the consumer first and billed it for the
     # producer's whole pipeline). See BASELINE.md "Bench protocol".
+    # Between queries: drop Python-side refs so py4j finalizers release
+    # JVM broadcast/plan objects, and nudge the JVM collector every few
+    # queries. Without this, ~120 queries of accumulated broadcasts and
+    # codegen classes produce multi-second GC pauses that land on
+    # RANDOM queries (observed: the same query billed 2 s in one run
+    # and 86 s in the next). GC time is spent OUTSIDE the per-query
+    # timers, so entries measure the query, not the session's garbage.
+    import gc
+
     timings: dict[str, float] = {}
-    for name in builders:
+    for i, name in enumerate(builders):
         t0 = time.perf_counter()
         builders[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        if (i + 1) % 10 == 0:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     sf = _sf_of(sf_dir)

@@ -113,14 +113,16 @@ def bm25(
 
     Plan: explode → filter to query terms (this is the whole trick:
     the predicate sits UNDER the aggregate, so only query-term rows
-    shuffle) → per-(doc, term) tf → df-per-term as a window count OVER
-    the tf frame (partitioned by term — query-term rows only, so the
-    extra exchange is tiny, and it avoids re-running the whole
-    explode+aggregate subplan that a self-joined `tf.groupBy(term)`
-    would cost) → per-doc score sum. Document lengths ride along from
-    the first projection; N and avgdl broadcast as a 1-row aggregate.
+    shuffle) → per-(doc, term) tf → df-per-term as a map-side-combined
+    ``groupBy(term).count()`` broadcast-joined back (the df table has
+    at most ``len(query_terms)`` rows; a term-partitioned window count
+    would instead pin every doc containing a common query term on one
+    reducer — a corpus-sized partition for a stopword term — with no
+    partial aggregation; Spark's exchange reuse keeps the tf subplan
+    from recomputing for the second branch) → per-doc score sum.
+    Document lengths ride along from the first projection; N and avgdl
+    broadcast as a 1-row aggregate.
     """
-    from pyspark.sql import Window
     qt = [t for t in query_terms if t]
     if not qt:
         raise ValueError("bm25 needs at least one non-empty query term")
@@ -131,7 +133,8 @@ def bm25(
         F.explode(toks).alias("term"),
     ).filter(F.col("term").isin(qt))
     tf = base.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf.join(F.broadcast(dfreq), "term")
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(tokens(text_col))).alias("avgdl"),
@@ -174,11 +177,15 @@ def tfidf_cosine_pairs(
     Plan (one posting frame, three key-grain shuffles — never a doc×doc
     self-join):
     1. (doc, term, tf) aggregate — the corpus-sized shuffle;
-    2. per-term buckets via groupBy(term): df and the posting list in
-       ONE aggregate; buckets with df < 2 (pair-less) or df > max_df
-       (stopword-grade terms: no discriminative weight AND the b² pair
-       blow-up — the same cap as containment_pairs) are dropped, and
-       tf-idf weights are computed in-bucket;
+    2. df per term via map-side-combined ``groupBy(term).count()``
+       FILTERED to [2, max_df] before the join-back (df < 2 terms are
+       pair-less; df > max_df are stopword-grade: no discriminative
+       weight AND the b² pair blow-up — the same cap as
+       containment_pairs). The filtered df table is vocabulary-tail
+       sized, broadcast by AQE; the inner join drops stopword postings
+       WITHOUT ever buffering a term's full posting set on one reducer
+       (a term-partitioned window count would — "the" appears in every
+       document, so its partition is corpus-sized);
     3. per-doc vector norms over the PRUNED space (window by doc_id),
        so cosine is exact within the pruned term space on both engines;
     4. bucket-local pair emission (a<b) → groupBy(pair) sum of
@@ -191,9 +198,12 @@ def tfidf_cosine_pairs(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term"))).filter(
-        (F.col("df") >= 2) & (F.col("df") <= max_df)
+    dfc = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
     )
+    tf = tf.join(dfc, "term")
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     w = tf.crossJoin(F.broadcast(n_docs)).select(
         "doc_id",

@@ -124,21 +124,27 @@ def boilerplate_fraction(
     (doc_id, n_shingles, boilerplate_frac); docs too short to hold one
     n-gram drop out (they have no spans to score).
 
-    Plan shape (same as dup_chunk_fraction): the (doc, shingle) frame
-    is built once; each shingle's corpus df is a COUNT window
-    partitioned by the shingle over that frame — no vocabulary-sized
-    join-back — then the per-doc fraction is an aggregate keyed by
-    doc_id, so a hot boilerplate shingle's rows still spread across
-    reducers at the scoring step. Two shuffles of the shingle frame
-    total, both map-side combinable."""
-    from pyspark.sql.window import Window
-
+    Plan shape: the (doc, shingle) frame is built once; shingle df is a
+    map-side-combinable ``groupBy(g).count()`` immediately FILTERED to
+    ``df >= min_df`` — the boilerplate inventory, which is tiny relative
+    to the vocabulary (the long tail of df < min_df shingles, the bulk
+    of any corpus, drops before the join) — then LEFT-joined back onto
+    the shingle frame (AQE broadcasts it when it fits, which it does by
+    construction at any min_df worth using) and aggregated per doc.
+    A COUNT window partitioned by the shingle would instead pin every
+    hot boilerplate shingle's full row set on one reducer with no
+    partial aggregation — measured 10.8x at a 5x scale-up; this
+    formulation is flat (see BASELINE.md round-3 scale table)."""
     sh = fan_out(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(tokens(text_col), n)).alias("g"),
     )
-    gdf = F.count(F.lit(1)).over(Window.partitionBy("g"))
-    flagged = sh.select("doc_id", (gdf >= min_df).cast("int").alias("is_bp"))
+    bp = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= min_df
+    ).select("g", F.lit(1).alias("is_bp"))
+    flagged = sh.join(bp, "g", "left").select(
+        "doc_id", F.coalesce("is_bp", F.lit(0)).alias("is_bp")
+    )
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.round(F.sum("is_bp") / F.count(F.lit(1)), 4).alias("boilerplate_frac"),

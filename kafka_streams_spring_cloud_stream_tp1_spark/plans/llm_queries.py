@@ -1220,8 +1220,9 @@ def q_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     license footers — the RefinedWeb-style repeated-span signal,
     where the probe set is the corpus's own over-shared spans rather
     than q_decontaminate's external benchmarks). Shingle df via a
-    count window over the one (doc, shingle) frame — no join-back —
-    then a doc-keyed fraction aggregate.
+    map-side-combined count filtered to the (small) df≥min_df
+    inventory, broadcast-joined back, then a doc-keyed fraction
+    aggregate.
     operators/text.py::boilerplate_fraction."""
     return T.boilerplate_fraction(
         load_table(spark, sf_dir, "documents"), n=_BP_N, min_df=_BP_MINDF

@@ -180,6 +180,12 @@ _DEFERRED = [
     "q_hard_negatives",
     "q_tpch_q7",
     "q_length_trim",
+    "q_tpch_q8",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q21",
+    "q_tpch_q22",
 ]
 
 

@@ -1815,3 +1815,347 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes, round 3 second batch: Q8 / Q15 / Q17 / Q19 / Q21 / Q22
+# (the fixture lacks partsupp and the shipmode/commitdate/phone columns,
+# so Q17/Q21/Q22 keep the official planner shape with fixture-expressible
+# predicates; Q2/Q9/Q11/Q12/Q16/Q20 are not expressible without partsupp)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share
+    of ECONOMY-part revenue sold into ASIA, by order year — the
+    deepest TPC-H join tree expressible on this fixture (7 joins,
+    nation in two roles). Every dimension chain collapses BEFORE
+    touching the fact: part is pre-filtered to one p_type, the
+    customer side is region-pruned through nation⋈region, and all of
+    them broadcast, so lineitem's only shuffle is the tiny
+    (year)-grain aggregate. The share is a conditional-sum ratio in
+    ONE aggregate pass (never two scans), and the o_orderdate range
+    rides the broadcast orders build side to its scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key")
+    ).select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")
+    ).select("s_suppkey", "nation")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    tagged = F.when(F.col("nation") == "NATION_7", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(_r(F.sum(tagged) / F.sum(volume)).alias("mkt_share"))
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue
+    equals the global maximum — the aggregate-then-compare-to-its-own-
+    extreme shape (the reference SQL's revenue view + scalar subquery).
+    The revenue aggregate is supplier-grain (one shuffle of the
+    date-pruned scan); its global max re-aggregates those few rows to
+    ONE row which attaches back as a broadcast cross join. The view
+    appears in two plan branches (the official view+subquery
+    formulation); both branches keep the quarter predicate pushed to
+    their scans, so the second branch costs one more PRUNED scan —
+    the aggregate itself is supplier-cardinality, dimension-sized.
+    The comparison is on the 4-rounded revenue on BOTH engines,
+    making float-sum tie equality deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    WITH brand_parts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+    agg AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem SEMI JOIN brand_parts ON l_partkey = p_partkey
+        GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN agg USING (l_partkey)
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from orders
+    of one brand's parts at quantities below half that part's average
+    — the correlated scalar-aggregate shape (`l_quantity < 0.5 *
+    (SELECT avg ... WHERE same part)`), decorrelated into a per-part
+    aggregate joined back, which is exactly how Catalyst/DuckDB both
+    rewrite it. Fixture adaptation: the official query's p_container
+    predicate is dropped (column absent), p_brand carries the
+    selectivity. Scale shape: the brand's partkey set broadcasts into
+    BOTH branches first, so the per-part average is computed only
+    over the brand's lineitems (a semi-joined subset, not a full
+    fact aggregate), and the avg table — one row per brand part —
+    broadcasts back onto the same pruned subset."""
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "leftsemi"
+    )
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(_r(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_type = 'LARGE'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): a join
+    whose WHERE is an OR of three conjunct groups, each mixing
+    part-side and lineitem-side columns — the classic test of
+    predicate decomposition. The cross-table OR cannot push down as
+    written, so each side gets its IMPLIED relaxation explicitly
+    (part: type IN the three values AND size ≤ the loosest band;
+    lineitem: quantity within the union of bands — the same
+    constraint-derivation DuckDB's optimizer performs), shrinking the
+    broadcast build AND the fact scan before the residual OR applies
+    post-join. Fixture adaptation: p_container/l_shipmode absent;
+    p_type carries the per-branch discrimination."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type").isin("SMALL", "MEDIUM", "LARGE") & F.col("p_size").between(1, 35))
+        .select("p_partkey", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    branch = (
+        ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept waiting orders): for finished
+    orders, suppliers in one nation who were the SOLE at-fault party —
+    another supplier participated in the order (EXISTS), but no other
+    supplier was at fault (NOT EXISTS) — the hardest TPC-H shape: a
+    fact-to-fact correlated EXISTS plus NOT EXISTS on the same table.
+    Fixture adaptation: 'at fault' is l_returnflag = 'R' (the official
+    receiptdate > commitdate columns are absent); the correlation
+    structure is identical. Plan: left-SEMI then left-ANTI join of the
+    filtered l1 frame against slim (orderkey, suppkey[, flag])
+    projections of lineitem, both keyed on l_orderkey with the
+    suppkey inequality as a residual — per-order groups are
+    line-count-bounded so the shuffle joins stay skew-free, the
+    nation-filtered supplier side and order-status filter broadcast/
+    push down BEFORE the semi/anti passes, and the final top-20 is
+    TakeOrderedAndProject over supplier-grain counts."""
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waited = l1.join(
+        l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")), "leftsemi"
+    ).join(
+        l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")), "leftanti"
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+    eligible AS (
+        SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode, c_acctbal, c_custkey
+        FROM customer CROSS JOIN avg_bal
+        WHERE c_acctbal > ab AND c_nationkey % 5 IN (0, 1, 2))
+    SELECT cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM eligible
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers in
+    selected country codes with no RECENT order — a global-scalar
+    subquery (average positive balance) feeding a filter, then an
+    anti join against the fact. Fixture adaptations: cntrycode is
+    derived from c_nationkey (phone column absent), cast to BIGINT on
+    both engines so the driver's dtype-sensitive hash agrees, and the
+    anti join is against post-2000 orders (every fixture customer has
+    SOME order, so the official never-ordered predicate is empty
+    here; 'lapsed since 2000' keeps the identical anti-join shape
+    non-trivial). Plan: the 1-row average broadcasts (never a
+    shuffle), the eligibility filter prunes customer BEFORE the anti
+    join, and the anti join's build side is orders pruned to the
+    single o_custkey column after the date predicate pushes to its
+    scan — at 100 TB that pruning is the whole point (a full-width
+    orders scan would dwarf the query)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    code = (F.col("c_nationkey") % 5).cast("long")
+    eligible = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter((F.col("c_acctbal") > F.col("ab")) & code.isin(0, 1, 2))
+        .select(code.alias("cntrycode"), "c_acctbal", "c_custkey")
+    )
+    ord_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        eligible.join(ord_keys, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )

@@ -348,3 +348,83 @@ def test_funnel_single_user_shuffle(spark):
     plan = _plan(spark, "q_funnel_steps")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_tpch_q8_all_dims_broadcast_single_shuffle(spark):
+    """TPC-H Q8 (7 joins, nation twice): every dimension chain must
+    collapse and broadcast — lineitem may never shuffle for a join.
+    The only hash exchange is the (year)-grain aggregate, and the
+    p_type predicate must push into the part scan."""
+    plan = _plan(spark, "q_tpch_q8")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EqualTo(p_type,ECONOMY)" in plan, plan
+
+
+def test_tpch_q15_max_broadcasts_and_scans_stay_pruned(spark):
+    """TPC-H Q15: the 1-row global max must attach as a broadcast
+    (never a shuffle join), the supplier join must broadcast, and
+    every lineitem branch must carry the quarter predicate into its
+    scan — the revenue view appears in two branches (the official
+    view+subquery formulation), so an unpruned second scan would
+    double the fact cost."""
+    plan = _plan(spark, "q_tpch_q15")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    scans = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
+    li_scans = [s for s in scans if "l_shipdate" in s]
+    assert len(li_scans) == plan.count("lineitem.parquet"), (scans, plan)
+
+
+def test_tpch_q17_semi_join_prunes_avg_branch(spark):
+    """TPC-H Q17: the brand partkey set must semi-join-prune lineitem
+    BEFORE the per-part average (no full-fact aggregate), and the
+    avg table must broadcast back — no sort-merge join anywhere."""
+    plan = _plan(spark, "q_tpch_q17")
+    assert "SortMergeJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    join_at = plan.find("BroadcastHashJoin [l_partkey")
+    agg_at = plan.find("keys=[l_partkey")
+    assert join_at != -1 and agg_at != -1, plan
+    assert agg_at > join_at, "per-part avg must sit below the join-back\n" + plan
+
+
+def test_tpch_q19_derived_predicates_push_to_both_scans(spark):
+    """TPC-H Q19: the cross-table OR cannot push down whole, so each
+    side's implied relaxation must reach its scan — part filters
+    (type IN, size range) and the lineitem quantity envelope both in
+    PushedFilters; the residual OR evaluates post-join."""
+    df = queries_map()["q_tpch_q19"](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    full = df._jdf.queryExecution().explainString(mode)
+    assert "In(p_type," in full, full
+    assert "LessThanOrEqual(p_size,35)" in full, full
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in full, full
+    assert "LessThanOrEqual(l_quantity,30.0)" in full, full
+
+
+def test_tpch_q21_semi_anti_on_slim_projections(spark):
+    """TPC-H Q21: the EXISTS/NOT EXISTS must run as LeftSemi and
+    LeftAnti joins over slim lineitem projections — the l2/l3 sides
+    may read only (l_orderkey, l_suppkey[, l_returnflag]), never the
+    full lineitem width."""
+    plan = _plan(spark, "q_tpch_q21")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    reads = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    slim = [r for r in reads if "l_orderkey" in r and "l_extendedprice" not in r]
+    assert len(slim) >= 2, f"semi/anti sides must be column-pruned: {reads}"
+
+
+def test_tpch_q22_antijoin_build_pruned_and_avg_broadcast(spark):
+    """TPC-H Q22: the global average must attach as a 1-row broadcast
+    (BroadcastNestedLoopJoin), the anti join build side reads only
+    o_custkey with the date predicate pushed, and no sort-merge join
+    appears."""
+    plan = _plan(spark, "q_tpch_q22")
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    reads = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    orders_reads = [r for r in reads if "o_custkey" in r]
+    assert orders_reads and all("o_totalprice" not in r for r in orders_reads), reads
+    assert "GreaterThanOrEqual(o_orderdate," in plan, plan
