@@ -105,3 +105,57 @@ def stratified_keep(
     return expr.when(s.isin(*quotas.keys()), False).otherwise(
         b < F.lit(round(default * BUCKETS))
     )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: Column,
+    token_count_col: Column,
+    id_col: str = "doc_id",
+    bucket_scale: int = 100,
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: rank
+    documents by (score DESC, id ASC) and keep the maximal prefix
+    whose cumulative token count stays within ``budget`` — how a
+    pretraining run picks 'the best N tokens' from a larger pool.
+    Returns (doc_id, n_tokens, score, cum_tokens) for selected docs.
+
+    The naive formulation is a running sum over a GLOBAL ordering —
+    one partition, one reducer, dead at scale. This is the two-level
+    equivalent: (1) quantize score into ``floor(score*bucket_scale)``
+    buckets; per-bucket token totals are a tiny map-side-combined
+    aggregate; (2) cumulative offsets ACROSS buckets are a window over
+    the bucket-grain frame (cardinality ≤ bucket_scale·range — bounded
+    by construction, safe in one partition); (3) the within-bucket
+    running sum is a window partitioned BY BUCKET (corpus-sized work,
+    but spread across bucket partitions), added to the bucket's
+    broadcast offset. Because the bucket is a monotone function of the
+    score and within-bucket order matches the global tie-break, offset
+    + running == the global cumulative sum, exactly."""
+    b = F.floor(score_col * bucket_scale).alias("__bucket")
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_col.cast("long").alias("n_tokens"),
+        score_col.alias("score"),
+        b,
+    )
+    per_bucket = scored.groupBy("__bucket").agg(F.sum("n_tokens").alias("__btok"))
+    w_off = Window.orderBy(F.desc("__bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_bucket.select(
+        F.col("__bucket").alias("__ob"),
+        (F.sum("__btok").over(w_off) - F.col("__btok")).alias("__offset"),
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.join(F.broadcast(offsets), F.col("__bucket") == F.col("__ob"))
+        .withColumn("cum_tokens", F.col("__offset") + F.sum("n_tokens").over(w_in))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("doc_id", "n_tokens", "score", "cum_tokens")
+    )

@@ -390,3 +390,73 @@ def winnow_overloaded_values(
         .agg(F.count(F.lit(1)).alias("bucket_size"))
         .filter(F.col("bucket_size") > max_bucket)
     )
+
+
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    width: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-granularity dedup WITH document reconstruction (the
+    ExactSubstr-style rewrite: drop repeated spans, keep the rest of
+    the doc): split each document into non-overlapping ``width``-token
+    chunks, keep each distinct chunk's FIRST occurrence corpus-wide
+    (ordered by (doc_id, chunk_idx)), and rebuild every document's
+    text from its surviving chunks. Documents whose every chunk lost
+    drop out entirely (they were pure boilerplate). Returns (doc_id,
+    n_chunks, n_kept, clean_text).
+
+    Plan: the chunk frame is a JVM-side projection (sequence →
+    slice → array_join; no UDF, no shuffle); the keep-first winner per
+    chunk hash is ``min(struct(doc_id, chunk_idx))`` — a partial-
+    aggregable min, so a viral chunk's million occurrences collapse to
+    one candidate per map task before the exchange (never a hot
+    single-reducer partition, unlike row_number-without-group-limit) —
+    then an inner join on (hash, doc, idx) retains winners and the
+    rebuild is a doc-keyed sort_array + array_join aggregate, bounded
+    by per-doc chunk counts. Three shuffles total at any corpus size;
+    the chunk TEXT crosses the wire only for surviving chunks."""
+    toks = tokens(text_col)
+    n_chunks = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    chunked = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("chunk_idx"),
+                    F.array_join(F.slice(toks, i * width + 1, width), " ").alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_idx"), F.col("c.chunk"))
+    hashed = chunked.select("doc_id", "chunk_idx", "chunk", F.md5("chunk").alias("h"))
+    winners = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("w")
+    ).select(
+        F.col("h").alias("w_h"),
+        F.col("w.doc_id").alias("w_doc"),
+        F.col("w.chunk_idx").alias("w_idx"),
+    )
+    kept = hashed.join(
+        winners,
+        (F.col("h") == F.col("w_h"))
+        & (F.col("doc_id") == F.col("w_doc"))
+        & (F.col("chunk_idx") == F.col("w_idx")),
+        "leftsemi",
+    )
+    totals = chunked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return rebuilt.join(totals, "doc_id").select(
+        "doc_id", "n_chunks", "n_kept", "clean_text"
+    )

@@ -1620,20 +1620,28 @@ def q_resize_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-chunk fraction per document (the Gopher 'repeated
     paragraph' quality filter at chunk granularity): chunk the corpus
-    with the UDTF, count each chunk's corpus-wide occurrences via a
-    window over its hash, report the per-doc fraction living in
-    non-unique chunks. Two shuffles (chunk-hash window + doc_id agg)
-    regardless of corpus size; the chunk text itself never joins —
-    only its md5 partitions."""
-    from pyspark.sql.window import Window
-
+    with the UDTF, find each chunk hash's corpus-wide occurrence count
+    via a map-side-combined groupBy filtered to the duplicated-hash
+    inventory, left-join the flag back, report the per-doc fraction
+    living in non-unique chunks. The inventory (hashes seen >1 times)
+    is duplicate-bounded and AQE-broadcastable; a COUNT window over
+    the hash would instead land a viral chunk's every occurrence on
+    ONE reducer (no WindowGroupLimit applies to plain counts — only
+    to rank<=k). The chunking projection runs once per branch (narrow,
+    linear, parallel) — the deliberate trade against the skew."""
     from ..operators.udx import chunk_documents
 
     ch = chunk_documents(load_table(spark, sf_dir, "documents"))
-    w = Window.partitionBy(F.md5("chunk"))
-    dup = F.when(F.count(F.lit(1)).over(w) > 1, 1).otherwise(0)
+    hf = ch.select("doc_id", F.md5("chunk").alias("h"))
+    dups = (
+        hf.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h", F.lit(1).alias("dup"))
+    )
     return (
-        ch.select("doc_id", dup.alias("is_dup"))
+        hf.join(dups, "h", "left")
+        .select("doc_id", F.coalesce("dup", F.lit(0)).alias("is_dup"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
@@ -1680,4 +1688,105 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         w=_WINNOW_W,
         min_shared=3,
         max_bucket=_WINNOW_MAXB,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 3: rewrite-style dedup, budget selection, mixture entropy
+# ---------------------------------------------------------------------------
+
+_CDR_W = 16  # chunk width for the dedup-rewrite (fixture docs avg ~54 tokens)
+
+
+@query(
+    "q_chunk_dedup_rewrite",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    c AS (SELECT doc_id,
+                 CAST(i - 1 AS BIGINT) AS chunk_idx,
+                 array_to_string(w[(i-1)*{_CDR_W} + 1 : (i-1)*{_CDR_W} + {_CDR_W}], ' ') AS chunk
+          FROM t, unnest(range(1, CAST(ceil(len(w) / {_CDR_W}.0) AS BIGINT) + 1)) AS u(i)),
+    k AS (SELECT doc_id, chunk_idx, chunk,
+                 row_number() OVER (PARTITION BY md5(chunk)
+                                    ORDER BY doc_id, chunk_idx) AS rk
+          FROM c),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id)
+    SELECT doc_id, n_chunks, count(*) AS n_kept,
+           string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+    FROM k JOIN tot USING (doc_id)
+    WHERE rk = 1
+    GROUP BY doc_id, n_chunks
+    """,
+)
+def q_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity dedup with document RECONSTRUCTION (the
+    ExactSubstr-style rewrite): drop every repeated 16-token chunk
+    except its first corpus occurrence, rebuild each doc's text from
+    the survivors. Keep-first is a partial-aggregable min(struct) per
+    chunk hash — skew-safe where a row_number window is not.
+    operators/text.py::chunk_dedup_rewrite."""
+    return T.chunk_dedup_rewrite(load_table(spark, sf_dir, "documents"), width=_CDR_W)
+
+
+_TB_BUDGET = 12_000
+
+
+@query(
+    "q_token_budget_select",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                      round(len(list_distinct(w))::DOUBLE / len(w), 6) AS score
+               FROM (SELECT doc_id, {_TOKS} AS w FROM documents)),
+    c AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                    AS cum_tokens
+          FROM s)
+    SELECT doc_id, n_tokens, score, cum_tokens
+    FROM c WHERE cum_tokens <= {_TB_BUDGET}
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked selection under a token budget: keep the
+    best-scored documents (score = distinct-token fraction, the
+    cheapest lexical-diversity proxy; ties broken by doc_id) until
+    the cumulative token count reaches the budget. The oracle states
+    the semantics as ONE global running sum; the engine computes the
+    identical prefix via score-bucket offsets + per-bucket windows so
+    no corpus-sized single partition exists.
+    operators/sampling.py::token_budget_select."""
+    from ..operators.sampling import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    score = F.round(F.size(F.array_distinct(w)) / F.size(w), 6)
+    return token_budget_select(
+        docs, budget=_TB_BUDGET, score_col=score, token_count_col=F.size(w)
+    )
+
+
+@query(
+    "q_lang_entropy",
+    oracle="""
+    WITH sl AS (SELECT source, lang, count(*) AS c
+                FROM documents GROUP BY source, lang)
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+           count(*) AS n_langs,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS lang_entropy
+    FROM sl GROUP BY source
+    """,
+)
+def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture entropy per source (corpus-mixture monitoring:
+    a source whose language entropy collapses or spikes changed its
+    crawl behavior). Shannon entropy computed as ln(n) − Σc·ln(c)/n
+    from per-(source, lang) counts — two nested map-side-combinable
+    aggregates, never a per-document pass; the second aggregate's
+    input is |sources|×|langs| rows regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    return sl.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        ).alias("lang_entropy"),
     )

@@ -186,6 +186,11 @@ _DEFERRED = [
     "q_tpch_q19",
     "q_tpch_q21",
     "q_tpch_q22",
+    "q_chunk_dedup_rewrite",
+    "q_token_budget_select",
+    "q_lang_entropy",
+    "q_event_cooccurrence",
+    "q_retention_cohorts",
 ]
 
 

@@ -2159,3 +2159,110 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.sum("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics (round 3): co-occurrence lift, retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_event_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+    s AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_both,
+           round(count(*) * n_users / (sa.n_t * CAST(sb.n_t AS DOUBLE)), 4)
+               AS lift
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN s sa ON sa.event_type = a.event_type
+    JOIN s sb ON sb.event_type = b.event_type
+    CROSS JOIN n
+    GROUP BY type_a, type_b, sa.n_t, sb.n_t, n_users
+    """,
+)
+def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift (market-basket over user
+    behavior): for each unordered pair of event types, how much more
+    often do they share a user than independence predicts. The
+    self-join is keyed on user_id with per-user groups bounded by the
+    EVENT-TYPE DOMAIN (distinct types per user ≤ |types|), so the
+    pair explosion is |types|² per user worst-case — a constant — and
+    the per-type supports and the 1-row user count attach as
+    broadcasts onto the |types|²-row aggregate output."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    s = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("ub"), F.col("event_type").alias("type_b"))
+    pairs = a.join(
+        b, (F.col("user_id") == F.col("ub")) & (F.col("type_a") < F.col("type_b"))
+    )
+    sa = s.select(F.col("event_type").alias("ea"), F.col("n_t").alias("na"))
+    sb = s.select(F.col("event_type").alias("eb"), F.col("n_t").alias("nb"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .join(F.broadcast(sa), F.col("type_a") == F.col("ea"))
+        .join(F.broadcast(sb), F.col("type_b") == F.col("eb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            _r(F.col("n_both") * F.col("n_users") / (F.col("na") * F.col("nb").cast("double"))).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events
+               GROUP BY user_id),
+    j AS (SELECT e.user_id,
+                 CAST(floor(date_diff('day', DATE '2024-01-01',
+                                      CAST(f.first_ts AS DATE)) / 7) AS BIGINT)
+                     AS cohort_week,
+                 CAST(floor(date_diff('day', CAST(f.first_ts AS DATE),
+                                      CAST(e.ts AS DATE)) / 7) AS BIGINT)
+                     AS week_offset
+          FROM events e JOIN f USING (user_id))
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM j GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week
+    (cohort), counted as active in each subsequent week offset — the
+    canonical growth-analytics rollup. The per-user first timestamp
+    is a window MIN partitioned by user_id over the event frame
+    (per-user partitions, bounded; ONE exchange that the following
+    distinct reuses its partitioning for), week arithmetic is DATE-
+    cast day-diffs (identical truncation on both engines), and the
+    final matrix is |cohorts|×|offsets| rows. No events self-join:
+    the window formulation keeps it to one fact shuffle plus the
+    distinct-user aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    first_ts = F.min("ts").over(w)
+    epoch = F.lit("2024-01-01").cast("date")
+    j = ev.withColumn("first_ts", first_ts).select(
+        "user_id",
+        F.floor(F.datediff(F.col("first_ts").cast("date"), epoch) / 7)
+        .cast("long")
+        .alias("cohort_week"),
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("first_ts").cast("date")) / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    return j.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )

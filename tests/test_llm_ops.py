@@ -566,3 +566,60 @@ def test_hard_negatives_labels_differ_and_rank_bounded(spark):
         assert [r["rank"] for r in rs] == [1, 2, 3]
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_chunk_dedup_rewrite_keep_first_and_rebuild(spark):
+    """Constructed corpus: doc 1 owns chunks A B; doc 2 repeats A then
+    adds C; doc 3 is A alone (pure boilerplate). Keep-first must
+    retain doc 1 intact, strip A from doc 2 (rebuilding 'C' only),
+    and drop doc 3 entirely."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        chunk_dedup_rewrite,
+    )
+
+    A = "a b c d"
+    B = "e f g h"
+    C = "i j k l"
+    df = spark.createDataFrame(
+        [(1, f"{A} {B}"), (2, f"{A} {C}"), (3, A)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+        for r in chunk_dedup_rewrite(df, width=4).collect()
+    }
+    assert out[1] == (2, 2, f"{A} {B}")
+    assert out[2] == (2, 1, C)
+    assert 3 not in out
+
+
+def test_token_budget_select_matches_global_prefix(spark):
+    """The bucketed two-level formulation must equal the naive global
+    running-sum prefix exactly, including the boundary doc, on a frame
+    with score ties spanning bucket edges."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    rows = [(i, float((i * 7) % 10) / 10.0, 10 + (i % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n long")
+    got = token_budget_select(
+        df, budget=900, score_col=F.col("score"), token_count_col=F.col("n")
+    )
+    naive = (
+        df.withColumn(
+            "cum_tokens",
+            F.sum("n").over(
+                Window.orderBy(F.desc("score"), F.asc("doc_id")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .filter(F.col("cum_tokens") <= 900)
+        .select("doc_id", F.col("n").alias("n_tokens"), "score", "cum_tokens")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # the prefix is non-trivial: something selected, something excluded
+    assert 0 < got.count() < df.count()
