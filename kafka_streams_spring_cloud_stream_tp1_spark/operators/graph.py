@@ -1,0 +1,65 @@
+"""Iterative graph analytics over relational edge lists.
+
+Connected components (pointer-jumping label propagation) lives in
+`dedup.py` where its consumer is; this module holds the general
+iterative-computation pattern: PageRank as unrolled DataFrame rounds.
+The reference system has no graph surface at all (its whole topology
+is one Kafka-Streams count, reference:
+src/main/java/.../PageEventHandler.java:26-60); this is north-star
+extension surface for influence/importance scoring over entity graphs
+(e.g. domain-link authority as a training-data quality prior).
+
+Scale shape per iteration: ONE shuffle join of the edge list against
+the node-sized rank frame plus one map-side-combinable destination
+aggregate — the textbook distributed PageRank step. Ranks are never
+collected; the damping/teleport constant attaches as a broadcast 1-row
+aggregate. For long runs, `checkpoint_every` truncates plan lineage
+with localCheckpoint (same discipline as dedup.py's pointer jumping);
+short unrolled runs (the oracle-checked form) skip it so the whole
+computation stays one lazily-planned DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Undirected PageRank: symmetrize the edge list, run
+    ``iterations`` synchronous rounds of
+    r'(v) = (1-d)/N + d * Σ_{u~v} r(u)/deg(u), starting uniform.
+    Returns (node, rank). Every node appears in the symmetrized edge
+    list, so there are no dangling nodes by construction."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e_deg = e.join(deg, "src")
+    n1 = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for i in range(iterations):
+        contribs = (
+            e_deg.join(ranks, F.col("src") == F.col("node"))
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contribs.crossJoin(F.broadcast(n1)).select(
+            F.col("dst").alias("node"),
+            ((1.0 - damping) / F.col("n_nodes") + damping * F.col("s")).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

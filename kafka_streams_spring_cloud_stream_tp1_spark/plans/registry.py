@@ -191,6 +191,7 @@ _DEFERRED = [
     "q_lang_entropy",
     "q_event_cooccurrence",
     "q_retention_cohorts",
+    "q_pagerank",
 ]
 
 

@@ -2266,3 +2266,46 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").cast("long").alias("n_active")
     )
+
+
+@query(
+    "q_pagerank",
+    oracle="""
+    WITH base AS (SELECT DISTINCT 'p:' || l_partkey::VARCHAR AS a,
+                                  's:' || l_suppkey::VARCHAR AS b
+                  FROM lineitem),
+    e AS (SELECT a AS src, b AS dst FROM base
+          UNION
+          SELECT b AS src, a AS dst FROM base),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    n AS (SELECT count(*) AS nn FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / nn AS pr FROM deg CROSS JOIN n),
+    r1 AS (SELECT e.dst AS node, 0.15 / max(nn) + 0.85 * sum(r0.pr / deg.deg) AS pr
+           FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src CROSS JOIN n
+           GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS node, 0.15 / max(nn) + 0.85 * sum(r1.pr / deg.deg) AS pr
+           FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src CROSS JOIN n
+           GROUP BY e.dst)
+    SELECT node, round(pr, 8) AS pr FROM r2
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part↔supplier bipartite graph (two unrolled
+    synchronous iterations, damping 0.85) — the iterative-graph-
+    algorithm class, expressed as repeated join+aggregate rounds the
+    oracle replays exactly as chained CTEs. Node ids are namespaced
+    ('p:'/'s:') so the two key spaces can't collide. Per iteration:
+    one shuffle join of edges against the node-sized rank frame + one
+    map-side-combined destination aggregate; the node count attaches
+    as a broadcast 1-row aggregate. Ranks rounded to 8 decimals —
+    float-sum order effects are ~1e-15 relative, eight orders below
+    the grid. operators/graph.py::pagerank."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+    pr = pagerank(edges, iterations=2, damping=0.85)
+    return pr.select("node", F.round("rank", 8).alias("pr"))

@@ -87,3 +87,20 @@ def test_asof_join_rejects_payload_collision(spark):
             left, right, left_key="k", right_key="k", left_ts="t", right_ts="ts",
             payload_cols=["t"],
         )
+
+
+def test_pagerank_mass_conservation_and_ranking(spark):
+    """With no dangling nodes, total rank mass stays 1.0 after every
+    iteration; on a star graph the hub must outrank every leaf."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.graph import pagerank
+
+    star = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(6)], "src string, dst string"
+    )
+    for iters in (1, 3):
+        pr = pagerank(star, iterations=iters)
+        rows = {r["node"]: r["rank"] for r in pr.collect()}
+        assert abs(sum(rows.values()) - 1.0) < 1e-9, rows
+        assert all(rows["hub"] > v for k, v in rows.items() if k != "hub"), rows
