@@ -672,3 +672,33 @@ def simhash_dup_groups(df: DataFrame, bits: int = 16, text_col: str = "text") ->
         .filter(F.col("group_size") > 1)
         .select("doc_id", "simhash", "canonical_id", "group_size")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff: classify every document id across two
+    corpus snapshots as added / removed / changed / unchanged by
+    comparing content fingerprints — the audit step between dataset
+    releases (what changed since the crawl we trained on?). Returns
+    one row per id with its status.
+
+    Plan: each side collapses to (id, md5(text)) AT THE SCAN (text
+    never crosses the wire — only 32-byte fingerprints), then ONE
+    full outer join on the id; status is a null-pattern CASE
+    projection. Id-grain rows are unique per side so the join is
+    skew-free by construction; at 100 TB this is two pruned scans and
+    a single co-partitioned exchange pair."""
+    o = old.select(F.col(id_col).alias("id"), F.md5(text_col).alias("old_fp"))
+    n = new.select(F.col(id_col).alias("id"), F.md5(text_col).alias("new_fp"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col("id").alias(id_col), status.alias("status"))

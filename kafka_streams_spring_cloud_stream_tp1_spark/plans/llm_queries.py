@@ -1790,3 +1790,42 @@ def q_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
         ).alias("lang_entropy"),
     )
+
+
+@query(
+    "q_corpus_diff",
+    oracle="""
+    WITH old AS (SELECT doc_id, md5(text) AS old_fp FROM documents
+                 WHERE doc_id % 10 <> 0),
+    new AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 13 = 0 THEN upper(text)
+                            ELSE text END) AS new_fp
+            FROM documents WHERE doc_id % 7 <> 0),
+    j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+                 CASE WHEN old_fp IS NULL THEN 'added'
+                      WHEN new_fp IS NULL THEN 'removed'
+                      WHEN old_fp <> new_fp THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM old FULL OUTER JOIN new USING (doc_id))
+    SELECT status, count(*) AS n_docs FROM j GROUP BY status
+    """,
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release diff report: two synthetic snapshots of the
+    documents table (the 'old' release drops every 10th doc; the 'new'
+    release drops every 7th and rewrites every 13th), classified
+    added/removed/changed/unchanged by content fingerprint and rolled
+    up to release-audit counts. Text collapses to md5 at the scans;
+    the full outer join moves only (id, fingerprint) pairs.
+    operators/dedup.py::snapshot_diff."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 13 == 0, F.upper("text")).otherwise(F.col("text")),
+    )
+    return (
+        D.snapshot_diff(old, new)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -192,6 +192,7 @@ _DEFERRED = [
     "q_event_cooccurrence",
     "q_retention_cohorts",
     "q_pagerank",
+    "q_corpus_diff",
 ]
 
 

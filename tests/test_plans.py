@@ -428,3 +428,46 @@ def test_tpch_q22_antijoin_build_pruned_and_avg_broadcast(spark):
     orders_reads = [r for r in reads if "o_custkey" in r]
     assert orders_reads and all("o_totalprice" not in r for r in orders_reads), reads
     assert "GreaterThanOrEqual(o_orderdate," in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime bloom-filter join pruning: when a selective dimension
+    filter feeds a shuffle join, Catalyst injects a bloom filter built
+    from the filtered build side and applies it as might_contain() ON
+    THE FACT SCAN — rows that cannot join die before the exchange. In
+    production the 10 GB application-side threshold makes this
+    self-activate exactly at the 100 TB scale the engine targets; the
+    test lowers the thresholds so the sf-smoke fixture crosses them."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        # the filter must sit on the LINEITEM (application) side scan
+        fact_branch = plan.split("lineitem.parquet")[0]
+        assert "might_contain" in fact_branch, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
