@@ -1829,3 +1829,153 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup pipeline completion (round 3): canonical selection, novelty
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(src, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    labels AS (SELECT src AS doc_id, least(src, min(reach)) AS cluster_id
+               FROM walk GROUP BY src),
+    members AS (SELECT cluster_id, l.doc_id, d.n_chars
+                FROM labels l JOIN documents d ON l.doc_id = d.doc_id),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rk
+               FROM members)
+    SELECT cluster_id,
+           max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM ranked GROUP BY cluster_id
+    """,
+)
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup policy: near-dup pairs → connected components
+    → ONE canonical survivor per cluster (longest doc, doc_id
+    tie-break) — the 'which copy do we keep' step every training-data
+    pipeline runs after clustering. Composition of the existing
+    verified stages (PPJoin pairs, pointer-jumping components) plus a
+    per-cluster window rank; cluster partitions are duplicate-group
+    sized (bounded), so the rank never sees skew, and the summary is
+    cluster-grain (tiny). Integer chars → exact sums, no float
+    hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    labels = D.dup_clusters(pairs)
+    members = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = members.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("cluster_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+_NOVELTY_N = 5
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_ngrams_sql('toks', _NOVELTY_N)} AS s FROM t),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    first AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g),
+    per AS (SELECT ex.doc_id,
+                   count(*) AS n_grams,
+                   sum(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                       AS n_novel
+            FROM ex JOIN first USING (g) GROUP BY ex.doc_id)
+    SELECT doc_id, n_grams, n_novel,
+           n_novel / CAST(n_grams AS DOUBLE) AS novelty
+    FROM per
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    5-gram shingles whose FIRST corpus occurrence (min doc_id) is the
+    doc itself — the standard 'how much new text does this document
+    add' curve used to order crawl snapshots and detect template
+    churn. One explode + one shingle-keyed aggregate (uniform 5-gram
+    keys — no skew) + one join back on the same key (partitioning
+    reused, AQE coalesces); the ratio divides two exact integers so
+    the double is bit-identical cross-engine (no rounding needed)."""
+    from ..operators.dedup import shingle_sets
+
+    sh = shingle_sets(load_table(spark, sf_dir, "documents"), n=_NOVELTY_N)
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        ex.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        (F.col("n_novel") / F.col("n_grams").cast("double")).alias("novelty"),
+    )
+
+
+_NORM_TOL = 5e-8
+
+
+@query(
+    "q_embedding_norm_outliers",
+    oracle=f"""
+    WITH e AS (SELECT vec_id,
+                      sqrt(list_aggregate(list_transform(
+                          embedding::DOUBLE[], x -> x * x), 'sum')) AS norm
+               FROM embeddings)
+    SELECT vec_id, (norm - 1) * 1e9 AS deviation_ppb
+    FROM e WHERE abs(norm - 1) > {_NORM_TOL}
+    """,
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization audit: vectors whose L2 norm drifts
+    from 1.0 beyond tolerance — catches un-normalized, truncated, or
+    precision-damaged rows before they poison cosine dedup or ANN
+    (dot-product shortcuts assume unit norm). The fixture is
+    unit-normalized to float32 precision, so the 5e-8 tolerance
+    surfaces its real quantization tail non-trivially. The norm is a
+    sequential fold over each row's own array — bit-identical
+    cross-engine (same IEEE ops in the same order), so the deviation
+    ships as a raw double with NO rounding (round() introduces the
+    tie hazard; exactness doesn't). Scan → map → filter: no shuffle,
+    pushdown-friendly at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    e = emb.select("vec_id", norm.alias("norm"))
+    return (
+        e.filter(F.abs(F.col("norm") - 1) > _NORM_TOL)
+        .select("vec_id", ((F.col("norm") - 1) * 1e9).alias("deviation_ppb"))
+    )

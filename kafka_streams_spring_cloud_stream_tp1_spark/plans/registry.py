@@ -193,6 +193,19 @@ _DEFERRED = [
     "q_retention_cohorts",
     "q_pagerank",
     "q_corpus_diff",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_cluster_canonical",
+    "q_ngram_novelty",
+    "q_embedding_norm_outliers",
+    "q_event_markov",
+    "q_user_stickiness",
+    "q_rfm_segments",
+    "q_anomaly_zscore",
 ]
 
 
