@@ -32,19 +32,33 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 0,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Undirected PageRank: symmetrize the edge list, run
     ``iterations`` synchronous rounds of
     r'(v) = (1-d)/N + d * Σ_{u~v} r(u)/deg(u), starting uniform.
     Returns (node, rank). Every node appears in the symmetrized edge
-    list, so there are no dangling nodes by construction."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .distinct()
+    list, so there are no dangling nodes by construction.
+
+    ``edges_distinct=True`` asserts the input pairs are already
+    unique AND the two node namespaces are disjoint (e.g. a bipartite
+    graph), so the symmetrized union needs no dedup shuffle — for a
+    bipartite fact-derived graph that removes the single largest
+    stage of the whole computation."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
+    if not edges_distinct:
+        e = e.distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e_deg = e.join(deg, "src")
+    # Materialize the degree-annotated edge list ONCE: every iteration
+    # joins against e_deg, and deg/n1/ranks all hang off the same
+    # union+distinct subtree — unmaterialized, Spark replays that
+    # full upstream plan once per reference (measured 14.6 s for two
+    # unrolled rounds at sf0.1; ~4 s with the checkpoint). Same
+    # discipline as dedup.py's pointer jumping; on a cluster this is
+    # the edge list pinned in executor storage across supersteps.
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
     n1 = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = deg.crossJoin(F.broadcast(n1)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n_nodes")).alias("rank")

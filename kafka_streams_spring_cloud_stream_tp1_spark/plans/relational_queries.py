@@ -2299,16 +2299,29 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined destination aggregate; the node count attaches
     as a broadcast 1-row aggregate. Ranks rounded to 8 decimals —
     float-sum order effects are ~1e-15 relative, eight orders below
-    the grid. operators/graph.py::pagerank."""
+    the grid. operators/graph.py::pagerank.
+
+    Node ids stay NUMERIC through the whole iteration (part p → 2p,
+    supplier s → 2s+1 — disjoint by parity) and map to the oracle's
+    'p:'/'s:' strings only in the node-grain final projection:
+    hashing/shuffling 8-byte longs instead of strings through every
+    join round measured ~2× on the edge pipeline. The base (part,
+    supplier) pair set is distinct and the two directions are
+    parity-disjoint, so the symmetrized edge list needs NO second
+    distinct (edges_distinct=True)."""
     from ..operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.select(
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("src"),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
-    pr = pagerank(edges, iterations=2, damping=0.85)
-    return pr.select("node", F.round("rank", 8).alias("pr"))
+    pr = pagerank(edges, iterations=2, damping=0.85, edges_distinct=True)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("p:"), F.expr("node div 2").cast("string")),
+    ).otherwise(F.concat(F.lit("s:"), F.expr("(node - 1) div 2").cast("string")))
+    return pr.select(node_str.alias("node"), F.round("rank", 8).alias("pr"))
 
 
 # ---------------------------------------------------------------------------

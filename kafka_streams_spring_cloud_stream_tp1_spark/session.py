@@ -55,6 +55,15 @@ def get_spark(
         # OOMs under 32 concurrent tasks doing array-heavy work. No-op
         # when the JVM already exists (e.g. under an external driver).
         .config("spark.driver.memory", "32g")
+        # ContextCleaner's default BLOCKING shuffle/broadcast cleanup
+        # stalls the next job for as long as the accumulated garbage
+        # takes to drop — in a many-query session the pause lands on a
+        # RANDOM later query (measured: identical PageRank runs 8.8 s
+        # → 17.8 s → 36.4 s blocking, 4.5 s steady non-blocking).
+        # Async cleanup has no correctness cost: freed shuffle files
+        # are simply deleted a moment later.
+        .config("spark.cleaner.referenceTracking.blocking", "false")
+        .config("spark.cleaner.referenceTracking.blocking.shuffle", "false")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
