@@ -206,6 +206,10 @@ _DEFERRED = [
     "q_user_stickiness",
     "q_rfm_segments",
     "q_anomaly_zscore",
+    "q_fuzzy_join",
+    "q_yoy_growth",
+    "q_text_normalize",
+    "q_zorder_index",
 ]
 
 

@@ -2885,3 +2885,172 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("zscore")) > _ZSCORE_T)
         .select("event_type", "day", "cnt", "zscore")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 third batch: entity resolution, YoY growth, normalization,
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fuzzy_join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (SELECT p_name,
+                       split_part(p_name, ' ', -1) AS blk
+                FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / fuzzy record linkage: near-identical part
+    names by edit distance, with BLOCKING on the head noun (last
+    token) so the quadratic comparison runs per block instead of
+    all-pairs — the standard record-linkage architecture (block →
+    compare → link). The name DOMAIN is deduplicated first (dimension
+    grain, not fact grain), so block sizes are bounded by the
+    attribute vocabulary: at 100 TB the distinct projection is the
+    only fact-scale stage and the comparator never sees the fact
+    table. levenshtein() is exact integer edit distance on both
+    engines."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.element_at(F.split(F.col("p_name"), " "), -1).alias("blk")
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), F.col("blk").alias("blk_a"))
+    b = blocked.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+    )
+
+
+@query(
+    "q_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY 1, 2)
+    SELECT nation, yr, revenue,
+           round((revenue - lag(revenue) OVER w) /
+                 lag(revenue) OVER w, 4) AS yoy_growth
+    FROM yearly
+    WINDOW w AS (PARTITION BY nation ORDER BY yr)
+    """,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the reporting
+    staple combining a star join, a yearly rollup, and a LAG window.
+    The growth ratio divides the ALREADY-ROUNDED revenues (the two
+    engines agree on those by the 4-decimal contract), so the
+    quotient is bit-identical before its own rounding. One fact
+    shuffle for the rollup; the window partitions are |years| rows
+    per nation — trivially bounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(_r(F.sum("o_totalprice")).alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "nation", "yr", "revenue",
+        _r((F.col("revenue") - prev) / prev).alias("yoy_growth"),
+    )
+
+
+@query(
+    "q_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g')) AS norm_text,
+           CAST(len(string_split(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+               '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization for dedup/tokenizer pipelines:
+    lowercase → strip non-alphanumerics → collapse whitespace → trim,
+    plus the normalized token count. One codegen projection, zero
+    shuffle — at 100 TB this runs at scan speed and is the
+    prerequisite step every exact-dedup/fingerprint operator keys
+    on (their hashes assume a canonical form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.size(F.split(norm, " ")).cast("long").alias("n_tokens"),
+    )
+
+
+def _zorder_sql(bits: int = 8) -> str:
+    """DuckDB replay of the Morton interleave — the same exact
+    integer bit math, unrolled."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((p >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((s >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+    WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                   FROM lineitem),
+    zv AS (SELECT p AS partkey, s AS suppkey,
+                  CAST({z} AS BIGINT) AS zval
+           FROM pairs)
+    SELECT partkey, suppkey, zval FROM zv
+    ORDER BY zval, partkey, suppkey LIMIT 200
+    """
+
+
+@query("q_zorder_index", oracle=_zorder_sql())
+def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering index over the (partkey, suppkey)
+    pair domain — the multi-dimensional data-skipping layout key
+    (Delta/Iceberg OPTIMIZE ZORDER): writing a table range-sorted by
+    this value makes parquet row-group min/max stats selective on
+    BOTH join keys at once, so either predicate prunes IO.
+    `sinks/batch.py::write_zordered` is the layout writer;
+    tests/test_layout.py proves the stats tighten. Exact integer bit
+    interleave on both engines; the top-200 is
+    TakeOrderedAndProject."""
+    from ..sinks.batch import zorder_value
+
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    return (
+        pairs.withColumn("zval", zorder_value([F.col("partkey"), F.col("suppkey")], bits=8))
+        .orderBy("zval", "partkey", "suppkey")
+        .limit(200)
+    )

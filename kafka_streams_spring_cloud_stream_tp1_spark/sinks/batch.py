@@ -58,3 +58,51 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Morton (Z-order) index of 2+ non-negative integer columns —
+    interleave the low ``bits`` bits of each column, column 0 in the
+    lowest lane. Sorting/range-partitioning a table by this value
+    before writing clusters rows so that parquet row-group min/max
+    stats become selective on EVERY participating column at once:
+    a multi-dimensional predicate then prunes row groups where a
+    single-column sort order helps only its own column (the Delta/
+    Iceberg OPTIMIZE ZORDER technique, here as a plain column
+    expression). Pure integer bit math — exact, engine-portable,
+    codegen-friendly; no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    cexp = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long") for c in cols]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cexp):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    bits: int = 16,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Morton index of ``zcols``:
+    a range-partitioned sort on the z-value (repartitionByRange keeps
+    the sort distributed — no single-task global sort), so row-group
+    stats are tight on all ``zcols`` simultaneously."""
+    zv = zorder_value(zcols, bits=bits)
+    (
+        df.withColumn("__z", zv)
+        .repartitionByRange("__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )

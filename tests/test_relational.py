@@ -104,3 +104,127 @@ def test_pagerank_mass_conservation_and_ranking(spark):
         rows = {r["node"]: r["rank"] for r in pr.collect()}
         assert abs(sum(rows.values()) - 1.0) < 1e-9, rows
         assert all(rows["hub"] > v for k, v in rows.items() if k != "hub"), rows
+
+
+def test_event_markov_rows_are_distributions(spark):
+    """Per-source transition probabilities must sum to 1 and every
+    count must be positive."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.relational_queries import (
+        q_event_markov,
+    )
+
+    from .conftest import SF_SMOKE
+
+    probs = q_event_markov(spark, SF_SMOKE)
+    sums = probs.groupBy("src").agg(F.sum("prob").alias("p")).collect()
+    assert sums and all(abs(r["p"] - 1.0) < 1e-9 for r in sums), sums
+    assert probs.filter("n <= 0 OR prob <= 0 OR prob > 1").count() == 0
+
+
+def test_rfm_quartiles_balanced_and_deterministic(spark):
+    """ntile(4) must split customers into near-equal quartiles
+    (|max-min| ≤ 1 by definition), and two runs must agree exactly
+    (the custkey tie-breaks make the ranking total)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.relational_queries import (
+        q_rfm_segments,
+    )
+
+    from .conftest import SF_SMOKE
+
+    seg = q_rfm_segments(spark, SF_SMOKE)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = [r["cnt"] for r in seg.groupBy(col).count().withColumnRenamed("count", "cnt").collect()]
+        assert len(counts) == 4 and max(counts) - min(counts) <= 1, (col, counts)
+    a = sorted(map(tuple, seg.collect()))
+    b = sorted(map(tuple, q_rfm_segments(spark, SF_SMOKE).collect()))
+    assert a == b
+
+
+def test_anomaly_zscore_flags_planted_spike(spark, tmp_path):
+    """A synthetic uniform daily series with one 10× day must flag
+    exactly that day (and its |z| must dominate)."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans import QUERIES, queries_map
+
+    queries_map()
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        n = 50 if day != 7 else 500
+        for i in range(n):
+            rows.append((eid, f"2024-03-{day:02d} 12:00:00", eid % 17, "click", 1.0, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sf_dir = str(tmp_path / "sf_synth")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+    out = QUERIES["q_anomaly_zscore"].builder(spark, sf_dir).collect()
+    assert len(out) == 1 and str(out[0]["day"]) == "2024-03-07", out
+
+
+def test_ngram_novelty_ordering_semantics(spark):
+    """A doc identical to an earlier doc must have novelty 0; the
+    corpus-first doc is fully novel; novelty is within [0, 1]."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import shingle_sets
+
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # verbatim dup of 1
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = shingle_sets(docs, n=5)
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        ex.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_grams"))
+    )
+    got = {r["doc_id"]: r["novelty"] for r in per.collect()}
+    assert got[1] == 1.0 and got[2] == 0.0 and got[3] == 1.0, got
+
+
+def test_cluster_canonical_invariants(spark):
+    """The survivor must be a member of its own cluster with the
+    maximal n_chars (doc_id-min among ties), and member counts must
+    sum to the number of clustered docs."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.llm_queries import (
+        q_cluster_canonical,
+        q_dedup_ngram_jaccard,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators import dedup as D
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    out = {r["cluster_id"]: r for r in q_cluster_canonical(spark, SF_SMOKE).collect()}
+    pairs = q_dedup_ngram_jaccard(spark, SF_SMOKE)
+    labels = D.dup_clusters(pairs)
+    docs = {r["doc_id"]: r["n_chars"]
+            for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").collect()}
+    members: dict[int, list[int]] = {}
+    for r in labels.collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    assert set(out) == set(members)
+    for cid, m in members.items():
+        keep = out[cid]["keep_doc_id"]
+        assert keep in m
+        best = max(m, key=lambda d: (docs[d], -d))
+        assert keep == best, (cid, keep, best)
+        assert out[cid]["n_members"] == len(m)
