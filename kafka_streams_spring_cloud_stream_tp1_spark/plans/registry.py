@@ -210,6 +210,9 @@ _DEFERRED = [
     "q_yoy_growth",
     "q_text_normalize",
     "q_zorder_index",
+    "q_latest_per_key",
+    "q_cdc_merge",
+    "q_dq_audit",
 ]
 
 

@@ -3054,3 +3054,154 @@ def q_zorder_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "partkey", "suppkey")
         .limit(200)
     )
+
+
+@query(
+    "q_latest_per_key",
+    oracle="""
+    WITH r AS (SELECT event_id, user_id, ts, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC, event_id DESC) AS rk
+               FROM events)
+    SELECT user_id, event_id, ts, event_type FROM r WHERE rk = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the batch analog of a Kafka
+    compacted topic / upsert-table read): one window rank per key
+    partition, ties broken on event_id so the survivor is total-order
+    deterministic. At scale this is a single hash-partitioned window
+    with WindowGroupLimit pushing rank<=1 into the sort — no
+    self-join against a max-ts aggregate (the naive two-pass form
+    scans the fact twice and breaks on ts ties)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@query(
+    "q_cdc_merge",
+    oracle="""
+    WITH changes AS (
+        SELECT doc_id, 'U' AS op, 'rev2 ' || text AS new_text
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id, 'D' AS op, NULL AS new_text
+        FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 17 = 3
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, 'I' AS op,
+               'new doc ' || CAST(doc_id + 100000 AS VARCHAR) AS new_text
+        FROM documents WHERE doc_id % 25 = 7),
+    merged AS (
+        SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+               CASE WHEN c.op IS NULL THEN 'keep'
+                    WHEN c.op = 'U' THEN 'update'
+                    WHEN c.op = 'I' THEN 'insert'
+                    ELSE 'delete' END AS op,
+               CASE WHEN c.op IN ('U', 'I') THEN c.new_text
+                    ELSE s.text END AS final_text
+        FROM documents s FULL OUTER JOIN changes c ON s.doc_id = c.doc_id)
+    SELECT doc_id, op, md5(final_text) AS content_key
+    FROM merged WHERE op <> 'delete'
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture MERGE (SCD upsert): apply a change set of
+    updates/deletes/inserts to a snapshot in ONE full-outer join —
+    the Delta/Iceberg MERGE INTO shape expressed directly. The change
+    set here is derived deterministically from the snapshot itself
+    (mod-classes of doc_id) so the oracle replays it exactly. Plan
+    shape: snapshot and changes co-partition on the merge key (a
+    single shuffle each side, or zero with bucketed layout); the op
+    disposition is a codegen CASE, and deleted keys drop in the
+    post-join filter. Output fingerprints (md5) rather than full
+    text, so the merge result is audit-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    upd = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.lit("U").alias("op"),
+        F.concat(F.lit("rev2 "), F.col("text")).alias("new_text"),
+    )
+    dele = docs.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 17 == 3)).select(
+        "doc_id", F.lit("D").alias("op"), F.lit(None).cast("string").alias("new_text")
+    )
+    ins = docs.filter(F.col("doc_id") % 25 == 7).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new doc "), (F.col("doc_id") + 100000).cast("string")).alias(
+            "new_text"
+        ),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    s = docs.select(F.col("doc_id").alias("s_id"), "text")
+    merged = s.join(changes, F.col("s_id") == F.col("doc_id"), "full_outer").select(
+        F.coalesce(F.col("doc_id"), F.col("s_id")).alias("doc_id"),
+        F.when(F.col("op").isNull(), "keep")
+        .when(F.col("op") == "U", "update")
+        .when(F.col("op") == "I", "insert")
+        .otherwise("delete")
+        .alias("op"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_text"))
+        .otherwise(F.col("text"))
+        .alias("final_text"),
+    )
+    return merged.filter(F.col("op") != "delete").select(
+        "doc_id", "op", F.md5("final_text").alias("content_key")
+    )
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+    WITH orphans AS (
+        SELECT count(*) AS n FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null_custkey,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+               AS n_dup_orderkey,
+           CAST(max(n) AS BIGINT) AS n_orphan_custkey,
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonpositive_price,
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_1996,
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status
+    FROM orders CROSS JOIN orphans
+    GROUP BY n
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit gate (the expectations/constraints check a
+    pipeline runs before publishing a table): null keys, duplicate
+    primary keys, referential orphans, range and domain violations —
+    one pass, one summary row. All metrics are exact integer counts
+    (no float hazard); the orphan check is a broadcast LEFT ANTI
+    against the pruned dimension key column; everything else folds
+    into a single hash-agg over the fact scan. Zeros are the healthy
+    result — the query's job is to PROVE them cheaply at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust_keys = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        orders.join(F.broadcast(cust_keys), F.col("o_custkey") == F.col("c_custkey"), "leftanti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        orders.crossJoin(F.broadcast(orphans))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("o_custkey")).cast("long").alias("n_null_custkey"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("long").alias("n_dup_orderkey"),
+            F.max("n").cast("long").alias("n_orphan_custkey"),
+            F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("long").alias("n_nonpositive_price"),
+            F.sum(
+                F.when(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"), 1).otherwise(0)
+            ).cast("long").alias("n_pre_1996"),
+            F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)).cast("long").alias("n_bad_status"),
+        )
+        .drop("n")
+    )
