@@ -471,3 +471,75 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q9_broadcasts_all_dims_single_fact_join(spark):
+    """Q9: part (LIKE-filtered), supplier, nation must all broadcast;
+    the only non-broadcast join is orders⋈lineitem; the part scan
+    must be pruned to p_partkey+p_name."""
+    plan = _plan(spark, "q_tpch_q9")
+    # the three dimensions always broadcast; at smoke scale AQE may
+    # broadcast orders too (4th BHJ) — the invariant is "no more than
+    # ONE non-broadcast join" (orders⋈lineitem at scale)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    read = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    part_reads = [r for r in read if "p_name" in r]
+    assert part_reads and all("p_retailprice" not in r for r in part_reads), read
+
+
+def test_tpch_q16_distinct_doubles_as_partial_dedup(spark):
+    """Q16: the supplier blocklist must be a broadcast LEFT ANTI, and
+    the distinct-pair projection must reach the scan pruned to the
+    two key columns only."""
+    plan = _plan(spark, "q_tpch_q16")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    li_reads = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]
+                if "l_partkey" in seg.splitlines()[0]]
+    assert li_reads and all(
+        "l_extendedprice" not in r and "l_quantity" not in r for r in li_reads
+    ), li_reads
+
+
+def test_latest_per_key_uses_window_group_limit(spark):
+    """rank<=1 must push into the window sort (WindowGroupLimit) —
+    the partition never fully materializes its sorted rows."""
+    plan = _plan(spark, "q_latest_per_key")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dq_audit_single_fact_scan_and_broadcast_anti(spark):
+    """The audit must scan orders exactly twice (once for the metrics
+    agg, once inside the orphan anti join — both column-pruned), with
+    the customer key side broadcast."""
+    plan = _plan(spark, "q_dq_audit")
+    assert "LeftAnti, BuildRight" in plan or ("LeftAnti" in plan and "BroadcastHashJoin" in plan), plan
+    cust_reads = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]
+                  if "c_custkey" in seg.splitlines()[0]]
+    assert cust_reads and all("c_acctbal" not in r for r in cust_reads), cust_reads
+
+
+def test_cdc_merge_single_outer_join(spark):
+    """The MERGE must be ONE full-outer join (SortMergeJoin FullOuter)
+    — not per-op joins; the three change branches union BEFORE the
+    join."""
+    plan = _plan(spark, "q_cdc_merge")
+    assert plan.count("FullOuter") == 1, plan
+
+
+def test_zorder_index_is_take_ordered(spark):
+    """Top-200 by z-value must plan as TakeOrderedAndProject, and the
+    lineitem scan must read only the two key columns."""
+    plan = _plan(spark, "q_zorder_index")
+    assert "TakeOrderedAndProject" in plan, plan
+    reads = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert any("l_partkey" in r and "l_suppkey" in r and "l_quantity" not in r
+               for r in reads), reads
+
+
+def test_fuzzy_join_blocks_before_compare(spark):
+    """The levenshtein comparator must sit ABOVE a join keyed on the
+    block attribute — never a cartesian across blocks."""
+    plan = _plan(spark, "q_fuzzy_join")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
