@@ -1979,3 +1979,123 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.abs(F.col("norm") - 1) > _NORM_TOL)
         .select("vec_id", ((F.col("norm") - 1) * 1e9).alias("deviation_ppb"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 fourth batch: hashing-trick vectorization, incremental dedup
+# ---------------------------------------------------------------------------
+
+
+_FH_DIMS = 16
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    hx AS (SELECT doc_id, {xhash_sql('tok')} % {_FH_DIMS} AS dim FROM ex)
+    SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS tf
+    FROM hx GROUP BY doc_id, dim
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (Weinberger et al.): project every
+    document's term-frequency profile into a fixed 16-dim space by
+    hashing tokens to dimensions — the vocabulary-free featurizer for
+    linear quality classifiers at corpus scale (no vocab build, no
+    OOV, bounded width). Long format (doc_id, dim, tf): sparse by
+    construction and exactly SQL-replayable; the hash is the
+    engine-portable 60-bit md5 derivation (operators/hashing.py), so
+    dimension assignment is bit-identical cross-engine. One explode +
+    one map-side-combined groupBy — the same shape as word count."""
+    from ..operators.hashing import xhash
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.hashing import fan_out
+
+    ex = fan_out(docs).select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    return (
+        ex.select("doc_id", (xhash(F.col("tok")) % _FH_DIMS).alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    masks = perm_masks(_MH_K)
+    sig_cols = ",\n                  ".join(
+        f"min(xor(h, {m})) AS sig_{i}" for i, m in enumerate(masks)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"sig_{b * _MH_ROWS + r}::VARCHAR" for r in range(_MH_ROWS)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_ngrams_sql('toks', _JACCARD_N)} AS s FROM t),
+    hx AS (SELECT doc_id, {xhash_sql('g')} AS h
+           FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+    sig AS (SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id),
+    bands AS ({band_selects}),
+    old_bands AS (SELECT DISTINCT band, bh, doc_id FROM bands
+                  WHERE doc_id % 5 <> 4),
+    new_bands AS (SELECT DISTINCT band, bh, doc_id FROM bands
+                  WHERE doc_id % 5 = 4)
+    SELECT n.doc_id,
+           CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_old_matches
+    FROM new_bands n JOIN old_bands o
+      ON n.band = o.band AND n.bh = o.bh
+    GROUP BY n.doc_id
+    """
+
+
+@query("q_incremental_dedup", oracle=_incremental_dedup_sql())
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (corpus-vs-batch) near-dup gate — the BATCH form
+    of the streaming ingest gate (`streaming/dedup_stream.py`): new
+    documents (here the deterministic doc_id%5=4 slice, standing in
+    for a fresh crawl delta) are flagged when they share any MinHash
+    LSH band bucket with an EXISTING document. The signature pipeline
+    runs once over old∪new; the probe is an equality join on
+    (band, band_hash) — at 100 TB the old side is a prebuilt band
+    index read from storage and the join is index-sized, never
+    corpus-text-sized. Output: each new doc with the count of old
+    docs it collides with (candidate-level, the recall stage;
+    q_dedup_minhash_lsh is the verify stage)."""
+    from ..operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, k=_MH_K, n=_JACCARD_N)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"sig_{b * _MH_ROWS + r}").cast("string") for r in range(_MH_ROWS)],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("e")).select(
+        "doc_id", "e.band", "e.bh"
+    )
+    old_b = bands.filter(F.col("doc_id") % 5 != 4).select(
+        "band", "bh", F.col("doc_id").alias("old_id")
+    ).distinct()
+    new_b = bands.filter(F.col("doc_id") % 5 == 4).distinct()
+    return (
+        new_b.join(old_b, ["band", "bh"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("old_id").cast("long").alias("n_old_matches"))
+    )

@@ -213,6 +213,8 @@ _DEFERRED = [
     "q_latest_per_key",
     "q_cdc_merge",
     "q_dq_audit",
+    "q_feature_hashing",
+    "q_incremental_dedup",
 ]
 
 
