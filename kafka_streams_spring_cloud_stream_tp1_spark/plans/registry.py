@@ -215,6 +215,7 @@ _DEFERRED = [
     "q_dq_audit",
     "q_feature_hashing",
     "q_incremental_dedup",
+    "q_scd2_history",
 ]
 
 

@@ -3205,3 +3205,64 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n")
     )
+
+
+@query(
+    "q_scd2_history",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS attr,
+               o_orderdate AS ts,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey)
+                   AS prev_attr
+        FROM orders),
+    changes AS (
+        SELECT custkey, attr, ts FROM seq
+        WHERE prev_attr IS NULL OR attr <> prev_attr),
+    versions AS (
+        SELECT custkey, attr, ts AS effective_from,
+               lead(ts) OVER (PARTITION BY custkey ORDER BY ts)
+                   AS effective_to,
+               CAST(row_number() OVER (PARTITION BY custkey ORDER BY ts)
+                    AS BIGINT) AS version
+        FROM changes)
+    SELECT custkey, version, attr, effective_from, effective_to,
+           effective_to IS NULL AS is_current
+    FROM versions
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 construction: collapse an
+    attribute's change stream into validity-interval versions
+    (effective_from / effective_to, open-ended current row) — how a
+    warehouse turns CDC events into an as-of-queryable dimension
+    (the consumer side is `q_asof_join`). Two window passes over the
+    SAME key partitioning (change detection via LAG, then interval
+    closure via LEAD + version numbering — Catalyst reuses the one
+    exchange), ties broken on the order key so version boundaries are
+    total-order deterministic. Per-key partitions are version-count
+    bounded: no skew at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").alias("ts"),
+        F.lag("o_orderpriority").over(w_seq).alias("prev_attr"),
+    )
+    changes = seq.filter(
+        F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
+    )
+    w_v = Window.partitionBy("custkey").orderBy("ts")
+    versions = changes.select(
+        "custkey",
+        "attr",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w_v).alias("effective_to"),
+        F.row_number().over(w_v).cast("long").alias("version"),
+    )
+    return versions.select(
+        "custkey", "version", "attr", "effective_from", "effective_to",
+        F.col("effective_to").isNull().alias("is_current"),
+    )
