@@ -64,6 +64,15 @@ def _ensure_loaded() -> None:
 #      without a row.
 # The 44 r02-green queries rotate into _DEFERRED (past slot 50) and
 # come back in round 4. Rows-only queries always register last.
+#
+# ROUND-4 ROTATION (do this first next round): move the current
+# _FRONT entries (r03-green once CORRECTNESS_r03 confirms) to the
+# END of _DEFERRED, then fill _FRONT with (a) any r03 red/err rows,
+# (b) the "new in round 3 but past the window" block below — the
+# ~45 queries from q_string_agg through q_scd2_history have NEVER
+# been driver-checked (all are locally green at sf0.01 via
+# tests/oracle_harness.py and the verify recipe, but the bar is a
+# driver row), then (c) oldest-green first from _DEFERRED's head.
 _FRONT = [
     # (1) fixed this round — r02 err/hash-mismatch, no green row yet
     "q_quantize_embeddings",
