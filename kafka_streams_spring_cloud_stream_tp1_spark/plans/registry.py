@@ -225,6 +225,8 @@ _DEFERRED = [
     "q_feature_hashing",
     "q_incremental_dedup",
     "q_scd2_history",
+    "q_chisq_independence",
+    "q_ab_test",
 ]
 
 

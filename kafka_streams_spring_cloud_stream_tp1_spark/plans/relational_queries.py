@@ -3266,3 +3266,117 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "version", "attr", "effective_from", "effective_to",
         F.col("effective_to").isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_chisq_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, count(*) AS o
+        FROM documents GROUP BY lang, source),
+    rt AS (SELECT lang, sum(o) AS row_tot FROM obs GROUP BY lang),
+    ct AS (SELECT source, sum(o) AS col_tot FROM obs GROUP BY source),
+    n AS (SELECT sum(o) AS grand FROM obs),
+    cells AS (
+        SELECT obs.lang, obs.source, o,
+               row_tot * col_tot / CAST(grand AS DOUBLE) AS e
+        FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           sum((o - e) * (o - e) / e) AS chi2
+    FROM cells
+    """,
+)
+def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between language and source —
+    the contingency-table statistic behind corpus-composition drift
+    alarms ("did the crawl mix shift?"). Expected counts come from
+    exact integer marginals (row_tot·col_tot/N evaluates the same
+    IEEE expression on both engines), so chi² ships as a raw double.
+    One fact aggregate to the |lang|×|source| table; the marginals
+    re-aggregate THAT (grain²-sized) and broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("grand"))
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .withColumn("e", F.col("row_tot") * F.col("col_tot") / F.col("grand").cast("double"))
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias("chi2"),
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH pc AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purch
+        FROM events GROUP BY user_id),
+    m AS (SELECT avg(n_purch) AS mean_purch FROM pc),
+    assigned AS (
+        SELECT user_id, variant,
+               CASE WHEN n_purch > mean_purch THEN 1 ELSE 0 END AS converted
+        FROM pc CROSS JOIN m),
+    arms AS (
+        SELECT variant, count(*) AS n, sum(converted) AS conv
+        FROM assigned GROUP BY variant),
+    wide AS (
+        SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+               max(CASE WHEN variant = 0 THEN conv END) AS c0,
+               max(CASE WHEN variant = 1 THEN n END) AS n1,
+               max(CASE WHEN variant = 1 THEN conv END) AS c1
+        FROM arms)
+    SELECT n0, c0, n1, c1,
+           c0 / CAST(n0 AS DOUBLE) AS rate0,
+           c1 / CAST(n1 AS DOUBLE) AS rate1,
+           (c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE)) /
+           sqrt((c0 + c1) / CAST(n0 + n1 AS DOUBLE)
+                * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 / n0 + 1.0 / n1)) AS zstat
+    FROM wide
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (A/B experiment readout): deterministic
+    hash-of-user assignment, per-user success flag (above-average
+    purchase count — non-degenerate at every fixture scale, where a
+    did-purchase flag saturates and zeroes the pooled SE), pooled
+    standard error — the experimentation-platform primitive. Every
+    input to the statistic is an exact integer (user counts,
+    conversion counts), so rates and z ship as raw bit-identical
+    doubles. Two aggregates: user grain (one fact shuffle), then the
+    2-row arm rollup pivoted wide."""
+    ev = load_table(spark, sf_dir, "events")
+    pc = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purch")
+    ).select((F.col("user_id") % 2).cast("long").alias("variant"), "n_purch")
+    m = pc.agg(F.avg("n_purch").alias("mean_purch"))
+    assigned = pc.crossJoin(F.broadcast(m)).select(
+        "variant",
+        F.when(F.col("n_purch") > F.col("mean_purch"), 1).otherwise(0).alias("converted"),
+    )
+    arms = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    rate0 = F.col("c0") / F.col("n0").cast("double")
+    rate1 = F.col("c1") / F.col("n1").cast("double")
+    pooled = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast("double")
+    se = F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        rate0.alias("rate0"), rate1.alias("rate1"),
+        ((rate1 - rate0) / se).alias("zstat"),
+    )
