@@ -248,3 +248,118 @@ def bpe_pair_counts(df: DataFrame, k: int = 50, text_col: str = "text") -> DataF
         F.countDistinct("word").alias("n_words"),
     )
     return agg.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(k)
+
+
+def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
+              top_words: int = 50_000) -> list[tuple[str, str]]:
+    """Train a character-level BPE merge list (Sennrich et al. 2016)
+    on the corpus's WORD-FREQUENCY table. The corpus pass is one word
+    count; the merge loop then runs driver-side over that vocabulary-
+    sized table (bounded by ``top_words``) — exactly how production
+    BPE trainers work: the 100 TB corpus is touched once, the
+    iterative part never sees it. Fully deterministic: ties broken on
+    lexicographic pair order.
+
+    Returns the ordered merge list [(left, right), ...] for
+    ``bpe_encode``."""
+    rows = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+        .orderBy(F.desc("wf"), "word")
+        .limit(top_words)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        vocab[tuple(r["word"])] = vocab.get(tuple(r["word"]), 0) + r["wf"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wf in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wf
+        if not counts:
+            break
+        best = max(counts.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        nv: dict[tuple[str, ...], int] = {}
+        for syms, wf in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + wf
+        vocab = nv
+    return merges
+
+
+def bpe_apply_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference greedy BPE encoding of one word: repeatedly merge the
+    LOWEST-RANK adjacent pair (training order), like the published GPT-2
+    encoder loop. Pure function — the pandas UDF below and the pytest
+    reference both call it, so the distributed path is definitionally
+    consistent with the local one."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Apply a trained BPE merge list to every document — the
+    tokenizer-application stage of a training-data pipeline (token
+    budgeting, packing, and billing all need REAL subword counts, not
+    whitespace counts). Arrow-batched mapInPandas with the merge
+    ranks broadcast via closure (a merge list is KBs — closure
+    capture IS the broadcast for this size); per-batch memoization
+    reuses each distinct word's encoding, so cost scales with the
+    batch's vocabulary, not its token count. Returns (id, n_tokens,
+    n_bpe_tokens, compression = whitespace/byte-pair ratio)."""
+    from .hashing import fan_out
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    src = fan_out(df).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def encode(it):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        for pdf in it:
+            ids, n_toks, n_bpe = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split()
+                total = 0
+                for w in words:
+                    n = cache.get(w)
+                    if n is None:
+                        n = len(bpe_apply_word(w, ranks))
+                        cache[w] = n
+                    total += n
+                ids.append(doc_id)
+                n_toks.append(len(words))
+                n_bpe.append(total)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_tokens": n_toks, "n_bpe_tokens": n_bpe}
+            )
+
+    out = src.mapInPandas(encode, "doc_id long, n_tokens long, n_bpe_tokens long")
+    return out.withColumn(
+        "compression",
+        F.round(F.col("n_bpe_tokens") / F.col("n_tokens").cast("double"), 4),
+    )

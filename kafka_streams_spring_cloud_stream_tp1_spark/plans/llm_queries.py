@@ -2099,3 +2099,23 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("old_id").cast("long").alias("n_old_matches"))
     )
+
+
+@query("q_bpe_encode")  # greedy merge loop is not SQL-expressible -> rows-only;
+# encode path is pytest-pinned against the pure-Python reference
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real subword tokenization at scale: train a 32-merge BPE on
+    the corpus word-frequency table (one corpus pass; the merge loop
+    runs driver-side over the vocab, as production trainers do), then
+    apply it to every document via Arrow-batched mapInPandas with a
+    per-batch word-encoding memo — token budgeting/packing/billing
+    need REAL subword counts, not whitespace counts. Deterministic
+    end-to-end (lexicographic tie-breaks), so the rows-only check is
+    stable; `tests/test_vocab_pack.py` pins the distributed encoding
+    to the pure-Python reference (`operators/vocab.py::
+    bpe_apply_word`)."""
+    from ..operators.vocab import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=32)
+    return bpe_encode(docs, merges)

@@ -227,6 +227,7 @@ _DEFERRED = [
     "q_scd2_history",
     "q_chisq_independence",
     "q_ab_test",
+    "q_attribution",
 ]
 
 

@@ -3380,3 +3380,59 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate0.alias("rate0"), rate1.alias("rate1"),
         ((rate1 - rate0) / se).alias("zstat"),
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH touches AS (
+        SELECT user_id, ts,
+               arg_max(event_type, event_id) AS touch_type,
+               max(event_id) AS touch_id
+        FROM events WHERE event_type IN ('view', 'click')
+        GROUP BY user_id, ts),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'),
+    attributed AS (
+        SELECT p.purchase_id, t.touch_type
+        FROM purchases p ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.ts >= t.ts)
+    SELECT coalesce(touch_type, 'none') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM attributed GROUP BY 1
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited
+    to the user's most recent prior view/click — the as-of join
+    applied to behavioral analytics (composability exhibit: the SAME
+    `operators/asof.py` union-merge primitive that serves the
+    time-series query, zero pair materialization, one keyed sort).
+    Touches are deduped to one per (user, ts) with max_by/arg_max
+    tie-breaks so the carried row is deterministic on both engines;
+    the final rollup is touch-type grain."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("event_type", "event_id").alias("touch_type"),
+            F.max("event_id").alias("touch_id"),
+        )
+        .select(F.col("user_id").alias("t_user"), F.col("ts").alias("t_ts"), "touch_type")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    attributed = asof_join(
+        purchases, touches,
+        left_key="user_id", right_key="t_user",
+        left_ts="ts", right_ts="t_ts",
+        payload_cols=["touch_type"],
+    )
+    return attributed.groupBy(
+        F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))

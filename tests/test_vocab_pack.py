@@ -307,3 +307,57 @@ def test_tfidf_cosine_pairs_matches_numpy(spark, docs):
         for r in tfidf_cosine_pairs(docs, threshold=threshold, max_df=max_df).collect()
     }
     assert got == want
+
+
+def test_bpe_train_and_encode_match_python_reference(spark):
+    """The distributed mapInPandas encoding must equal a direct
+    Python re-encoding with the same merge list, and training must
+    merge the most frequent pair first on a hand-checkable corpus."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.vocab import (
+        bpe_apply_word,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "low new low new"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=8)
+    # 'lo' or 'ow' must be the very first merge: 'low' dominates and
+    # both its pairs outweigh any pair from 'new'
+    assert merges[0] in (("l", "o"), ("o", "w")), merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    got = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for doc_id, text in [(1, "low lower lowest low low"),
+                         (2, "new newer newest new"),
+                         (3, "low new low new")]:
+        words = text.split()
+        expect = sum(len(bpe_apply_word(w, ranks)) for w in words)
+        assert got[doc_id]["n_tokens"] == len(words)
+        assert got[doc_id]["n_bpe_tokens"] == expect, (doc_id, got[doc_id], expect)
+        assert got[doc_id]["n_bpe_tokens"] <= sum(len(w) for w in words)
+
+
+def test_bpe_encode_deterministic_across_runs(spark):
+    """Same corpus, two independent train+encode runs → identical
+    results (lexicographic tie-breaks make training total-order
+    deterministic)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.vocab import (
+        bpe_encode,
+        bpe_train,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    m1, m2 = bpe_train(docs, n_merges=16), bpe_train(docs, n_merges=16)
+    assert m1 == m2
+    a = sorted(map(tuple, bpe_encode(docs, m1).collect()))
+    b = sorted(map(tuple, bpe_encode(docs, m2).collect()))
+    assert a == b
