@@ -363,3 +363,63 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
         "compression",
         F.round(F.col("n_bpe_tokens") / F.col("n_tokens").cast("double"), 4),
     )
+
+
+def kneser_ney_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", discount: float = 0.75
+) -> DataFrame:
+    """Per-document mean negative log-probability under an
+    interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; the
+    standard n-gram smoothing) trained on the corpus itself — the top
+    rung of the perplexity-filter ladder here (unigram → add-α bigram
+    → KN bigram). KN's twist: the backoff weighs a word by how many
+    DISTINCT contexts it follows (continuation count), not raw
+    frequency — 'Francisco' is frequent but predictable, so it backs
+    off low.
+
+        P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1,·)/c1 · Pcont(w2)
+        Pcont(w2) = N1+(·,w2) / |distinct bigrams|
+
+    Scale shape: ALL statistics are windows over the distinct-bigram
+    table (one corpus pass → bigram-vocab-sized frame; row counts per
+    w1/w2 partition ARE the continuation counts because rows are
+    distinct bigrams). Scoring joins that table back onto the per-doc
+    bigram stream and aggregates by doc — identical topology to
+    `bigram_logprob`. Every model statistic is an exact integer, so
+    the probability is a deterministic IEEE expression on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    from .hashing import fan_out
+    from .text import word_ngrams_multiset
+
+    bg = fan_out(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams_multiset(tokens(text_col), 2)).alias("bg"),
+    )
+    w1 = F.split("bg", " ")[0]
+    w2 = F.split("bg", " ")[1]
+    lm = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn("c1", F.sum("c12").over(Window.partitionBy(w1)))
+        .withColumn("n1p_left", F.count(F.lit(1)).over(Window.partitionBy(w1)))
+        .withColumn("n1p_right", F.count(F.lit(1)).over(Window.partitionBy(w2)))
+        .withColumn(
+            "nbt", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+    )
+    d = F.lit(discount)
+    p = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("n1p_left") / F.col("c1")
+        * (F.col("n1p_right") / F.col("nbt").cast("double"))
+    )
+    return (
+        bg.join(F.broadcast(lm), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias("avg_nll"),
+        )
+    )

@@ -2119,3 +2119,41 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=32)
     return bpe_encode(docs, merges)
+
+
+_KN_D = 0.75
+
+
+@query(
+    "q_kn_bigram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id, unnest({_ngrams_multiset_sql('toks', 2)}) AS bg FROM t),
+    lm0 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+    lm AS (
+        SELECT bg, c12,
+               sum(c12) OVER (PARTITION BY split_part(bg, ' ', 1)) AS c1,
+               count(*) OVER (PARTITION BY split_part(bg, ' ', 1)) AS n1p_left,
+               count(*) OVER (PARTITION BY split_part(bg, ' ', 2)) AS n1p_right,
+               count(*) OVER () AS nbt
+        FROM lm0
+    ),
+    scored AS (
+        SELECT doc_id,
+               -ln(greatest(c12 - {_KN_D}, 0) / c1
+                   + {_KN_D} * n1p_left / c1 * (n1p_right / CAST(nbt AS DOUBLE)))
+                   AS nll
+        FROM bg JOIN lm USING (bg))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(nll), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity score per document —
+    see operators/vocab.py::kneser_ney_logprob for the model and its
+    one-corpus-pass scale shape. Completes the quality-filter ladder
+    (unigram → add-α bigram → KN)."""
+    from ..operators.vocab import kneser_ney_logprob
+
+    return kneser_ney_logprob(load_table(spark, sf_dir, "documents"), discount=_KN_D)

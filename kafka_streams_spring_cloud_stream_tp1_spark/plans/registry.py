@@ -228,6 +228,9 @@ _DEFERRED = [
     "q_chisq_independence",
     "q_ab_test",
     "q_attribution",
+    "q_rolling_distinct_users",
+    "q_quantile_bins",
+    "q_kn_bigram",
 ]
 
 

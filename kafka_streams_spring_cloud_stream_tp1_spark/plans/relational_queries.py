@@ -3436,3 +3436,77 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attributed.groupBy(
         F.coalesce(F.col("touch_type"), F.lit("none")).alias("touch_type")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+
+
+@query(
+    "q_rolling_distinct_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    spine AS (SELECT DISTINCT day FROM ud)
+    SELECT s.day,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+    FROM spine s JOIN ud
+      ON ud.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+    GROUP BY s.day
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the windowed DISTINCT
+    count SQL window frames cannot express (COUNT(DISTINCT) OVER a
+    RANGE frame is unsupported in both engines). The scalable
+    formulation: dedupe to (user, day) grain FIRST (the only
+    fact-sized shuffle), then range-join the day spine — |days| ×
+    7-day slices of a user-day frame, each distinct-counted. The
+    spine side is |days| rows and broadcasts; at 100 TB the user-day
+    frame is orders smaller than raw events and the 7-day band bounds
+    the join fan-out."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    spine = ud.select("day").distinct().select(F.col("day").alias("s_day"))
+    return (
+        ud.join(
+            F.broadcast(spine),
+            (F.col("day") >= F.date_sub(F.col("s_day"), 6)) & (F.col("day") <= F.col("s_day")),
+        )
+        .groupBy(F.col("s_day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+
+
+_QBIN_K = 5
+
+
+@query(
+    "q_quantile_bins",
+    oracle=f"""
+    WITH binned AS (
+        SELECT o_orderkey, o_totalprice,
+               ntile({_QBIN_K}) OVER (ORDER BY o_totalprice, o_orderkey)
+                   AS bin
+        FROM orders)
+    SELECT CAST(bin AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM binned GROUP BY bin
+    """,
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of order values: ntile buckets
+    with per-bin count and value bounds — the discretizer feeding
+    histogram-equalized features and monotone score calibration
+    (`q_value_histogram` is the fixed-width sibling). Deterministic:
+    the ntile orders on (value, key). The global sort is order-grain;
+    at larger scale swap ntile for percent_rank over a range-
+    partitioned sort — same output contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = orders.select(
+        "o_totalprice", F.ntile(_QBIN_K).over(w).alias("bin")
+    )
+    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _r(F.min("o_totalprice")).alias("lo"),
+        _r(F.max("o_totalprice")).alias("hi"),
+    )
