@@ -231,6 +231,7 @@ _DEFERRED = [
     "q_rolling_distinct_users",
     "q_quantile_bins",
     "q_kn_bigram",
+    "q_weighted_sample",
 ]
 
 

@@ -3510,3 +3510,51 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r(F.min("o_totalprice")).alias("lo"),
         _r(F.max("o_totalprice")).alias("hi"),
     )
+
+
+_WS_K = 100
+_WS_DENOM = float(1 << 60)
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               ln((CAST('0x' || substr(md5('ws|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                        AS BIGINT) + 1) / {_WS_DENOM}) / o_totalprice AS es_key
+        FROM orders)
+    SELECT o_orderkey, round(o_totalprice, 4) AS weight
+    FROM keyed
+    ORDER BY es_key DESC, o_orderkey
+    LIMIT {_WS_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES, the one-pass distributed algorithm): each row draws key
+    u^(1/w) — here its log form ln(u)/w — from a DETERMINISTIC
+    hash-uniform u, and the global top-k by key IS an exact weighted
+    sample. No RNG state, no sequential draw: reproducible across
+    retries/partitionings (the property that matters for auditable
+    100 TB sampling), and the top-k is TakeOrderedAndProject — one
+    pass, no shuffle of the full table. The hash-uniform comes from
+    the engine-portable 60-bit md5 derivation, so DuckDB replays the
+    sample EXACTLY (sampling is usually untestable cross-engine;
+    making u explicit makes it an oracle-checked operator)."""
+    from ..operators.hashing import xhash
+
+    orders = load_table(spark, sf_dir, "orders")
+    u = (
+        xhash(F.concat(F.lit("ws|"), F.col("o_orderkey").cast("string"))) + 1
+    ) / F.lit(_WS_DENOM)
+    keyed = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.log(u) / F.col("o_totalprice")).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.desc("es_key"), "o_orderkey")
+        .limit(_WS_K)
+        .select("o_orderkey", _r(F.col("o_totalprice")).alias("weight"))
+    )

@@ -73,3 +73,34 @@ def test_repetition_stats_hand_computed(spark):
     assert rows[3]["max_token_frac"] == 1.0
     assert rows[3]["top_bigram_frac"] is None
     assert rows[3]["dup_trigram_frac"] is None
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_stable(spark):
+    """Efraimidis-Spirakis with deterministic hash-uniforms: heavy
+    rows must be strongly overrepresented, and two runs must pick the
+    IDENTICAL sample (no RNG state)."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.hashing import xhash
+
+    n, k = 2000, 100
+    df = spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        # rows 0..99 carry weight 50, the rest weight 1
+        F.when(F.col("id") < 100, 50.0).otherwise(1.0).alias("w"),
+    )
+    u = (xhash(F.concat(F.lit("ws|"), F.col("o_orderkey").cast("string"))) + 1) / F.lit(
+        float(1 << 60)
+    )
+    keyed = df.select("o_orderkey", "w", (F.log(u) / F.col("w")).alias("es_key"))
+    pick = lambda: [
+        r["o_orderkey"]
+        for r in keyed.orderBy(F.desc("es_key"), "o_orderkey").limit(k).collect()
+    ]
+    s1, s2 = pick(), pick()
+    assert s1 == s2
+    heavy = sum(1 for i in s1 if i < 100)
+    # heavy rows are 5% of the population with 50x weight → expected
+    # inclusion ~≥80 of 100 slots; require a wide-margin majority
+    assert heavy >= 60, heavy
+    assert len(set(s1)) == k  # without replacement by construction
