@@ -380,14 +380,18 @@ def kneser_ney_logprob(
         P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1,·)/c1 · Pcont(w2)
         Pcont(w2) = N1+(·,w2) / |distinct bigrams|
 
-    Scale shape: ALL statistics are windows over the distinct-bigram
-    table (one corpus pass → bigram-vocab-sized frame; row counts per
-    w1/w2 partition ARE the continuation counts because rows are
-    distinct bigrams). Scoring joins that table back onto the per-doc
-    bigram stream and aggregates by doc — identical topology to
-    `bigram_logprob`. Every model statistic is an exact integer, so
-    the probability is a deterministic IEEE expression on both
-    engines."""
+    Scale shape: the per-context statistics are KEYED windows over the
+    distinct-bigram table (one corpus pass → bigram-vocab-sized frame;
+    row counts per w1/w2 partition ARE the continuation counts because
+    rows are distinct bigrams). The one GLOBAL statistic — |distinct
+    bigrams| — is a 1-row aggregate broadcast back in with a
+    crossJoin, never a `Window.partitionBy()` (empty) over the LM
+    table: at web-corpus scale that empty window would pin billions of
+    distinct bigrams on a single reducer. Scoring joins the LM back
+    onto the per-doc bigram stream and aggregates by doc — identical
+    topology to `bigram_logprob`. Every model statistic is an exact
+    integer, so the probability is a deterministic IEEE expression on
+    both engines."""
     from pyspark.sql.window import Window
 
     from .hashing import fan_out
@@ -399,15 +403,13 @@ def kneser_ney_logprob(
     )
     w1 = F.split("bg", " ")[0]
     w2 = F.split("bg", " ")[1]
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    nbt = counts.agg(F.count(F.lit(1)).alias("nbt"))
     lm = (
-        bg.groupBy("bg")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .withColumn("c1", F.sum("c12").over(Window.partitionBy(w1)))
+        counts.withColumn("c1", F.sum("c12").over(Window.partitionBy(w1)))
         .withColumn("n1p_left", F.count(F.lit(1)).over(Window.partitionBy(w1)))
         .withColumn("n1p_right", F.count(F.lit(1)).over(Window.partitionBy(w2)))
-        .withColumn(
-            "nbt", F.count(F.lit(1)).over(Window.partitionBy())
-        )
+        .crossJoin(F.broadcast(nbt))
     )
     d = F.lit(discount)
     p = (

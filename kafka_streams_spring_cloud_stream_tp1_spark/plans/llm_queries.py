@@ -4,10 +4,12 @@ plumbing. The reference has none of these (its only value type is
 PageEvent); they are the north-star extension surface.
 
 Every SQL-expressible operator carries a DuckDB oracle built from the
-SAME parameters (hash masks, LSH bands, thresholds) via the fragment
-builders below, so Spark and oracle compute bit-identical logic.
-`q_ann_lsh` is approximate by design → rows-only check + a recall
-test in tests/test_llm_ops.py.
+SAME parameters (hash masks, LSH bands, thresholds, md5 hyperplanes /
+IVF codebook) via the fragment builders below, so Spark and oracle
+compute bit-identical logic. Even the ANN queries value-check: their
+randomness is md5-derived, so the oracle replays the exact bucket /
+cell assignment; recall vs the exact baseline stays bounded in
+tests/test_llm_ops.py.
 """
 
 from __future__ import annotations
@@ -515,13 +517,63 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_lsh")  # approximate by design → rows-only; recall tested in pytest
+def _sql_vec(plane) -> str:
+    """A ±1 plane as a DuckDB DOUBLE list literal."""
+    return "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+
+
+_LSH_TABLES, _LSH_BITS, _EMB_DIM = 8, 4, 64
+_LSH_PLANES = [
+    p
+    for t in range(_LSH_TABLES)
+    for p in S._hyperplanes(_LSH_BITS, _EMB_DIM, salt=f"hp{t}")
+]
+_LSH_PLANE_ROWS = ",\n           ".join(
+    f"({i // _LSH_BITS}, {i % _LSH_BITS}, {_sql_vec(p)})"
+    for i, p in enumerate(_LSH_PLANES)
+)
+
+
+@query(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes(tbl, bit, p) AS (VALUES
+           {_LSH_PLANE_ROWS}),
+    idx AS (SELECT e.vec_id, pl.tbl,
+                   CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                                 THEN 1 << pl.bit ELSE 0 END) AS INTEGER) AS bkt
+            FROM e CROSS JOIN planes pl GROUP BY e.vec_id, pl.tbl),
+    q AS (SELECT vec_id AS query_id, tbl, bkt FROM idx WHERE vec_id < {_KNN_Q}),
+    cands AS (SELECT DISTINCT q.query_id, i.vec_id AS neighbor_id
+              FROM idx i JOIN q ON i.tbl = q.tbl AND i.bkt = q.bkt
+              WHERE i.vec_id <> q.query_id),
+    scored AS (SELECT c.query_id, c.neighbor_id,
+                      round(list_cosine_similarity(ce.v, qe.v), 4) AS score
+               FROM cands c
+               JOIN e ce ON ce.vec_id = c.neighbor_id
+               JOIN e qe ON qe.vec_id = c.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM r WHERE rank <= {_KNN_K}
+    """,
+)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH (8
     tables × 4 sign bits): candidates share a bucket with the query in
     ≥1 table, so only a fraction of the corpus gets exact-scored.
     Recall vs the exact q_knn_cosine is asserted in
-    tests/test_llm_ops.py (~0.7 on this corpus)."""
+    tests/test_llm_ops.py (~0.7 on this corpus).
+
+    Oracle-replayable BY CONSTRUCTION: the hyperplanes are
+    deterministic md5-derived ±1 vectors (operators/similarity.py::
+    _hyperplanes), so the registration inlines the SAME planes into
+    the DuckDB SQL and the whole approximate pipeline — bucket
+    assignment, OR-construction candidate set, exact rescoring, rank —
+    value-checks end-to-end (sign tests sit far from the float noise
+    floor, and the cosine/round(4) pairing is the proven q_knn_cosine
+    one)."""
     return S.ann_lsh(load_table(spark, sf_dir, "embeddings"), n_queries=_KNN_Q, k=_KNN_K)
 
 
@@ -807,15 +859,64 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf")  # approximate by design -> rows-only; recall bounded in pytest
+_IVF_CELLS, _IVF_PROBE = 16, 4
+_IVF_CENTS = S._hyperplanes(_IVF_CELLS, _EMB_DIM, salt="ivfc")
+_IVF_CENT_ROWS = ",\n          ".join(
+    f"({c}, {_sql_vec(v)})" for c, v in enumerate(_IVF_CENTS)
+)
+
+
+@query(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents(cell, c) AS (VALUES
+          {_IVF_CENT_ROWS}),
+    sims AS (SELECT e.vec_id, ct.cell, list_dot_product(e.v, ct.c) AS s
+             FROM e CROSS JOIN cents ct),
+    rk AS (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell) AS r
+           FROM sims),
+    assign AS (SELECT vec_id, cell FROM rk WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, cell
+               FROM rk WHERE vec_id < {_KNN_Q} AND r <= {_IVF_PROBE}),
+    cands AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+              FROM assign a JOIN probes p USING (cell)
+              WHERE a.vec_id <> p.query_id),
+    scored AS (SELECT c.query_id, c.neighbor_id,
+                      round(list_cosine_similarity(ce.v, qe.v), 4) AS score
+               FROM cands c
+               JOIN e ce ON ce.vec_id = c.neighbor_id
+               JOIN e qe ON qe.vec_id = c.query_id),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+           FROM scored)
+    SELECT query_id, neighbor_id, score, rank FROM r2 WHERE rank <= {_KNN_K}
+    """,
+)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (FAISS IVF-Flat shape): seeded k-means
-    codebook (driver-side, tiny), distributed cell assignment via one
-    BLAS matmul per Arrow batch, queries exact-score only their
-    n_probe=4 of 16 nearest cells. The second ANN family next to the
-    LSH tables (q_ann_lsh) — IVF adapts to the data's cluster
-    structure where LSH is data-independent."""
-    return S.ann_ivf(load_table(spark, sf_dir, "embeddings"), n_queries=_KNN_Q, k=_KNN_K)
+    """IVF approximate top-k (FAISS IVF-Flat shape): distributed cell
+    assignment via one BLAS matmul per Arrow batch, queries exact-score
+    only their n_probe=4 of 16 nearest cells. The second ANN family
+    next to the LSH tables (q_ann_lsh) — IVF adapts to the data's
+    cluster structure where LSH is data-independent.
+
+    Registered in the RESTRICTED deterministic mode (same trick as
+    q_kmeans/q_semdedup): a fixed md5-derived ±1 codebook replaces the
+    trained one, so DuckDB recomputes the identical cell assignment,
+    probe set, and candidate scoring — argmax over equal-norm
+    centroids is invariant to the engine-side vector normalization,
+    and ties break to the lower cell id on both engines. The trained
+    seeded-k-means codebook path (`centroids=None`) stays the
+    production form and keeps its recall bound in
+    tests/test_llm_ops.py."""
+    return S.ann_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=_KNN_Q,
+        k=_KNN_K,
+        centroids=_IVF_CENTS,
+    )
 
 
 # ---------------------------------------------------------------------------

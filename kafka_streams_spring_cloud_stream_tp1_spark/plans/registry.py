@@ -55,81 +55,85 @@ def _ensure_loaded() -> None:
 #      each round so every oracle eventually re-shows green;
 #   3. rows-only queries LAST — they yield `no_oracle` rows wherever
 #      they sit, so they must not occupy checked slots.
-# Round 3 window (per VERDICT r02 §Next-round #3): the 50 slots hold
-#   1. the six r02-broken queries, now fixed (array serialization /
-#      floor-ceil-sign type alignment) — these need their first green;
-#   2. new round-3 queries — first green needed;
-#   3. the 39 oracle-backed queries NOT in the r02 window (green in
-#      r01, one round stale) — re-checked so nothing goes >1 round
-#      without a row.
-# The 44 r02-green queries rotate into _DEFERRED (past slot 50) and
-# come back in round 4. Rows-only queries always register last.
-#
-# ROUND-4 ROTATION (do this first next round): move the current
-# _FRONT entries (r03-green once CORRECTNESS_r03 confirms) to the
-# END of _DEFERRED, then fill _FRONT with (a) any r03 red/err rows,
-# (b) the "new in round 3 but past the window" block below — the
-# ~45 queries from q_string_agg through q_scd2_history have NEVER
-# been driver-checked (all are locally green at sf0.01 via
-# tests/oracle_harness.py and the verify recipe, but the bar is a
-# driver row), then (c) oldest-green first from _DEFERRED's head.
+# ROUND-4 WINDOW (executes VERDICT r03 §Next-round #1): the 56
+# oracle-backed queries registered in round 3 past the window have
+# NEVER received a driver row (judge-verified 56/56 at sf0.01 in the
+# r03 verdict, but the bar is a driver CORRECTNESS entry). The first
+# 50 of them fill the window — TPC-H completion set first (the daily
+# analytics surface), then the two queries whose plans were reworked
+# this round (q_quantile_bins / q_kn_bigram — fresh green wanted on
+# the NEW plan), then behavioral/CDC/statistics, then the LLM-ops
+# block. Slots 51-56 (q_string_agg … q_yoy_growth) plus the newly
+# oracle-backed q_ann_lsh/q_ann_ivf head the round-5 queue.
 _FRONT = [
-    # (1) fixed this round — r02 err/hash-mismatch, no green row yet
-    "q_quantize_embeddings",
-    "q_label_centroids",
-    "q_inverted_index",
-    "q_winnow_fingerprint",
-    "q_array_map_funcs",
-    "q_math_funcs",
-    # (2) newly oracle-backed in round 3 — no green row yet (≤5 slots)
-    "q_kmeans",  # restricted deterministic oracle (fixed-init E-step)
-    "q_semdedup",  # same restriction
-    "q_bigram_logprob",
-    "q_containment_dedup",
-    "q_idf_rarity",
-    # (3) r01-green, rotated out of the r02 window — one round stale
-    "q_dedup_simhash",
-    "q_dedup_simhash_hamming",
-    "q_dedup_embedding_cosine",
-    "q_knn_cosine",
-    "q_multimodal_features",
-    "q_frame_sample",
-    "q_readability_udf",
-    "q_weighted_mean_udaf",
-    "q_chunk_documents_udtf",
-    "q_redact_pii",
-    "q_windowed_count",
-    "q_windowed_count_keyed",
-    "q_store_range_fetch",
-    "q_agg_pricing_summary",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_left_outer",
-    "q_join_range",
-    "q_filter",
-    "q_project_rekey",
-    "q_console_echo",
-    "q_distinct",
-    "q_sort_multi_col",
-    "q_top_k_global",
-    "q_pivot",
-    "q_union_all_dedup",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_full_outer",
-    "q_set_ops",
-    "q_string_funcs",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_date_funcs",
-    "q_window_topk_per_group",
-    "q_window_analytics",
-    "q_agg_stats",
-    "q_count_distinct",
+    # TPC-H completion set — never driver-checked (18)
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    # reworked this round (scale fixes) — green wanted on the new plan
+    "q_quantile_bins",
+    "q_kn_bigram",
+    # behavioral / statistics / CDC — never driver-checked
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_event_cooccurrence",
+    "q_event_markov",
+    "q_user_stickiness",
+    "q_rfm_segments",
+    "q_anomaly_zscore",
+    "q_yoy_growth",
+    "q_rolling_distinct_users",
+    "q_attribution",
+    "q_ab_test",
+    "q_chisq_independence",
+    "q_cdc_merge",
+    "q_scd2_history",
+    "q_latest_per_key",
+    "q_dq_audit",
+    "q_fuzzy_join",
+    "q_weighted_sample",
+    # LLM-pipeline ops — never driver-checked
+    "q_boilerplate_fraction",
+    "q_source_kl",
+    "q_tfidf_cosine_pairs",
+    "q_hard_negatives",
+    "q_chunk_dedup_rewrite",
+    "q_token_budget_select",
+    "q_lang_entropy",
+    "q_corpus_diff",
+    "q_cluster_canonical",
+    "q_ngram_novelty",
+    "q_embedding_norm_outliers",
+    "q_feature_hashing",
+    # ---- slot 51+: past the window; round-5 head ----
+    "q_incremental_dedup",
+    "q_pagerank",
+    "q_string_agg",
+    "q_length_trim",
+    "q_text_normalize",
+    "q_zorder_index",
+    # newly oracle-backed this round (restricted deterministic
+    # oracles) — queue for their first driver row in round 5
+    "q_ann_lsh",
+    "q_ann_ivf",
 ]
 _DEFERRED = [
-    # r02-green — eligible to rotate back into the window in round 4
+    # r02-green — two rounds stale by round 5; re-check next
     "q_sample_split",
     "q_repetition_stats",
     "q_decontaminate",
@@ -174,64 +178,57 @@ _DEFERRED = [
     "q_lang_id",
     "q_token_count",
     "q_doc_fingerprint",
-    # new in round 3 but past the full window — first green row comes
-    # with the round-4 rotation
-    "q_string_agg",
-    "q_tpch_q6",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q4",
-    "q_boilerplate_fraction",
-    "q_source_kl",
-    "q_tfidf_cosine_pairs",
-    "q_funnel_steps",
-    "q_hard_negatives",
-    "q_tpch_q7",
-    "q_length_trim",
-    "q_tpch_q8",
-    "q_tpch_q15",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_chunk_dedup_rewrite",
-    "q_token_budget_select",
-    "q_lang_entropy",
-    "q_event_cooccurrence",
-    "q_retention_cohorts",
-    "q_pagerank",
-    "q_corpus_diff",
-    "q_tpch_q2",
-    "q_tpch_q9",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q16",
-    "q_tpch_q20",
-    "q_cluster_canonical",
-    "q_ngram_novelty",
-    "q_embedding_norm_outliers",
-    "q_event_markov",
-    "q_user_stickiness",
-    "q_rfm_segments",
-    "q_anomaly_zscore",
-    "q_fuzzy_join",
-    "q_yoy_growth",
-    "q_text_normalize",
-    "q_zorder_index",
-    "q_latest_per_key",
-    "q_cdc_merge",
-    "q_dq_audit",
-    "q_feature_hashing",
-    "q_incremental_dedup",
-    "q_scd2_history",
-    "q_chisq_independence",
-    "q_ab_test",
-    "q_attribution",
-    "q_rolling_distinct_users",
-    "q_quantile_bins",
-    "q_kn_bigram",
-    "q_weighted_sample",
+    # r03-green (CORRECTNESS_r03 50/50) — one round stale by round 5
+    "q_quantize_embeddings",
+    "q_label_centroids",
+    "q_inverted_index",
+    "q_winnow_fingerprint",
+    "q_array_map_funcs",
+    "q_math_funcs",
+    "q_kmeans",
+    "q_semdedup",
+    "q_bigram_logprob",
+    "q_containment_dedup",
+    "q_idf_rarity",
+    "q_dedup_simhash",
+    "q_dedup_simhash_hamming",
+    "q_dedup_embedding_cosine",
+    "q_knn_cosine",
+    "q_multimodal_features",
+    "q_frame_sample",
+    "q_readability_udf",
+    "q_weighted_mean_udaf",
+    "q_chunk_documents_udtf",
+    "q_redact_pii",
+    "q_windowed_count",
+    "q_windowed_count_keyed",
+    "q_store_range_fetch",
+    "q_agg_pricing_summary",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_left_outer",
+    "q_join_range",
+    "q_filter",
+    "q_project_rekey",
+    "q_console_echo",
+    "q_distinct",
+    "q_sort_multi_col",
+    "q_top_k_global",
+    "q_pivot",
+    "q_union_all_dedup",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_set_ops",
+    "q_string_funcs",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_date_funcs",
+    "q_window_topk_per_group",
+    "q_window_analytics",
+    "q_agg_stats",
+    "q_count_distinct",
 ]
 
 

@@ -3493,19 +3493,74 @@ _QBIN_K = 5
     """,
 )
 def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile) binning of order values: ntile buckets
-    with per-bin count and value bounds — the discretizer feeding
-    histogram-equalized features and monotone score calibration
-    (`q_value_histogram` is the fixed-width sibling). Deterministic:
-    the ntile orders on (value, key). The global sort is order-grain;
-    at larger scale swap ntile for percent_rank over a range-
-    partitioned sort — same output contract."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = orders.select(
-        "o_totalprice", F.ntile(_QBIN_K).over(w).alias("bin")
+    """Equi-depth (quantile) binning of order values: ntile-equivalent
+    buckets with per-bin count and value bounds — the discretizer
+    feeding histogram-equalized features and monotone score
+    calibration (`q_value_histogram` is the fixed-width sibling).
+
+    Scale shape — NO global single-partition sort (the naive
+    `ntile().over(Window.orderBy(...))` form pins the whole table on
+    one reducer). Instead the exact global rank is assembled from
+    value-range buckets, all of it deterministic DataFrame algebra:
+
+      1. a 1-row (min, max, count) aggregate broadcasts back in;
+      2. each row gets a value bucket vb = floor((v-min)/span*B) — a
+         pure function of the value, so bucket membership is stable
+         across jobs (no spark_partition_id / cache coupling) and the
+         (vb, value, key) order equals the (value, key) total order;
+      3. `row_number` over the KEYED window (partition by vb) ranks
+         within buckets in parallel;
+      4. bucket offsets come from a B-row self-join prefix sum (B²
+         tiny ops, no empty-partition window, no collect);
+      5. global rank = offset + local rank, and the exact ntile bin
+         falls out arithmetically: base = N div k, rem = N mod k, the
+         first rem bins get base+1 rows.
+
+    Worst case is a skewed value distribution piling one bucket onto
+    one window partition — mitigated by B=1024 buckets and bounded by
+    the duplicate-value mass, never the whole table."""
+    B = 1024
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    rng = orders.agg(
+        F.min("o_totalprice").alias("vmin"),
+        F.max("o_totalprice").alias("vmax"),
+        F.count(F.lit(1)).alias("n_total"),
     )
-    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+    span = F.col("vmax") - F.col("vmin")
+    vb = F.when(
+        span > 0,
+        F.least(
+            F.lit(B - 1),
+            F.floor((F.col("o_totalprice") - F.col("vmin")) / span * B),
+        ),
+    ).otherwise(F.lit(0))
+    v = (
+        orders.crossJoin(F.broadcast(rng))
+        .withColumn("vb", vb.cast("int"))
+        .withColumn(
+            "lrank",
+            F.row_number().over(
+                Window.partitionBy("vb").orderBy("o_totalprice", "o_orderkey")
+            ),
+        )
+    )
+    sizes = v.groupBy("vb").agg(F.count(F.lit(1)).alias("cnt"))
+    prev = sizes.select(F.col("vb").alias("pvb"), F.col("cnt").alias("pcnt"))
+    offs = (
+        sizes.join(prev, F.col("pvb") < F.col("vb"), "left")
+        .groupBy("vb")
+        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).alias("off"))
+    )
+    ranked = v.join(F.broadcast(offs), "vb").withColumn(
+        "rank", F.col("off") + F.col("lrank")
+    )
+    base = F.floor(F.col("n_total") / _QBIN_K)
+    rem = F.col("n_total") % _QBIN_K
+    bin_ = F.when(
+        F.col("rank") <= rem * (base + 1),
+        F.floor((F.col("rank") - 1) / (base + 1)) + 1,
+    ).otherwise(rem + F.floor((F.col("rank") - rem * (base + 1) - 1) / base) + 1)
+    return ranked.groupBy(bin_.cast("int").alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         _r(F.min("o_totalprice")).alias("lo"),
         _r(F.max("o_totalprice")).alias("hi"),

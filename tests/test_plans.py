@@ -341,6 +341,43 @@ def test_registry_window_invariants():
     )
 
 
+def test_registry_rotation_staleness_bound():
+    """Rotation discipline (VERDICT r03 #7): with a 50-slot driver
+    window over a >50-query surface, staleness is inevitable — but it
+    must stay BOUNDED. Every oracle-backed query must be (a) checked
+    in one of the two most recent driver CORRECTNESS rounds, (b) in
+    the upcoming window (first 50), or (c) queued at the head of the
+    next round's window (the first ~12 names past slot 50). Anything
+    drifting past that queue head means a query could silently go
+    3+ rounds without a driver row."""
+    import glob
+    import json
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
+        _ensure_loaded,
+        _ordered_specs,
+    )
+
+    _ensure_loaded()
+    specs = _ordered_specs()
+    names = [s.name for s in specs]
+    oracle = {s.name for s in specs if s.oracle is not None}
+
+    hist = sorted(glob.glob("CORRECTNESS_r*.json"))[-2:]
+    checked_recently: set[str] = set()
+    for f in hist:
+        with open(f) as fh:
+            checked_recently |= set(json.load(fh))
+    covered = checked_recently | set(names[:50])
+    leftover = oracle - covered
+    queue_head = set(names[50:62])
+    stragglers = leftover - queue_head
+    assert not stragglers, (
+        f"oracle-backed queries neither recently driver-checked, in the "
+        f"window, nor at the round-ahead queue head: {sorted(stragglers)}"
+    )
+
+
 def test_funnel_single_user_shuffle(spark):
     """The three chained funnel windows and the user-grain rollup
     must all share ONE user_id exchange — a per-stage self-join (or a
@@ -543,3 +580,35 @@ def test_fuzzy_join_blocks_before_compare(spark):
     block attribute — never a cartesian across blocks."""
     plan = _plan(spark, "q_fuzzy_join")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def _no_global_reduction(plan: str) -> None:
+    """Assert no full-table single-reducer step: every Sort is local
+    (global flag false) and no Window sits on a SinglePartition
+    exchange (the 1-row broadcast aggregates legitimately produce
+    `Exchange SinglePartition` — but never underneath a Window)."""
+    assert ", true, 0" not in plan, f"global sort in plan:\n{plan}"
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            above = " ".join(lines[max(0, i - 3): i])
+            assert "Window" not in above, (
+                f"window over a single partition:\n{plan}"
+            )
+
+
+def test_kn_bigram_no_empty_partition_window(spark):
+    """|distinct bigrams| must come from a 1-row aggregate broadcast
+    back in — the former `Window.partitionBy()` (empty) pinned the
+    whole LM table on one reducer (VERDICT r03 'what's wrong' #1)."""
+    _no_global_reduction(_plan(spark, "q_kn_bigram"))
+
+
+def test_quantile_bins_no_global_sort(spark):
+    """Equi-depth bins must NOT plan a global single-partition sort or
+    an empty-partition ntile window (VERDICT r03 'what's wrong' #2):
+    ranks come from value-bucketed keyed windows + a tiny prefix-sum
+    join."""
+    plan = _plan(spark, "q_quantile_bins")
+    _no_global_reduction(plan)
+    assert "ntile" not in plan, plan
