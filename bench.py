@@ -79,14 +79,19 @@ def main() -> None:
     # query's own cost with session effects that land on random
     # queries (first-touch JIT/codegen, async cleanup competing,
     # host-VM noise — this box showed identical queries at 2 s and
-    # 49 s across runs). Re-run anything over the threshold once and
-    # keep the MIN: a query can't run faster than its plan, so min is
-    # the honest per-query figure; the threshold keeps the second
-    # pass bounded to the tail instead of doubling the whole bench.
+    # 49 s across runs). Re-run anything over the threshold (up to
+    # twice) and keep the MIN: a query can't run faster than its
+    # plan, so min is the honest per-query figure; the threshold
+    # keeps the rerun passes bounded to the tail instead of tripling
+    # the whole bench. Operator-internal caches (the dedup paths
+    # .cache() intermediates) are cleared before each rerun so the
+    # minimum reflects the cold plan cost, not a warm cache from the
+    # first pass.
     RERUN_OVER_SEC = 3.0
     for _pass in range(2):
         for name, t in list(timings.items()):
             if t > RERUN_OVER_SEC:
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 builders[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"

@@ -32,7 +32,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 0,
-    edges_distinct: bool = False,
+    assume_unique_bipartite: bool = False,
 ) -> DataFrame:
     """Undirected PageRank: symmetrize the edge list, run
     ``iterations`` synchronous rounds of
@@ -40,15 +40,19 @@ def pagerank(
     Returns (node, rank). Every node appears in the symmetrized edge
     list, so there are no dangling nodes by construction.
 
-    ``edges_distinct=True`` asserts the input pairs are already
-    unique AND the two node namespaces are disjoint (e.g. a bipartite
-    graph), so the symmetrized union needs no dedup shuffle — for a
-    bipartite fact-derived graph that removes the single largest
-    stage of the whole computation."""
+    ``assume_unique_bipartite=True`` is a CALLER-ASSERTED contract:
+    the input pairs are already unique AND the two node namespaces
+    are disjoint (a bipartite graph), so the symmetrized union needs
+    no dedup shuffle — for a bipartite fact-derived graph that
+    removes the single largest stage of the whole computation. The
+    name carries the precondition because the function cannot cheaply
+    verify it at scale (checking would cost exactly the distinct
+    shuffle the flag exists to skip); violating it yields silently
+    inflated degrees and wrong ranks."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
-    if not edges_distinct:
+    if not assume_unique_bipartite:
         e = e.distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Materialize the degree-annotated edge list ONCE: every iteration

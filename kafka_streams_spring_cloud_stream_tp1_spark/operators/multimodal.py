@@ -7,8 +7,9 @@ UDF signatures — while media decoding is an OPTIONAL dependency:
 
 - `decode_image` decodes for real when Pillow is importable and
   raises NotImplementedError otherwise (this container has no image
-  libs); `decode_audio` remains a clearly-marked stub where
-  soundfile/torchaudio calls would go.
+  libs); `decode_audio` decodes RIFF/WAV for real via the stdlib
+  `wave` module everywhere and gates other formats behind an
+  optional soundfile import (same pattern).
 - `extract_features` computes real, deterministic byte-level features
   (size, digest, magic-byte sniff) plus width/height (NULL unless a
   decodable image payload meets an installed Pillow) so the pipeline
@@ -95,9 +96,40 @@ def decode_image(payload: bytes) -> object:
     return Image.open(io.BytesIO(payload))
 
 
-def decode_audio(payload: bytes) -> object:
-    """STUB — see decode_image."""
-    raise NotImplementedError("audio decoding requires soundfile/torchaudio (not in this container)")
+def decode_audio(payload: bytes) -> dict:
+    """Decode audio bytes to ``{n_channels, sample_rate, n_frames,
+    duration_s}``. RIFF/WAV parses via the stdlib ``wave`` module —
+    always available, so the WAV path is REAL decode with zero
+    optional deps. Other containers (mp3/ogg/flac) need ``soundfile``
+    — optional, same gate pattern as `decode_image`: importable →
+    real decode, absent → NotImplementedError, callers treat it as
+    'undecodable'."""
+    import io
+
+    if payload.startswith(b"RIFF"):
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            nf, sr = w.getnframes(), w.getframerate()
+            return {
+                "n_channels": w.getnchannels(),
+                "sample_rate": sr,
+                "n_frames": nf,
+                "duration_s": nf / sr if sr else None,
+            }
+    try:
+        import soundfile  # noqa: PLC0415 (optional, worker-side)
+    except ImportError as exc:
+        raise NotImplementedError(
+            "non-WAV audio decoding requires soundfile (optional; not in this container)"
+        ) from exc
+    info = soundfile.info(io.BytesIO(payload))
+    return {
+        "n_channels": int(info.channels),
+        "sample_rate": int(info.samplerate),
+        "n_frames": int(info.frames),
+        "duration_s": float(info.duration),
+    }
 
 
 def _sniff(payload: bytes) -> str:
@@ -158,6 +190,81 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def attach_wav_payload(
+    df: DataFrame, text_col: str = "text", sample_rate: int = 8000
+) -> DataFrame:
+    """Synthesize a REAL RIFF/WAV payload per document — 8-bit PCM
+    mono at ``sample_rate``, the document's UTF-8 bytes as samples.
+    Gives the audio lane true end-to-end coverage (header write →
+    magic sniff → `wave` decode) with zero optional deps, and makes
+    the decoded stats arithmetically predictable (n_frames =
+    octet_length(text)), so a DuckDB oracle can verify the decode.
+    Same per-row-independent mapInPandas shape as real media
+    ingestion: no shuffle, Arrow-batched, linear in executors."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import pandas as pd
+
+        def to_wav(t: str) -> bytes:
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(1)
+                w.setframerate(sample_rate)
+                w.writeframes(t.encode("utf-8"))
+            return buf.getvalue()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf[text_col].map(to_wav)}
+            )
+
+    return fan_out(df).select("doc_id", text_col).mapInPandas(
+        batches, "doc_id long, payload binary"
+    )
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched `decode_audio` over a binary payload column:
+    (n_channels, sample_rate, n_frames, duration_s), NULL for
+    non-audio or undecodable payloads — stable schema with or without
+    the optional soundfile dep (WAV decodes via stdlib `wave`
+    everywhere). duration_s is the raw nf/sr double (exact-integer
+    ratio → bit-identical cross-engine)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def feats(b: bytes) -> tuple:
+            if not _sniff(b).startswith("audio/"):
+                return (None, None, None, None)
+            try:
+                d = decode_audio(b)
+            except Exception:  # NotImplementedError (no soundfile) or corrupt
+                return (None, None, None, None)
+            return (d["n_channels"], d["sample_rate"], d["n_frames"], d["duration_s"])
+
+        for pdf in it:
+            rows = [feats(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_channels": pd.array([r[0] for r in rows], dtype="Int32"),
+                    "sample_rate": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "n_frames": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "duration_s": pd.array([r[3] for r in rows], dtype="Float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        batches,
+        "doc_id long, n_channels int, sample_rate int, n_frames long, duration_s double",
+    )
 
 
 def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:

@@ -257,8 +257,11 @@ def bpe_train(df: DataFrame, n_merges: int = 32, text_col: str = "text",
     count; the merge loop then runs driver-side over that vocabulary-
     sized table (bounded by ``top_words``) — exactly how production
     BPE trainers work: the 100 TB corpus is touched once, the
-    iterative part never sees it. Fully deterministic: ties broken on
-    lexicographic pair order.
+    iterative part never sees it. Fully deterministic: equal-count
+    ties go to the lexicographically GREATEST pair (max over
+    (count, pair) — note this is the opposite of the smallest-first
+    convention some trainers use; what matters for reproducibility is
+    that it is fixed).
 
     Returns the ordered merge list [(left, right), ...] for
     ``bpe_encode``."""

@@ -620,6 +620,35 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(M.attach_binary_payload(docs))
 
 
+_WAV_SR = 8000
+
+
+@query(
+    "q_audio_features",
+    oracle=f"""
+    SELECT doc_id,
+           1::INTEGER AS n_channels,
+           {_WAV_SR}::INTEGER AS sample_rate,
+           octet_length(encode(text))::BIGINT AS n_frames,
+           octet_length(encode(text)) / {_WAV_SR}.0 AS duration_s
+    FROM documents
+    """,
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end and oracle-checked: synthesize a
+    RIFF/WAV container per document (8-bit PCM mono, the UTF-8 bytes
+    as samples — operators/multimodal.py::attach_wav_payload), then
+    magic-sniff + stdlib-`wave` decode in an Arrow batch loop
+    (`extract_audio_features`). The decoded stats are arithmetically
+    predictable (n_frames = octet_length(text), duration = nf/sr — an
+    exact-integer ratio, bit-identical cross-engine), so DuckDB
+    verifies the decode itself, not just the plumbing. Non-WAV
+    formats gate behind an optional soundfile import, mirroring the
+    Pillow gate on the image path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_audio_features(M.attach_wav_payload(docs, sample_rate=_WAV_SR))
+
+
 # ---------------------------------------------------------------------------
 # UDF / UDAF / UDTF extension surface (operators/udx.py)
 # ---------------------------------------------------------------------------

@@ -2308,7 +2308,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     join round measured ~2× on the edge pipeline. The base (part,
     supplier) pair set is distinct and the two directions are
     parity-disjoint, so the symmetrized edge list needs NO second
-    distinct (edges_distinct=True)."""
+    distinct (assume_unique_bipartite=True)."""
     from ..operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -2316,7 +2316,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     ).distinct()
-    pr = pagerank(edges, iterations=2, damping=0.85, edges_distinct=True)
+    pr = pagerank(edges, iterations=2, damping=0.85, assume_unique_bipartite=True)
     node_str = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("p:"), F.expr("node div 2").cast("string")),

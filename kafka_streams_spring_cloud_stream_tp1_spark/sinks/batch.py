@@ -71,10 +71,22 @@ def zorder_value(cols: list, bits: int = 16):
     Iceberg OPTIMIZE ZORDER technique, here as a plain column
     expression). Pure integer bit math — exact, engine-portable,
     codegen-friendly; no UDF.
+
+    Requires ``bits * len(cols) <= 63``: the interleave must fit a
+    signed long without touching the sign bit (a 64th bit would turn
+    some z-values negative and silently break the clustering order).
+    Column values >= 2**bits contribute only their low bits —
+    pre-bucket wider domains before z-ordering.
     """
     from pyspark.sql import functions as F
 
     k = len(cols)
+    if bits * k > 63:
+        raise ValueError(
+            f"zorder_value: bits*len(cols) = {bits * k} > 63 — the "
+            f"interleaved index must fit a signed long; use bits<={63 // k} "
+            f"for {k} columns or z-order fewer columns"
+        )
     cexp = [F.col(c).cast("long") if isinstance(c, str) else c.cast("long") for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):

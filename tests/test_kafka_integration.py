@@ -28,6 +28,7 @@ from kafka_streams_spring_cloud_stream_tp1_spark.streaming.kafka import (
 BOOTSTRAP = "localhost:9092"
 
 
+@pytest.mark.live_kafka
 def test_kafka_roundtrip_live(spark, tmp_path):
     """Produce JSON PageEvents to T2, run the streaming flagship,
     consume the (name, count) changelog from T4 — the reference's

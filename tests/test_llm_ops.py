@@ -96,13 +96,42 @@ def test_knn_plan_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
-def test_decode_stubs_raise(spark):
-    """Media decoding is stubbed (no PIL/torchaudio in container) and
-    must say so loudly rather than fake a decode."""
-    with pytest.raises(NotImplementedError):
-        M.decode_image(b"\x89PNG....")
-    with pytest.raises(NotImplementedError):
-        M.decode_audio(b"RIFF....")
+def test_decode_gates_raise(spark):
+    """Optional-dep decode paths must say so loudly rather than fake a
+    decode: image decode without Pillow, non-WAV audio without
+    soundfile."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\x89PNG....")
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            M.decode_audio(b"ID3\x03 mp3 frames")
+
+
+def test_decode_audio_wav_real():
+    """The WAV lane is REAL decode via stdlib `wave` — no optional
+    deps: a synthesized 8-bit PCM mono container round-trips its
+    header stats exactly."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(1)
+        w.setframerate(16000)
+        w.writeframes(b"\x00\x7f" * 1234)  # 1234 stereo frames
+    d = M.decode_audio(buf.getvalue())
+    assert d == {
+        "n_channels": 2,
+        "sample_rate": 16000,
+        "n_frames": 1234,
+        "duration_s": 1234 / 16000,
+    }
 
 
 def test_multimodal_magic_sniff(spark):
