@@ -81,3 +81,58 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, a: str = "a", b: str = "b", max_degree: int | None = None
+) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    list given in canonical (a < b) form. Joins follow the sorted-id
+    orientation (Suri & Vassilvitskii, "Counting Triangles and the
+    Curse of the Last Reducer", WWW'11): every triangle x<y<z is
+    enumerated exactly once as the wedge (x,y)+(y,z) closed by (x,z),
+    so no triangle is double-counted and a hot node's wedge work is
+    split across the two lower-id endpoints instead of all landing on
+    it. Returns (node, n_triangles) for nodes in ≥1 triangle.
+
+    Scale shape: two shuffle joins on single node keys — the standard
+    distributed triangle plan. The edge list is localCheckpoint'd
+    FIRST: all three join branches read it, and an unmaterialized
+    subplan would replay the (expensive) pair-generation pipeline
+    once per branch (measured 14.1 s → ~6 s on the simhash dup graph).
+    For power-law graphs the classic refinement (orient by degree,
+    not id) bounds wedge counts by O(m^1.5) total; id orientation
+    keeps the oracle replayable and is exact regardless.
+
+    ``max_degree`` is this operator's hard work bound (the dedup ops'
+    max_bucket discipline): triangle MASS in near-clique dup families
+    grows as Σ k³ — five verbatim corpus copies turn 13M triangles
+    into 1.6B. With the cap, edges incident to any node of degree >
+    max_degree are dropped BEFORE wedge generation, so both the wedge
+    count and the output are bounded by m·max_degree no matter how
+    large a duplicate family grows; the pruning is a deterministic
+    degree filter the oracle replays exactly. None = exact/uncapped."""
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
+    if max_degree is not None:
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") <= max_degree).select("node")
+        e = e.join(
+            keep.withColumnRenamed("node", "a"), "a"
+        ).join(keep.withColumnRenamed("node", "b"), "b")
+    e = e.localCheckpoint(eager=False)
+    # wedge (a,b)+(b,c): name-based joins keep the self-join lineage
+    # unambiguous (USING-join dedups the shared columns)
+    wedge = e.join(e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedge.join(closing, ["a", "c"]).select("a", "b", "c")
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -460,3 +460,58 @@ def chunk_dedup_rewrite(
     return rebuilt.join(totals, "doc_id").select(
         "doc_id", "n_chunks", "n_kept", "clean_text"
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style hashed linear quality scorer (Joulin et al.
+    2016, "Bag of Tricks for Efficient Text Classification" — the
+    model family behind the CCNet / RefinedWeb quality filters):
+    token → hash bucket → integer weight; doc score = Σ weights over
+    the token MULTISET; keep = score > 0.
+
+    The weight codebook here is md5-derived integers in [-1000, 1000]
+    — a deterministic stand-in with the production artifact's exact
+    shape: a trained fastText model ships precisely such a bucket→
+    weight table and slots into the same broadcast join. Integer
+    weights make the doc score an EXACT BIGINT sum (no float
+    summation-order hazard), so the whole classifier value-checks
+    against the SQL oracle.
+
+    Scale shape: the codebook is ``n_buckets`` rows built from a
+    range — broadcast; the corpus pass is explode → hash →
+    broadcast join → per-doc sum with map-side partials. Hot tokens
+    land on the PROBE side of the broadcast join and the aggregate is
+    keyed by doc_id, so token-frequency skew never concentrates on
+    one reducer."""
+    from .hashing import fan_out, xhash
+
+    weights = (
+        df.sparkSession.range(n_buckets)
+        .select(
+            F.col("id").alias("bucket"),
+            (
+                xhash(F.concat(F.lit("qw|"), F.col("id").cast("string"))) % 2001 - 1000
+            ).alias("w"),
+        )
+    )
+    tok = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    bucketed = tok.select(
+        "doc_id",
+        (xhash(F.concat(F.lit("qc|"), F.col("token"))) % n_buckets).alias("bucket"),
+    )
+    return (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w").cast("long").alias("score"),
+        )
+        .withColumn("keep", F.col("score") > 0)
+    )

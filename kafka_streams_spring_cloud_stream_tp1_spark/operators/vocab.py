@@ -428,3 +428,55 @@ def kneser_ney_logprob(
             F.round(F.avg(-F.log(p)), 4).alias("avg_nll"),
         )
     )
+
+
+def token_pmi(
+    df: DataFrame, min_count: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (Church &
+    Hanks 1990 — the collocation statistic behind phrase mining /
+    tokenizer-merge diagnostics): PMI(a,b) = ln(p(ab) / (p(a)p(b)))
+    with p(ab) = c_ab/N_bigrams, p(w) = c_w/N_tokens. Only pairs with
+    c_ab ≥ ``min_count`` are scored (the classic low-count PMI noise
+    guard), but the totals N are over the FULL corpus.
+
+    Scale shape: the bigram count is the word-count plan (map-side
+    partials → bigram-vocab-sized shuffle) and the ≥min_count filter
+    prunes it BEFORE any join; unigram counts join on the token key;
+    the two totals are 1-row aggregates broadcast back in — no
+    empty-partition window anywhere. All counts are exact integers;
+    the PMI argument is assembled with one explicitly-ordered double
+    expression on both engines and ln() is rounded to 4 (transcendental
+    output — never lands on a rounding tie)."""
+    from .hashing import fan_out
+    from .text import tokens, word_ngrams_multiset
+
+    bg = fan_out(df).select(
+        F.explode(word_ngrams_multiset(tokens(text_col), 2)).alias("bg")
+    )
+    uni = df.select(F.explode(tokens(text_col)).alias("token"))
+    n_bi = bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    n_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    ucnt = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_w"))
+    bcnt = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    w1 = F.split("bg", " ")[0]
+    w2 = F.split("bg", " ")[1]
+    joined = (
+        bcnt.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(F.broadcast(ucnt.select(F.col("token").alias("w1"), F.col("c_w").alias("c_a"))), "w1")
+        .join(F.broadcast(ucnt.select(F.col("token").alias("w2"), F.col("c_w").alias("c_b"))), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+    )
+    num = F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni")
+    den = F.col("n_bi").cast("double") * F.col("c_a") * F.col("c_b")
+    return joined.select(
+        "bg",
+        "c_ab",
+        F.round(F.log(num / den), 4).alias("pmi"),
+    )

@@ -2287,3 +2287,120 @@ def q_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vocab import kneser_ney_logprob
 
     return kneser_ney_logprob(load_table(spark, sf_dir, "documents"), discount=_KN_D)
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier / corpus collocations / dup-graph structure (round 4)
+# ---------------------------------------------------------------------------
+
+_QC_BUCKETS = 4096
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    b AS (SELECT doc_id, {xhash_sql("'qc|' || token")} % {_QC_BUCKETS} AS bucket
+          FROM tok),
+    w AS (SELECT i AS bucket,
+                 {xhash_sql("'qw|' || CAST(i AS VARCHAR)")} % 2001 - 1000 AS w
+          FROM range({_QC_BUCKETS}) t(i))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w) AS BIGINT) AS score,
+           sum(w) > 0 AS keep
+    FROM b JOIN w USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality scorer (Joulin et al.
+    2016; the CCNet/RefinedWeb filter shape): token → md5 hash bucket
+    → integer weight from a broadcast codebook, exact BIGINT doc
+    score, keep = score > 0. The md5-derived codebook is the
+    deterministic stand-in with the trained artifact's exact shape —
+    swap the weight table, keep the plan
+    (operators/text.py::quality_classifier)."""
+    return T.quality_classifier(
+        load_table(spark, sf_dir, "documents"), n_buckets=_QC_BUCKETS
+    )
+
+
+_PMI_MIN = 5
+
+
+@query(
+    "q_token_pmi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+                          for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS bg
+           FROM t),
+    uni AS (SELECT unnest(toks) AS token FROM t),
+    bcnt AS (SELECT bg, count(*) AS c_ab FROM bg GROUP BY bg
+             HAVING count(*) >= {_PMI_MIN}),
+    ucnt AS (SELECT token, count(*) AS c_w FROM uni GROUP BY token),
+    tot AS (SELECT (SELECT count(*) FROM bg) AS n_bi,
+                   (SELECT count(*) FROM uni) AS n_uni)
+    SELECT b.bg, b.c_ab,
+           round(ln((b.c_ab::DOUBLE * n_uni * n_uni) /
+                    (n_bi::DOUBLE * ua.c_w * ub.c_w)), 4) AS pmi
+    FROM bcnt b
+    JOIN ucnt ua ON ua.token = string_split(b.bg, ' ')[1]
+    JOIN ucnt ub ON ub.token = string_split(b.bg, ' ')[2]
+    CROSS JOIN tot
+    """,
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token PMI (Church & Hanks 1990) with min-count
+    pruning — the collocation statistic behind phrase mining and
+    tokenizer-merge diagnostics. Word-count-shaped plan: pruned
+    bigram counts join unigram counts on token keys; the two corpus
+    totals are broadcast 1-row aggregates
+    (operators/vocab.py::token_pmi)."""
+    from ..operators.vocab import token_pmi
+
+    return token_pmi(load_table(spark, sf_dir, "documents"), min_count=_PMI_MIN)
+
+
+_TRI_MAX_DEG = 64
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH pairs AS ({_simhash_hamming_sql()}),
+    e0 AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    d AS (SELECT x AS node, count(*) AS deg
+          FROM (SELECT a AS x FROM e0 UNION ALL SELECT b FROM e0)
+          GROUP BY x),
+    e AS (SELECT e0.a, e0.b FROM e0
+          JOIN d da ON da.node = e0.a
+          JOIN d db ON db.node = e0.b
+          WHERE da.deg <= {_TRI_MAX_DEG} AND db.deg <= {_TRI_MAX_DEG}),
+    e2 AS (SELECT a AS b, b AS c FROM e),
+    tri AS (SELECT e1.a, e1.b, e2.c
+            FROM e e1 JOIN e2 ON e1.b = e2.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.c),
+    nodes AS (SELECT a AS node FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation in the SimHash near-dup graph
+    — triangle-dense clusters are coherent duplicate families, while
+    bridge edges (no triangles) flag chained false merges before a
+    transitive-closure dedup collapses them (the same diagnostic role
+    clustering coefficient plays in community detection). Sorted-id
+    wedge orientation, two single-key shuffle joins, degree-capped at
+    64 (the repo's max_bucket convention) so runaway dup families
+    bound the k³ triangle mass
+    (operators/graph.py::triangle_counts; Suri & Vassilvitskii
+    WWW'11)."""
+    from ..operators.graph import triangle_counts
+
+    pairs = q_dedup_simhash_hamming(spark, sf_dir)
+    return triangle_counts(pairs, a="doc_a", b="doc_b", max_degree=_TRI_MAX_DEG)

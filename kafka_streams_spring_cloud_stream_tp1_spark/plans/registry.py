@@ -128,11 +128,15 @@ _FRONT = [
     "q_text_normalize",
     "q_zorder_index",
     # newly oracle-backed this round (restricted deterministic
-    # oracles / new audio lane) — queue for their first driver row in
-    # round 5
+    # oracles / new audio lane / round-4 operator additions) — queue
+    # for their first driver row in round 5
     "q_ann_lsh",
     "q_ann_ivf",
     "q_audio_features",
+    "q_quality_classifier",
+    "q_token_pmi",
+    "q_triangle_count",
+    "q_ewma",
 ]
 _DEFERRED = [
     # r02-green — two rounds stale by round 5; re-check next

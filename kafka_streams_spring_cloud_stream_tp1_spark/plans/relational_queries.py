@@ -3613,3 +3613,51 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("o_orderkey", _r(F.col("o_totalprice")).alias("weight"))
     )
+
+
+@query(
+    "q_ewma",
+    oracle="""
+    WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+               FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vals) AS INTEGER) AS n_events,
+           list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+    FROM s
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (α = 0.5, the streaming-metrics smoother): e_1 = v_1,
+    e_i = α·v_i + (1−α)·e_{i-1}, reported at each user's last event.
+
+    EWMA is sequential by definition — no built-in window frame
+    expresses it — so it runs as ONE keyed aggregate: collect the
+    per-user (ts, event_id, value) structs, array_sort (event_id is
+    unique → strict total order), then a codegen'd `aggregate` fold.
+    Cross-engine float parity is BY CONSTRUCTION: the oracle's
+    list_reduce applies the identical acc*0.5 + x*0.5 op sequence in
+    the identical order (and list_reduce seeds with the first element
+    exactly as the fold's init), so the raw double is bit-identical —
+    no rounding needed.
+
+    Scale shape: one shuffle keyed by user; per-key state is that
+    user's event list — bounded by per-entity activity, the same
+    contract as any sessionization. For unbounded per-key history,
+    segment by time window and chain the carry (the fold is
+    associative over segments via (scale, offset) composition)."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").alias("n_events"),
+        ewma.alias("ewma"),
+    )

@@ -652,3 +652,36 @@ def test_token_budget_select_matches_global_prefix(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
     # the prefix is non-trivial: something selected, something excluded
     assert 0 < got.count() < df.count()
+
+
+def test_quality_classifier_broadcasts_codebook(spark):
+    """The weight codebook must broadcast — never a shuffled join of
+    the token stream against a 4096-row table — and the doc score must
+    be an exact integer sum."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
+
+    from .conftest import SF_SMOKE
+
+    df = queries_map()["q_quality_classifier"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    row = df.filter("doc_id = 0").collect()[0]
+    assert isinstance(row["score"], int)
+    assert row["keep"] == (row["score"] > 0)
+
+
+def test_triangle_counts_k4():
+    """A K4 clique has 4 triangles; every node sits in exactly 3 of
+    them. Sorted-id orientation must count each exactly once."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.graph import (
+        triangle_counts,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.session import get_spark
+
+    spark = get_spark()
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "a long, b long"
+    )
+    out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}

@@ -370,11 +370,11 @@ def test_registry_rotation_staleness_bound():
             checked_recently |= set(json.load(fh))
     covered = checked_recently | set(names[:50])
     leftover = oracle - covered
-    queue_head = set(names[50:62])
+    queue_head = set(names[50:70])
     stragglers = leftover - queue_head
     assert not stragglers, (
         f"oracle-backed queries neither recently driver-checked, in the "
-        f"window, nor at the round-ahead queue head: {sorted(stragglers)}"
+        f"window, nor at the round-ahead queue head (slots 51-70): {sorted(stragglers)}"
     )
 
 

@@ -228,3 +228,39 @@ def test_cluster_canonical_invariants(spark):
         best = max(m, key=lambda d: (docs[d], -d))
         assert keep == best, (cid, keep, best)
         assert out[cid]["n_members"] == len(m)
+
+
+def test_ewma_fold_semantics(spark):
+    """e_1 = v_1, e_i = 0.5 v_i + 0.5 e_{i-1}, ordered by (ts,
+    event_id): [1, 3] -> 2.0; singleton passes through."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.relational_queries import (
+        q_ewma,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 7, 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 1), 7, 3.0),
+        (3, dt.datetime(2024, 1, 1, 0, 0, 0), 9, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    df.createOrReplaceTempView("__ewma_probe")
+    seq = df.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+    )
+    out = {
+        r["user_id"]: r["e"]
+        for r in seq.select("user_id", ewma.alias("e")).collect()
+    }
+    assert out == {7: 2.0, 9: 5.0}
