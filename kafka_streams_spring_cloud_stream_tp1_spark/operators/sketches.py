@@ -84,3 +84,72 @@ def heavy_hitters(
         .orderBy(F.desc("lower_bound"), F.asc("item"))
     )
     return merged.limit(top) if top is not None else merged
+
+
+def kmv_distinct(
+    df: DataFrame,
+    item: Column | str,
+    group: Column | str | None = None,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.
+    2002; merge per Beyer et al. SIGMOD\'07): hash every item to
+    (0, 2^60), keep the k smallest DISTINCT hashes per group; with
+    h_k the k-th smallest, the estimate is (k-1)*2^60/h_k. Fewer than
+    k distinct hashes -> the count is exact.
+
+    Why next to the built-in HLL (`approx_count_distinct`): HLL
+    register state is engine-internal, so that query can only ever be
+    a rows-only check. KMV over the repo\'s deterministic md5 hash is
+    the SAME sketch on both engines, and min-k is PARTITION-INVARIANT
+    (the k smallest of a union = k smallest of per-partition min-k),
+    so the estimate itself is oracle-checkable — the approx-distinct
+    family gets a value gate, not just a row count.
+
+    Plan shape (the mergeable-summaries discipline, like
+    heavy_hitters): one Arrow pass folds each partition to <= k
+    hashes per group seen — BOUNDED state per task no matter how many
+    distinct items stream through — then a tiny grouped merge over
+    <= partitions*k rows takes the global min-k. The estimate uses
+    exact integer hashes and one IEEE multiply+divide, identical on
+    both engines."""
+    import numpy as np
+
+    from .hashing import xhash
+
+    it = F.col(item) if isinstance(item, str) else item
+    h = xhash(F.concat(F.lit(salt + "|"), it.cast("string")))
+    if group is not None:
+        g = (F.col(group) if isinstance(group, str) else group).cast("string")
+    else:
+        g = F.lit("")
+    hashed = df.select(g.alias("grp"), h.alias("h"))
+
+    def partition_mins(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby("grp", sort=False):
+                hs = sub["h"].to_numpy()
+                cur = state.get(grp)
+                merged = np.concatenate([cur, hs]) if cur is not None else hs
+                state[grp] = np.unique(merged)[:k]  # unique() sorts
+        for grp, arr in state.items():
+            yield pd.DataFrame({"grp": grp, "h": arr})
+
+    mins = hashed.mapInPandas(partition_mins, "grp string, h long")
+    merged = mins.groupBy("grp").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
+    )
+    n_kept = F.size("mins")
+    two60 = float(1 << 60)
+    est = F.when(n_kept < k, n_kept.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(two60) / F.element_at("mins", k)
+    )
+    return merged.select(
+        "grp",
+        n_kept.cast("long").alias("n_kept"),
+        F.floor(est).cast("long").alias("est_distinct"),
+    )

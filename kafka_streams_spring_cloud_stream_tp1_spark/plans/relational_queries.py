@@ -3661,3 +3661,41 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("seq").alias("n_events"),
         ewma.alias("ewma"),
     )
+
+
+_KMV_K = 64
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT event_type AS grp,
+                      CAST('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS h
+               FROM events),
+    r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM h),
+    s AS (SELECT grp, count(*) AS n_kept,
+                 max(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+          FROM r WHERE rn <= {_KMV_K} GROUP BY grp)
+    SELECT grp, CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                     ELSE floor({_KMV_K - 1} * 1152921504606846976.0 / hk)
+                END AS BIGINT) AS est_distinct
+    FROM s
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the KMV k-minimum-values
+    sketch (k=64) — the ORACLE-CHECKED member of the approx-distinct
+    family: the deterministic md5 hash makes the k-th-smallest order
+    statistic (and so the estimate) identical in DuckDB, where the
+    built-in HLL (`q_approx_count_distinct`) can only ever get a
+    rows-only check. Bounded per-task state, mergeable min-k union
+    (operators/sketches.py::kmv_distinct)."""
+    from ..operators.sketches import kmv_distinct
+
+    return kmv_distinct(
+        load_table(spark, sf_dir, "events"), item="user_id", group="event_type",
+        k=_KMV_K,
+    )

@@ -133,3 +133,37 @@ def test_parquet_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"doc_id", "text", "lang"}
     rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
     assert rows == {0: None, 1: "en"}
+
+
+def test_kmv_distinct_error_bound(spark):
+    """KMV estimate over a 50k-value domain with k=256 must land
+    within 4 standard errors (stderr ~ 1/sqrt(k-2) ~ 6.3%), and the
+    sub-k path must be exact."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    big = spark.range(50_000).select(F.col("id").alias("v"))
+    est = kmv_distinct(big, item="v", k=256).collect()[0]["est_distinct"]
+    assert abs(est - 50_000) / 50_000 < 4 / (254 ** 0.5), est
+
+    small = spark.range(37).select(F.col("id").alias("v"))
+    row = kmv_distinct(small, item="v", k=256).collect()[0]
+    assert row["n_kept"] == 37 and row["est_distinct"] == 37
+
+
+def test_kmv_partition_invariance(spark):
+    """min-k is partition-invariant: 1-partition and 16-partition
+    inputs must produce identical sketches and estimates."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    base = spark.range(5_000).select((F.col("id") % 977).alias("v"))
+    a = kmv_distinct(base.repartition(1), item="v", k=64).collect()[0]
+    b = kmv_distinct(base.repartition(16), item="v", k=64).collect()[0]
+    assert (a["n_kept"], a["est_distinct"]) == (b["n_kept"], b["est_distinct"])
