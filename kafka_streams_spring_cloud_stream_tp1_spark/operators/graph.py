@@ -114,6 +114,12 @@ def triangle_counts(
     degree filter the oracle replays exactly. None = exact/uncapped."""
     e = edges.select(F.col(a).alias("a"), F.col(b).alias("b"))
     if max_degree is not None:
+        # Materialize the INPUT pairs before the degree pass: deg's
+        # two-branch union and the two keep-joins all read `e`, and an
+        # unmaterialized edge list replays its (often expensive —
+        # simhash-Hamming here) derivation once per branch (r4 driver
+        # billed 13.9 s, ~4.5 s of it recompute; ~2× saved by pinning).
+        e = e.localCheckpoint(eager=False)
         deg = (
             e.select(F.col("a").alias("node"))
             .unionAll(e.select(F.col("b").alias("node")))

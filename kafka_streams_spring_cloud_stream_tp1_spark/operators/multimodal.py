@@ -49,9 +49,17 @@ if TYPE_CHECKING:
 _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
-    (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mp3"),
 ]
+
+# RIFF is a container family, not a format: bytes 8-12 name the form.
+# WebP and AVI are RIFF too — labeling all RIFF as audio/wav mislabels
+# them and routes them into wave.open (ADVICE r04).
+_RIFF_FORMS = {
+    b"WAVE": "audio/wav",
+    b"WEBP": "image/webp",
+    b"AVI ": "video/avi",
+}
 
 FEATURE_SCHEMA = StructType(
     [
@@ -106,7 +114,10 @@ def decode_audio(payload: bytes) -> dict:
     'undecodable'."""
     import io
 
-    if payload.startswith(b"RIFF"):
+    # Only RIFF/WAVE goes through stdlib `wave`; WebP/AVI are RIFF
+    # containers too and would raise wave.Error instead of this
+    # function's documented NotImplementedError contract (ADVICE r04).
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         import wave
 
         with wave.open(io.BytesIO(payload)) as w:
@@ -133,6 +144,8 @@ def decode_audio(payload: bytes) -> dict:
 
 
 def _sniff(payload: bytes) -> str:
+    if payload.startswith(b"RIFF"):
+        return _RIFF_FORMS.get(payload[8:12], "application/octet-stream")
     for magic, kind in _MAGIC:
         if payload.startswith(magic):
             return kind
@@ -177,13 +190,18 @@ def extract_features(df: DataFrame) -> DataFrame:
 
         for pdf in it:
             payloads = pdf["payload"]
-            wh = [dims(bytes(b)) for b in payloads]
+            wh = [(None, None) if b is None else dims(bytes(b)) for b in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "digest": payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                    "kind": payloads.map(lambda b: _sniff(bytes(b))),
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in payloads],
+                        dtype="Int64",
+                    ),
+                    "digest": payloads.map(
+                        lambda b: None if b is None else hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "kind": payloads.map(lambda b: None if b is None else _sniff(bytes(b))),
                     "width": pd.array([w for w, _ in wh], dtype="Int64"),
                     "height": pd.array([h for _, h in wh], dtype="Int64"),
                 }
@@ -210,7 +228,13 @@ def attach_wav_payload(
 
         import pandas as pd
 
-        def to_wav(t: str) -> bytes:
+        def to_wav(t) -> bytes | None:
+            # NULL text → NULL payload (downstream sniff/decode yields
+            # NULL features), matching the SQL-side octet_length(
+            # encode(text)) NULL propagation; raising inside the Arrow
+            # batch would fail the whole task (ADVICE r04).
+            if t is None:
+                return None
             buf = io.BytesIO()
             with wave.open(buf, "wb") as w:
                 w.setnchannels(1)
@@ -250,7 +274,10 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             return (d["n_channels"], d["sample_rate"], d["n_frames"], d["duration_s"])
 
         for pdf in it:
-            rows = [feats(bytes(b)) for b in pdf["payload"]]
+            rows = [
+                (None, None, None, None) if b is None else feats(bytes(b))
+                for b in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -468,8 +468,12 @@ def token_pmi(
     joined = (
         bcnt.withColumn("w1", w1)
         .withColumn("w2", w2)
-        .join(F.broadcast(ucnt.select(F.col("token").alias("w1"), F.col("c_w").alias("c_a"))), "w1")
-        .join(F.broadcast(ucnt.select(F.col("token").alias("w2"), F.col("c_w").alias("c_b"))), "w2")
+        # ucnt is vocabulary-sized (unbounded on a web corpus) — these
+        # must stay shuffle joins on the token key; bcnt is already
+        # min_count-pruned so the shuffle is the small side. Only the
+        # 1-row totals below broadcast (ADVICE r04).
+        .join(ucnt.select(F.col("token").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(ucnt.select(F.col("token").alias("w2"), F.col("c_w").alias("c_b")), "w2")
         .crossJoin(F.broadcast(n_bi))
         .crossJoin(F.broadcast(n_uni))
     )

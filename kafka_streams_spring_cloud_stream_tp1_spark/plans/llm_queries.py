@@ -1867,8 +1867,8 @@ _TB_BUDGET = 12_000
     WITH s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
                       round(len(list_distinct(w))::DOUBLE / len(w), 6) AS score
                FROM (SELECT doc_id, {_TOKS} AS w FROM documents)),
-    c AS (SELECT *, sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
-                    AS cum_tokens
+    c AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                         AS BIGINT) AS cum_tokens
           FROM s)
     SELECT doc_id, n_tokens, score, cum_tokens
     FROM c WHERE cum_tokens <= {_TB_BUDGET}
@@ -2030,8 +2030,8 @@ _NOVELTY_N = 5
     first AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g),
     per AS (SELECT ex.doc_id,
                    count(*) AS n_grams,
-                   sum(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END)
-                       AS n_novel
+                   CAST(sum(CASE WHEN first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
             FROM ex JOIN first USING (g) GROUP BY ex.doc_id)
     SELECT doc_id, n_grams, n_novel,
            n_novel / CAST(n_grams AS DOUBLE) AS novelty

@@ -55,81 +55,24 @@ def _ensure_loaded() -> None:
 #      each round so every oracle eventually re-shows green;
 #   3. rows-only queries LAST — they yield `no_oracle` rows wherever
 #      they sit, so they must not occupy checked slots.
-# ROUND-4 WINDOW (executes VERDICT r03 §Next-round #1): the 56
-# oracle-backed queries registered in round 3 past the window have
-# NEVER received a driver row (judge-verified 56/56 at sf0.01 in the
-# r03 verdict, but the bar is a driver CORRECTNESS entry). The first
-# 50 of them fill the window — TPC-H completion set first (the daily
-# analytics surface), then the two queries whose plans were reworked
-# this round (q_quantile_bins / q_kn_bigram — fresh green wanted on
-# the NEW plan), then behavioral/CDC/statistics, then the LLM-ops
-# block. Slots 51-56 (q_string_agg … q_yoy_growth) plus the newly
-# oracle-backed q_ann_lsh/q_ann_ivf head the round-5 queue.
+# ROUND-5 WINDOW (executes VERDICT r04 §Next-round #1/#4): slots
+# 1-18 are the queries that have never had a driver row or whose only
+# red was the now-fixed DuckDB-HUGEINT oracle typing — the round-4
+# additions (ewma/kmv/pmi/triangles/classifier/audio), the newly
+# oracle-backed ANN pair (first-ever driver rows erase r1's
+# `no_oracle` marks), the six r3 stragglers, and the four re-greens
+# (q_tpch_q12 / q_ab_test / q_token_budget_select / q_ngram_novelty —
+# values were exact-match all along; the oracles now CAST the
+# offending sums to BIGINT). Slots 19-50 drain the oldest stale
+# cohort: the r02-green block, two rounds without a driver row.
 _FRONT = [
-    # TPC-H completion set — never driver-checked (18)
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q12",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    # reworked this round (scale fixes) — green wanted on the new plan
-    "q_quantile_bins",
-    "q_kn_bigram",
-    # behavioral / statistics / CDC — never driver-checked
-    "q_funnel_steps",
-    "q_retention_cohorts",
-    "q_event_cooccurrence",
-    "q_event_markov",
-    "q_user_stickiness",
-    "q_rfm_segments",
-    "q_anomaly_zscore",
-    "q_yoy_growth",
-    "q_rolling_distinct_users",
-    "q_attribution",
-    "q_ab_test",
-    "q_chisq_independence",
-    "q_cdc_merge",
-    "q_scd2_history",
-    "q_latest_per_key",
-    "q_dq_audit",
-    "q_fuzzy_join",
-    "q_weighted_sample",
-    # LLM-pipeline ops — never driver-checked
-    "q_boilerplate_fraction",
-    "q_source_kl",
-    "q_tfidf_cosine_pairs",
-    "q_hard_negatives",
-    "q_chunk_dedup_rewrite",
-    "q_token_budget_select",
-    "q_lang_entropy",
-    "q_corpus_diff",
-    "q_cluster_canonical",
-    "q_ngram_novelty",
-    "q_embedding_norm_outliers",
-    "q_feature_hashing",
-    # ---- slot 51+: past the window; round-5 head ----
+    # never-windowed round-3/4 additions + r3 stragglers (14)
     "q_incremental_dedup",
     "q_pagerank",
     "q_string_agg",
     "q_length_trim",
     "q_text_normalize",
     "q_zorder_index",
-    # newly oracle-backed this round (restricted deterministic
-    # oracles / new audio lane / round-4 operator additions) — queue
-    # for their first driver row in round 5
     "q_ann_lsh",
     "q_ann_ivf",
     "q_audio_features",
@@ -137,9 +80,13 @@ _FRONT = [
     "q_token_pmi",
     "q_triangle_count",
     "q_ewma",
-]
-_DEFERRED = [
-    # r02-green — two rounds stale by round 5; re-check next
+    "q_kmv_distinct",
+    # HUGEINT-oracle re-greens (4) — oracle-side CAST fix this round
+    "q_tpch_q12",
+    "q_ab_test",
+    "q_token_budget_select",
+    "q_ngram_novelty",
+    # r02-green, two rounds stale — oldest cohort, first 32 of 44
     "q_sample_split",
     "q_repetition_stats",
     "q_decontaminate",
@@ -172,6 +119,8 @@ _DEFERRED = [
     "q_asof_join",
     "q_subqueries",
     "q_session_window",
+    # ---- slot 51+: past the window; round-6 queue head = the
+    # remaining 12 r02-green queries ----
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",
@@ -184,7 +133,9 @@ _DEFERRED = [
     "q_lang_id",
     "q_token_count",
     "q_doc_fingerprint",
-    # r03-green (CORRECTNESS_r03 50/50) — one round stale by round 5
+]
+_DEFERRED = [
+    # r03-green (CORRECTNESS_r03 50/50) — round-7 rotation cohort
     "q_quantize_embeddings",
     "q_label_centroids",
     "q_inverted_index",
@@ -235,6 +186,53 @@ _DEFERRED = [
     "q_window_analytics",
     "q_agg_stats",
     "q_count_distinct",
+    # r04-green (CORRECTNESS_r04 window) — freshest cohort
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_quantile_bins",
+    "q_kn_bigram",
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_event_cooccurrence",
+    "q_event_markov",
+    "q_user_stickiness",
+    "q_rfm_segments",
+    "q_anomaly_zscore",
+    "q_yoy_growth",
+    "q_rolling_distinct_users",
+    "q_attribution",
+    "q_chisq_independence",
+    "q_cdc_merge",
+    "q_scd2_history",
+    "q_latest_per_key",
+    "q_dq_audit",
+    "q_fuzzy_join",
+    "q_weighted_sample",
+    "q_boilerplate_fraction",
+    "q_source_kl",
+    "q_tfidf_cosine_pairs",
+    "q_hard_negatives",
+    "q_chunk_dedup_rewrite",
+    "q_lang_entropy",
+    "q_corpus_diff",
+    "q_cluster_canonical",
+    "q_embedding_norm_outliers",
+    "q_feature_hashing",
 ]
 
 

@@ -2522,10 +2522,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q12",
     oracle="""
     SELECT l_returnflag AS shipclass,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -3325,7 +3325,8 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN n_purch > mean_purch THEN 1 ELSE 0 END AS converted
         FROM pc CROSS JOIN m),
     arms AS (
-        SELECT variant, count(*) AS n, sum(converted) AS conv
+        SELECT variant, count(*) AS n,
+               CAST(sum(converted) AS BIGINT) AS conv
         FROM assigned GROUP BY variant),
     wide AS (
         SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,

@@ -73,9 +73,29 @@ def _assert_hashable_schema(sdf) -> None:
     )
 
 
+def assert_no_hugeint(con, oracle: str) -> None:
+    """DuckDB types an uncast integer ``sum()`` as HUGEINT, and its
+    pandas conversion renders HUGEINT as float64 (``sum(1+2)`` →
+    ``3.0``), so the REAL driver's value hash can never match Spark's
+    int64 even when every value is identical (round-4 lesson: four
+    exact-match queries red on exactly this). Oracles must
+    ``CAST(sum(...) AS BIGINT)``; fail fast locally on any
+    HUGEINT/UHUGEINT column in the oracle's result type."""
+    rel = con.sql(oracle)
+    bad = [
+        c for c, t in zip(rel.columns, rel.types) if str(t) in ("HUGEINT", "UHUGEINT")
+    ]
+    assert not bad, (
+        f"oracle result has HUGEINT columns {bad}; the driver's pandas "
+        "canonicalizer renders HUGEINT as float64 and the value hash can "
+        "never match Spark's int64 — CAST(sum(...) AS BIGINT) in the oracle"
+    )
+
+
 def compare_query(spark, con, builder, oracle: str, sf_dir: str) -> None:
     sdf = builder(spark, sf_dir)
     _assert_hashable_schema(sdf)
+    assert_no_hugeint(con, oracle)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
 

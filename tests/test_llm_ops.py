@@ -134,6 +134,50 @@ def test_decode_audio_wav_real():
     }
 
 
+def test_riff_container_forms():
+    """RIFF is a container family: only the WAVE form is audio; WebP
+    and AVI are RIFF too and must neither sniff as audio/wav nor
+    enter the stdlib `wave` decoder (ADVICE r04 — wave.Error broke
+    the documented NotImplementedError/'undecodable' contract)."""
+    webp = b"RIFF\x24\x00\x00\x00WEBPVP8 "
+    avi = b"RIFF\x24\x00\x00\x00AVI LIST"
+    unknown = b"RIFF\x24\x00\x00\x00XXXXdata"
+    assert M._sniff(webp) == "image/webp"
+    assert M._sniff(avi) == "video/avi"
+    assert M._sniff(unknown) == "application/octet-stream"
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        for payload in (webp, avi, unknown):
+            with pytest.raises(NotImplementedError):
+                M.decode_audio(payload)
+
+
+def test_null_text_and_payload_propagate(spark):
+    """A NULL text row must become a NULL payload (not an
+    AttributeError inside the Arrow batch), and NULL payloads must
+    flow through both feature extractors as NULL feature rows —
+    mirroring SQL's octet_length(encode(text)) NULL propagation
+    (ADVICE r04)."""
+    df = spark.createDataFrame([(1, "hello"), (2, None)], "doc_id long, text string")
+    wav = M.attach_wav_payload(df)
+    by_id = {r["doc_id"]: r["payload"] for r in wav.collect()}
+    assert by_id[1] is not None and by_id[2] is None
+    audio = {r["doc_id"]: r for r in M.extract_audio_features(wav).collect()}
+    assert audio[1]["n_frames"] == 5 and audio[2]["n_frames"] is None
+    feat_in = wav.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = {r["doc_id"]: r for r in M.extract_features(feat_in).collect()}
+    assert feats[1]["kind"] == "audio/wav" and feats[1]["digest"] is not None
+    assert feats[2]["kind"] is None and feats[2]["n_bytes"] is None
+
+
 def test_multimodal_magic_sniff(spark):
     """Byte-level kind sniffing (the non-stubbed part) must recognize
     magic prefixes inside the Arrow-batched mapInPandas path."""

@@ -342,16 +342,20 @@ def test_registry_window_invariants():
 
 
 def test_registry_rotation_staleness_bound():
-    """Rotation discipline (VERDICT r03 #7): with a 50-slot driver
-    window over a >50-query surface, staleness is inevitable — but it
-    must stay BOUNDED. Every oracle-backed query must be (a) checked
-    in one of the two most recent driver CORRECTNESS rounds, (b) in
-    the upcoming window (first 50), or (c) queued at the head of the
-    next round's window (the first ~12 names past slot 50). Anything
-    drifting past that queue head means a query could silently go
-    3+ rounds without a driver row."""
+    """Rotation discipline (VERDICT r03 #7, bound widened per VERDICT
+    r04 §What's-wrong #2): with a 50-slot driver window over an
+    N-query oracle-backed surface the full rotation cycle is
+    ⌈N/50⌉ rounds, so a 2-round freshness bound is arithmetically
+    infeasible once N > 100 — even a perfectly balanced schedule
+    cannot satisfy it. The achievable invariant: every oracle-backed
+    query must be (a) checked in one of the last ⌈N/50⌉ − 1 driver
+    CORRECTNESS rounds, (b) in the upcoming window (first 50), or
+    (c) queued at the head of the next round's window (slots 51-70).
+    Anything past that means a query could drift a full cycle plus a
+    round without a driver row — a schedule bug, not jitter."""
     import glob
     import json
+    import math
 
     from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
         _ensure_loaded,
@@ -363,7 +367,8 @@ def test_registry_rotation_staleness_bound():
     names = [s.name for s in specs]
     oracle = {s.name for s in specs if s.oracle is not None}
 
-    hist = sorted(glob.glob("CORRECTNESS_r*.json"))[-2:]
+    lookback = max(1, math.ceil(len(oracle) / 50) - 1)
+    hist = sorted(glob.glob("CORRECTNESS_r*.json"))[-lookback:]
     checked_recently: set[str] = set()
     for f in hist:
         with open(f) as fh:
@@ -373,8 +378,9 @@ def test_registry_rotation_staleness_bound():
     queue_head = set(names[50:70])
     stragglers = leftover - queue_head
     assert not stragglers, (
-        f"oracle-backed queries neither recently driver-checked, in the "
-        f"window, nor at the round-ahead queue head (slots 51-70): {sorted(stragglers)}"
+        f"oracle-backed queries neither driver-checked in the last "
+        f"{lookback} rounds, in the window, nor at the round-ahead queue "
+        f"head (slots 51-70): {sorted(stragglers)}"
     )
 
 

@@ -30,6 +30,24 @@ def test_oracle_parity(spark, duck, name):
         compare_query(spark, duck, spec.builder, spec.oracle, SF_SMOKE)
 
 
+def test_oracle_no_hugeint_columns(duck):
+    """Sweep every registered oracle's DuckDB result typing — no
+    Spark, no fetch, just the planner — so a HUGEINT regression is a
+    one-second failure here instead of a driver red (VERDICT r04 #2)."""
+    from .oracle_harness import assert_no_hugeint
+
+    bad = []
+    for name in sorted(QUERIES):
+        spec = QUERIES[name]
+        if spec.oracle is None:
+            continue
+        try:
+            assert_no_hugeint(duck, spec.oracle)
+        except AssertionError:
+            bad.append(name)
+    assert not bad, f"HUGEINT-typed oracle results (cast the sums): {bad}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
