@@ -515,3 +515,50 @@ def quality_classifier(
         )
         .withColumn("keep", F.col("score") > 0)
     )
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_distinct_frac: float = 0.2,
+    min_stopwords: int = 1,
+    stopwords: tuple[str, ...] = STOPWORDS_EN,
+) -> DataFrame:
+    """Composite Gopher-style document quality verdict (Rae et al.
+    2021 §A1.1: word-count bounds, mean-word-length band, stop-word
+    presence; distinct-word fraction standing in for the symbol/
+    ellipsis rules this fixture's text can't exercise). One boolean
+    per document plus the per-rule measurements, so a pipeline can
+    both filter and audit WHY a document fell.
+
+    All four measurements are exact-integer arithmetic or ratios of
+    exact integers — bit-identical cross-engine, raw doubles, no
+    rounding (the repo's float-parity contract). Scale shape: pure
+    per-row projection (one codegen'd pass, no shuffle, no UDF); at
+    100 TB this pipelines inside whatever scan feeds it."""
+    t = tokens(text_col)
+    n_words = F.size(t)
+    sum_len = F.aggregate(
+        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_distinct = F.size(F.array_distinct(t))
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), F.array(*[F.lit(s) for s in stopwords])))
+    mean_len = sum_len.cast("double") / n_words.cast("double")
+    distinct_frac = n_distinct.cast("double") / n_words.cast("double")
+    return df.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        distinct_frac.alias("distinct_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+        (
+            n_words.between(min_words, max_words)
+            & mean_len.between(min_mean_len, max_mean_len)
+            & (distinct_frac >= F.lit(min_distinct_frac))
+            & (n_stop >= F.lit(min_stopwords))
+        ).alias("keep"),
+    )

@@ -484,3 +484,55 @@ def token_pmi(
         "c_ab",
         F.round(F.log(num / den), 4).alias("pmi"),
     )
+
+
+def zipf_slope(
+    df: DataFrame, top_k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequency distribution:
+    least-squares slope/intercept of ln(count) against ln(rank) for
+    the ``top_k`` most frequent tokens (rank ties broken
+    alphabetically). Natural text sits near slope −1; a corpus
+    drifting toward 0 (too uniform — template spam) or steeply past
+    −1.5 (a few tokens dominating — boilerplate collapse) fails the
+    health check, which is why corpus-audit suites track this number
+    per snapshot.
+
+    Scale shape: word-count aggregate (map-side partials, vocab-sized
+    shuffle) → global top-k via TakeOrdered (per-partition heaps, NO
+    global sort shuffle) → rank + moment sums over k rows. The only
+    unpartitioned window runs on the top-k frame, whose size is the
+    bounded parameter k — the same bounded-single-partition contract
+    as the token-budget cumsum. The fit itself is the closed-form
+    normal equation on (Σx, Σy, Σxy, Σx²) — one tiny aggregate."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    cnt = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "token").limit(top_k)
+    # bounded window: exactly the top_k rows selected above
+    w = Window.orderBy(F.desc("c"), "token")
+    ranked = top.select("token", "c", F.row_number().over(w).alias("r"))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select(
+        F.col("n").cast("int").alias("n_ranks"),
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )

@@ -2404,3 +2404,109 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_dedup_simhash_hamming(spark, sf_dir)
     return triangle_counts(pairs, a="doc_a", b="doc_b", max_degree=_TRI_MAX_DEG)
+
+
+# ---------------------------------------------------------------------------
+# round 5: corpus-health statistics (Gopher filter, Zipf fit, whitening prep)
+# ---------------------------------------------------------------------------
+
+_COV_D = 6
+_COV_PAIRS = [(i, j) for i in range(_COV_D) for j in range(i, _COV_D)]
+
+
+@query(
+    "q_embedding_covariance",
+    oracle=" UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"round(covar_pop(embedding[{i + 1}], embedding[{j + 1}]), 6) AS cov "
+        f"FROM embeddings"
+        for i, j in _COV_PAIRS
+    ),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the first 6 embedding coordinates
+    — the whitening/PCA-prep pass run before decorrelating an
+    embedding space. One scan, 21 partial-aggregable co-moments, a
+    single-row shuffle regardless of corpus size
+    (operators/similarity.py::embedding_covariance)."""
+    from ..operators.similarity import embedding_covariance
+
+    return embedding_covariance(
+        load_table(spark, sf_dir, "embeddings"), dims=_COV_D
+    )
+
+
+_GOPHER_STOPS = ("the", "a", "is", "and", "of", "to", "in")
+
+
+@query(
+    "q_gopher_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS INTEGER) AS n_words,
+                 CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+                     / len(toks) AS mean_word_len,
+                 CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / len(toks) AS distinct_frac,
+                 CAST(len(list_intersect(list_distinct(toks),
+                      {list(_GOPHER_STOPS)})) AS INTEGER) AS n_stopwords
+          FROM t)
+    SELECT doc_id, n_words, mean_word_len, distinct_frac, n_stopwords,
+           (n_words BETWEEN 10 AND 100000)
+           AND (mean_word_len BETWEEN 3.0 AND 10.0)
+           AND distinct_frac >= 0.2
+           AND n_stopwords >= 1 AS keep
+    FROM m
+    """,
+)
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rules quality verdict per document (word-count
+    bounds, mean-word-length band, distinct-word fraction, stop-word
+    presence) with the per-rule measurements exposed for auditing.
+    Pure codegen projection — no shuffle, no UDF; every measurement is
+    exact-integer arithmetic or an int/int ratio, so the raw doubles
+    are bit-identical cross-engine
+    (operators/text.py::gopher_quality_filter; Rae et al. 2021)."""
+    from ..operators.text import gopher_quality_filter
+
+    return gopher_quality_filter(
+        load_table(spark, sf_dir, "documents"), stopwords=_GOPHER_STOPS
+    )
+
+
+_ZIPF_K = 1000
+
+
+@query(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH cnt AS (SELECT t AS token, count(*) AS c
+                 FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+                 GROUP BY t),
+    top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+            FROM cnt ORDER BY c DESC, token LIMIT {_ZIPF_K}),
+    m AS (SELECT count(*)::DOUBLE AS n,
+                 sum(ln(r::DOUBLE)) AS sx,
+                 sum(ln(c::DOUBLE)) AS sy,
+                 sum(ln(r::DOUBLE) * ln(c::DOUBLE)) AS sxy,
+                 sum(ln(r::DOUBLE) * ln(r::DOUBLE)) AS sxx
+          FROM top)
+    SELECT CAST(n AS INTEGER) AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+               AS intercept
+    FROM m
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token frequency distribution:
+    least-squares ln(count) ~ ln(rank) over the top-1000 tokens — the
+    per-snapshot corpus-health number (natural text ≈ −1; toward 0 =
+    template spam, past −1.5 = boilerplate collapse). Word-count agg →
+    TakeOrdered top-k (no global sort) → closed-form normal equation
+    on one moment row; the only unpartitioned window is over the
+    bounded top-k frame (operators/vocab.py::zipf_slope)."""
+    from ..operators.vocab import zipf_slope
+
+    return zipf_slope(load_table(spark, sf_dir, "documents"), top_k=_ZIPF_K)

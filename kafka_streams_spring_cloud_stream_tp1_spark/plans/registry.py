@@ -119,8 +119,12 @@ _FRONT = [
     "q_asof_join",
     "q_subqueries",
     "q_session_window",
-    # ---- slot 51+: past the window; round-6 queue head = the
-    # remaining 12 r02-green queries ----
+    # ---- slot 51+: past the window; round-6 queue head = new
+    # round-5 registrations, then the remaining 12 r02-green queries
+    "q_ewma_segmented",
+    "q_embedding_covariance",
+    "q_gopher_filter",
+    "q_zipf_slope",
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",

@@ -3645,22 +3645,66 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle keyed by user; per-key state is that
     user's event list — bounded by per-entity activity, the same
     contract as any sessionization. For unbounded per-key history,
-    segment by time window and chain the carry (the fold is
-    associative over segments via (scale, offset) composition)."""
+    `q_ewma_segmented` is the bounded-state path — same operator,
+    ``segment_len`` set (operators/timeseries.py::ewma_last)."""
+    from ..operators.timeseries import ewma_last
+
     ev = load_table(spark, sf_dir, "events")
-    seq = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("seq")
-    )
-    vals = F.transform(F.col("seq"), lambda s: s["value"])
-    ewma = F.aggregate(
-        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
-        lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
-    )
-    return seq.select(
-        "user_id",
-        F.size("seq").alias("n_events"),
-        ewma.alias("ewma"),
+    return ewma_last(ev, "user_id", ["ts", "event_id"], "value", alpha=0.5)
+
+
+_EWMA_SEG_LEN = 4
+
+
+@query(
+    "q_ewma_segmented",
+    oracle=f"""
+    WITH ordn AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    segf AS (
+        SELECT user_id, (rn - 1) // {_EWMA_SEG_LEN} AS seg_id,
+               list_reduce(
+                 list_transform(
+                   list(struct_pack(rn := rn, v := value) ORDER BY rn),
+                   x -> CASE WHEN x.rn = 1
+                        THEN struct_pack(s := 0.0::DOUBLE, o := x.v::DOUBLE)
+                        ELSE struct_pack(s := 0.5::DOUBLE,
+                                         o := 0.5::DOUBLE * x.v) END),
+                 (a, x) -> struct_pack(s := x.s * a.s,
+                                       o := x.s * a.o + x.o)) AS aff,
+               count(*) AS n
+        FROM ordn GROUP BY user_id, (rn - 1) // {_EWMA_SEG_LEN}),
+    per AS (
+        SELECT user_id,
+               list_reduce(
+                 list(struct_pack(seg := seg_id, s := aff.s, o := aff.o)
+                      ORDER BY seg_id),
+                 (a, x) -> struct_pack(seg := x.seg, s := x.s * a.s,
+                                       o := x.s * a.o + x.o)) AS aff,
+               CAST(sum(n) AS INTEGER) AS n_events
+        FROM segf GROUP BY user_id)
+    SELECT user_id, n_events, aff.o AS ewma FROM per
+    """,
+)
+def q_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state EWMA (VERDICT r04 #8): the same per-user α=0.5
+    fold as `q_ewma`, executed as per-segment partial folds of ≤4
+    steps composed per user — every EWMA step is the affine map
+    e → (1−α)e + αv and affine maps compose associatively, so
+    per-task state is ≤ segment_len structs no matter how long an
+    entity's history grows (the 100 TB shape: a hot key's history
+    never has to fit in one collect_list). The oracle replays the
+    identical segmented composition — raw-double bit parity, no
+    rounding (operators/timeseries.py::ewma_last)."""
+    from ..operators.timeseries import ewma_last
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_last(
+        ev, "user_id", ["ts", "event_id"], "value",
+        alpha=0.5, segment_len=_EWMA_SEG_LEN,
     )
 
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
@@ -264,3 +265,49 @@ def test_ewma_fold_semantics(spark):
         for r in seq.select("user_id", ewma.alias("e")).collect()
     }
     assert out == {7: 2.0, 9: 5.0}
+
+
+def test_ewma_segmented_matches_exact(spark):
+    """The bounded-state segment-and-carry fold computes the same
+    EWMA as the exact sequential fold for every segment_len (affine
+    composition is exact math; floats agree to association error),
+    including lengths that don't divide the sequence and singleton
+    segments; hand-check 9 steps of alpha=0.5 on one key."""
+    import datetime as dt
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.timeseries import (
+        ewma_last,
+    )
+
+    rows = []
+    for uid, n in [(7, 9), (9, 1), (11, 4)]:
+        for i in range(n):
+            rows.append((uid * 100 + i, dt.datetime(2024, 1, 1, 0, 0, i), uid,
+                         float((i * 37 + uid) % 11) + 0.25))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    exact = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_last(df, "user_id", ["ts", "event_id"], "value").collect()
+    }
+    # driver-side reference fold
+    expect = {}
+    for uid, n in [(7, 9), (9, 1), (11, 4)]:
+        vals = [float((i * 37 + uid) % 11) + 0.25 for i in range(n)]
+        e = vals[0]
+        for v in vals[1:]:
+            e = e * 0.5 + v * 0.5
+        expect[uid] = e
+    assert {u: v[1] for u, v in exact.items()} == pytest.approx(expect)
+    for seg_len in (1, 2, 3, 5, 100):
+        seg = {
+            r["user_id"]: (r["n_events"], r["ewma"])
+            for r in ewma_last(
+                df, "user_id", ["ts", "event_id"], "value", segment_len=seg_len
+            ).collect()
+        }
+        assert seg.keys() == exact.keys()
+        for u in exact:
+            assert seg[u][0] == exact[u][0]
+            assert seg[u][1] == pytest.approx(exact[u][1], abs=1e-12)
