@@ -2510,3 +2510,61 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vocab import zipf_slope
 
     return zipf_slope(load_table(spark, sf_dir, "documents"), top_k=_ZIPF_K)
+
+
+def _split_leakage_sql() -> str:
+    from ..operators.sampling import BUCKETS, hash_bucket_sql
+
+    sb = hash_bucket_sql("doc_id", "split")
+    bounds, lo = [], 0
+    for name, frac in _SPLIT_FRACS.items():
+        lo += round(frac * BUCKETS)
+        bounds.append((name, lo))
+    split_case = " ".join(f"WHEN {sb} < {hi} THEN '{name}'" for name, hi in bounds)
+    return f"""
+    WITH d AS (
+        SELECT md5(array_to_string({_TOKS}[1:5], ' ')) AS fp,
+               CASE {split_case} END AS split
+        FROM documents),
+    fs AS (SELECT DISTINCT fp, split FROM d)
+    SELECT a.split AS split_a, b.split AS split_b,
+           count(DISTINCT a.fp) AS n_leaked_fingerprints
+    FROM fs a JOIN fs b ON a.fp = b.fp AND a.split < b.split
+    GROUP BY a.split, b.split
+    """
+
+
+@query("q_split_leakage", oracle=_split_leakage_sql())
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: fingerprints (md5 of the first 5
+    tokens — the template/prefix fingerprint that catches shared
+    boilerplate openings where whole-text hashes collide on nothing)
+    present in MORE THAN ONE split of the deterministic 90/5/5
+    assignment. The check every eval suite needs before trusting a
+    held-out number — a val/test doc whose prefix also sits in train
+    is contamination.
+
+    Scale shape: split assignment is the zero-shuffle hash-bucket
+    projection (`operators/sampling.py::with_split`); fingerprints
+    dedup to (fp, split) grain FIRST (map-side combinable), and the
+    self-join runs on the high-cardinality fp key with fan-out
+    bounded by the split count (≤3 rows per side per key) — no
+    corpus-sized pair explosion is possible. Output is the
+    |splits|²-bounded leak matrix."""
+    from ..operators.sampling import with_split
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = with_split(docs.select("doc_id", "text"), _SPLIT_FRACS).select(
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 5))).alias("fp"),
+        "split",
+    )
+    fs = d.distinct()
+    a = fs.select("fp", F.col("split").alias("split_a"))
+    b = fs.select("fp", F.col("split").alias("split_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count_distinct("fp").alias("n_leaked_fingerprints"))
+    )

@@ -125,6 +125,7 @@ _FRONT = [
     "q_embedding_covariance",
     "q_gopher_filter",
     "q_zipf_slope",
+    "q_split_leakage",
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",

@@ -140,3 +140,50 @@ def running_page_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+EWMA_SCHEMA = "user_id long, n_events long, ewma double"
+_EWMA_STATE_SCHEMA = "n_events long, ewma double"
+
+
+def _make_ewma_updater(alpha: float, order_cols: list[str]):
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        n, e = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            for v in pdf.sort_values(order_cols)["value"]:
+                v = float(v)
+                e = v if e is None else e * (1.0 - alpha) + v * alpha
+                n += 1
+        state.update((n, e))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [e]})
+
+    return update
+
+
+def running_ewma(
+    events: DataFrame, alpha: float = 0.5, order_cols: list[str] | None = None
+) -> DataFrame:
+    """Streaming per-user EWMA — the live twin of the batch
+    `operators/timeseries.py::ewma_last`: per-key state is ONE
+    (n, ewma) tuple (the sequential fold's whole carry), updated from
+    Arrow batches and emitted as a changelog row per changed key per
+    trigger. Rows are folded in (ts, event_id) order WITHIN each
+    micro-batch and in arrival order across triggers — the streaming
+    EWMA contract (a late event smooths in when it arrives, exactly
+    like any online smoother); fed the same rows in order, the result
+    equals the batch fold (asserted in tests). State is O(1) per key
+    forever — the segment-and-carry property that makes the batch
+    segmented fold work is what a GroupState carry IS."""
+    return (
+        events.select("user_id", *(order_cols or ["ts", "event_id"]), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ewma_updater(alpha, order_cols or ["ts", "event_id"]),
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -618,3 +618,38 @@ def test_quantile_bins_no_global_sort(spark):
     plan = _plan(spark, "q_quantile_bins")
     _no_global_reduction(plan)
     assert "ntile" not in plan, plan
+
+
+def test_gopher_filter_no_shuffle(spark):
+    """q_gopher_filter is a pure per-row projection: zero exchanges,
+    zero joins — at 100 TB it pipelines inside the scan."""
+    plan = _plan(spark, "q_gopher_filter")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_embedding_covariance_single_row_shuffle(spark):
+    """q_embedding_covariance: one scan feeding 21 partial-aggregable
+    co-moments — exactly one single-partition exchange of one moment
+    row, never a shuffle of vectors."""
+    plan = _plan(spark, "q_embedding_covariance")
+    assert plan.count("Exchange") == 1, plan
+    assert "SinglePartition" in plan, plan
+    assert "partial_covar_pop" in plan, plan
+
+
+def test_zipf_topk_no_global_sort(spark):
+    """q_zipf_slope: the top-k cut must be TakeOrderedAndProject
+    (per-partition heaps), not a global Sort+Exchange; the only
+    unpartitioned window runs on the bounded k-row frame."""
+    plan = _plan(spark, "q_zipf_slope")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ewma_segmented_bounded_windows(spark):
+    """q_ewma_segmented: the row-number window partitions by user_id
+    (no empty-frame global window over raw events), and both folds are
+    grouped aggregates."""
+    plan = _plan(spark, "q_ewma_segmented")
+    head = plan.split("Window")[1].splitlines()[0]
+    assert "user_id" in head, plan

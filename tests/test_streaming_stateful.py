@@ -249,3 +249,29 @@ def test_transform_with_state_running_totals(spark, stream_dir):
         assert rows == [("P1", 3, 175.0)]
     finally:
         q.stop()
+
+
+def test_running_ewma_matches_batch_fold(spark, stream_dir):
+    """Streaming EWMA: state carries (n, ewma) across triggers, and
+    fed the same rows in order the result equals the batch
+    ewma_last fold — the segment-and-carry property live."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming import running_ewma
+
+    out = running_ewma(_file_stream(spark, stream_dir))
+    q = out.writeStream.outputMode("update").format("memory").queryName("rewma").start()
+    try:
+        _write_batch(
+            stream_dir,
+            "b1",
+            [_event(0, 1.0, "P1", 10.0), _event(1, 2.0, "P1", 20.0)],
+        )
+        q.processAllAvailable()
+        _write_batch(stream_dir, "b2", [_event(2, 3.0, "P1", 40.0)])
+        q.processAllAvailable()
+        rows = spark.table("rewma").collect()
+        latest = max(rows, key=lambda r: r["n_events"])
+        # batch fold: e=10 -> 15 -> 27.5 (all three events, user_id=1)
+        assert latest["n_events"] == 3
+        assert latest["ewma"] == 27.5
+    finally:
+        q.stop()
