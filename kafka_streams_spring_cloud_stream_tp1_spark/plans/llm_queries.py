@@ -2568,3 +2568,98 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split_a", "split_b")
         .agg(F.count_distinct("fp").alias("n_leaked_fingerprints"))
     )
+
+
+def _minhash_error_sql() -> str:
+    masks = perm_masks(_MH_K)
+    sig_cols = ",\n                  ".join(
+        f"min(xor(h, {m})) AS sig_{i}" for i, m in enumerate(masks)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"sig_{b * _MH_ROWS + r}::VARCHAR" for r in range(_MH_ROWS)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    est_sum = " + ".join(
+        f"CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END" for i in range(_MH_K)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_ngrams_sql('toks', _JACCARD_N)} AS s FROM t),
+    hx AS (SELECT doc_id, {xhash_sql('g')} AS h
+           FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+    sig AS (SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id),
+    bands AS ({band_selects}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    scored AS (
+        SELECT doc_a, doc_b,
+               ({est_sum}) / CAST({_MH_K} AS DOUBLE) AS est,
+               len(list_intersect(pa.s, pb.s))::DOUBLE
+                   / len(list_distinct(list_concat(pa.s, pb.s))) AS exact
+        FROM cand
+        JOIN sig sa ON sa.doc_id = doc_a
+        JOIN sig sb ON sb.doc_id = doc_b
+        JOIN sh pa ON pa.doc_id = doc_a
+        JOIN sh pb ON pb.doc_id = doc_b)
+    SELECT count(*) AS n_pairs,
+           round(avg(abs(est - exact)), 4) AS mean_abs_err,
+           CAST(sum(CASE WHEN est >= {_JACCARD_T} AND exact < {_JACCARD_T}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN est < {_JACCARD_T} AND exact >= {_JACCARD_T}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM scored
+    """
+
+
+@query("q_minhash_error", oracle=_minhash_error_sql())
+def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit of the MinHash near-dup pipeline: over
+    the LSH candidate pairs, compare the signature-estimated Jaccard
+    (matching fraction of the 12 permutation minima) with the exact
+    shingle Jaccard — mean absolute error plus false-positive /
+    false-negative counts at the dedup threshold. The number a
+    pipeline owner checks before trusting the sketch's (k, bands,
+    rows) tuning on a NEW corpus; expected |err| ≈ sqrt(j(1-j)/k).
+
+    Scale shape: identical to the dedup pipeline it audits (one
+    signature aggregate, banded candidate generation, candidate-only
+    verify joins) plus a single 1-row reduction — auditing costs the
+    same as running, never O(n²). Estimated and exact Jaccard are
+    both ratios of exact integers; only the mean rounds."""
+    import kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, k=_MH_K, n=_JACCARD_N).cache()
+    cands = D.lsh_candidate_pairs(sigs, bands=_MH_BANDS, rows=_MH_ROWS)
+    sh = D.shingle_sets(docs, _JACCARD_N)
+    est = sum(
+        F.when(F.col(f"a_sig_{i}") == F.col(f"b_sig_{i}"), 1).otherwise(0)
+        for i in range(_MH_K)
+    ) / F.lit(float(_MH_K))
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(_MH_K)])
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(_MH_K)])
+    scored = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .select(
+            est.alias("est"),
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("exact"),
+        )
+    )
+    fp = F.when((F.col("est") >= _JACCARD_T) & (F.col("exact") < _JACCARD_T), 1).otherwise(0)
+    fn = F.when((F.col("est") < _JACCARD_T) & (F.col("exact") >= _JACCARD_T), 1).otherwise(0)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), 4).alias("mean_abs_err"),
+        F.sum(fp).cast("long").alias("n_false_pos"),
+        F.sum(fn).cast("long").alias("n_false_neg"),
+    )

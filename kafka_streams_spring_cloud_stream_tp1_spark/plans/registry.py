@@ -126,6 +126,8 @@ _FRONT = [
     "q_gopher_filter",
     "q_zipf_slope",
     "q_split_leakage",
+    "q_robust_scale",
+    "q_minhash_error",
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",

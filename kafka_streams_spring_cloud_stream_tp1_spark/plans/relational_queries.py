@@ -3744,3 +3744,59 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"), item="user_id", group="event_type",
         k=_KMV_K,
     )
+
+
+@query(
+    "q_robust_scale",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      quantile_cont(value, 0.50) AS med,
+                      quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+                          AS iqr,
+                      count(*) AS n
+               FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           any_value(n) AS n,
+           round(any_value(med), 4) AS med,
+           round(any_value(iqr), 4) AS iqr,
+           CAST(sum(CASE WHEN abs(e.value - med) > 3 * iqr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN abs(e.value - med) > 3 * iqr
+                         THEN 1 ELSE 0 END) AS BIGINT) / any_value(n)
+               AS outlier_frac
+    FROM events e JOIN s USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) outlier gate per group — the heavy-tail-
+    safe sibling of `q_anomaly_zscore`: a mean/σ fence moves with the
+    outliers it is trying to catch, the 3×IQR fence does not. Reports
+    the robust center/spread plus the outlier count and fraction per
+    event type.
+
+    Plan shape: one grouped exact-percentile aggregate (per-group
+    partial sort buffers, one shuffle on the low-cardinality type
+    key), broadcast back over a second scan for the fence count — the
+    fence comparison is a codegen'd predicate, never a per-row UDF.
+    At 100 TB swap the exact percentile for the approx sketch
+    (`q_approx_quantiles`); the fence join is unchanged. The outlier
+    fraction is a ratio of exact integers (bit-identical); med/iqr
+    round to 4 for display only."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med"),
+        (F.expr("percentile(value, 0.75D)") - F.expr("percentile(value, 0.25D)")).alias("iqr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fenced = ev.join(F.broadcast(stats), "event_type")
+    is_out = F.when(
+        F.abs(F.col("value") - F.col("med")) > 3 * F.col("iqr"), 1
+    ).otherwise(0)
+    return fenced.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        _r(F.first("med")).alias("med"),
+        _r(F.first("iqr")).alias("iqr"),
+        F.sum(is_out).cast("long").alias("n_outliers"),
+        (F.sum(is_out).cast("long") / F.first("n")).alias("outlier_frac"),
+    )
