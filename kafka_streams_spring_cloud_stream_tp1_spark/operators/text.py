@@ -562,3 +562,41 @@ def gopher_quality_filter(
             & (n_stop >= F.lit(min_stopwords))
         ).alias("keep"),
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text", level: int = 6) -> DataFrame:
+    """Per-document zlib compression ratio — the classic redundancy
+    quality signal (highly repetitive/templated text compresses far
+    below natural prose; both tails flag low-quality documents).
+    Returns (doc_id, n_raw, n_compressed, ratio).
+
+    Arrow-batched ``mapInPandas`` over stdlib zlib — per-row
+    independent, no shuffle, linear in executors (the same plumbing
+    contract as the multimodal decodes). Compressed byte counts are
+    deterministic for a fixed zlib build+level, so tests pin exact
+    values against an in-process reference; no SQL engine can replay
+    DEFLATE, which is why this is a rows-only operator in the
+    registry (the documented non-SQL-expressible class)."""
+    from collections.abc import Iterator as _It
+
+    def batches(it: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf[text_col].map(lambda t: b"" if t is None else t.encode("utf-8"))
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            n_raw = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_raw": n_raw.astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                    "ratio": comp / n_raw.where(n_raw > 0, 1),
+                }
+            )
+
+    return fan_out(df).select("doc_id", text_col).mapInPandas(
+        batches, "doc_id long, n_raw long, n_compressed long, ratio double"
+    )

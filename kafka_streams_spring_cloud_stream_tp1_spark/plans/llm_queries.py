@@ -2663,3 +2663,85 @@ def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(fp).cast("long").alias("n_false_pos"),
         F.sum(fn).cast("long").alias("n_false_neg"),
     )
+
+
+@query("q_compression_ratio")  # DEFLATE is not SQL-replayable -> rows-only
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document — repetitive
+    or templated text compresses far below natural prose, so both
+    ratio tails flag low-quality documents (the redundancy filter in
+    the Gopher/CCNet ladders next to `q_repetition_stats`). Arrow-
+    batched stdlib-zlib mapInPandas, shuffle-free; rows-only in the
+    driver (no SQL engine replays DEFLATE) with exact byte counts
+    pinned against an in-process reference in pytest
+    (operators/text.py::compression_ratio)."""
+    from ..operators.text import compression_ratio
+
+    return compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
+_LKA_Q, _LKA_K = 20, 5
+
+
+@query(
+    "q_label_knn_accuracy",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_LKA_Q}),
+    scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      round(list_cosine_similarity(e.v, q.qv), 4) AS score
+               FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored),
+    top AS (SELECT query_id, neighbor_id FROM r WHERE rank <= {_LKA_K}),
+    lab AS (SELECT vec_id, label FROM embeddings)
+    SELECT query_id,
+           any_value(ql.label) AS query_label,
+           CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_same,
+           CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+                AS DOUBLE) / {_LKA_K} AS agree_frac
+    FROM top
+    JOIN lab ql ON ql.vec_id = top.query_id
+    JOIN lab nl ON nl.vec_id = top.neighbor_id
+    GROUP BY query_id
+    """,
+)
+def q_label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label consistency: for each probe vector, the
+    fraction of its k=5 cosine nearest neighbors sharing its label —
+    the leave-one-out kNN agreement score that audits whether an
+    embedding space actually separates the classes a pipeline is
+    about to cluster/balance/mine hard-negatives on (near 1/|classes|
+    ⇒ the space carries no label signal; SemDeDup and hard-negative
+    mining both assume it does).
+
+    Scale shape: identical to `q_knn_cosine` (probe side broadcasts,
+    corpus streams the nested-loop scoring, rank on projected score
+    triples only — the 100 TB side never shuffles) plus two
+    broadcast-able label joins and a probe-grain aggregate; the
+    agreement fraction is an exact int/k ratio."""
+    from ..operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    top = knn_bruteforce(emb, n_queries=_LKA_Q, k=_LKA_K)
+    same = F.when(F.col("label") == F.col("query_label"), 1).otherwise(0)
+    return (
+        top.join(
+            F.broadcast(
+                lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"))
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("query_label").alias("query_label"),
+            F.sum(same).cast("int").alias("n_same"),
+            (F.sum(same).cast("double") / F.lit(_LKA_K)).alias("agree_frac"),
+        )
+    )

@@ -128,6 +128,7 @@ _FRONT = [
     "q_split_leakage",
     "q_robust_scale",
     "q_minhash_error",
+    "q_label_knn_accuracy",
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",

@@ -729,3 +729,29 @@ def test_triangle_counts_k4():
     )
     out = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_compression_ratio_pins_zlib_reference(spark):
+    """Exact zlib byte counts against the in-process reference, plus
+    the semantic property: a highly repetitive doc compresses harder
+    than a high-entropy one."""
+    import zlib
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        compression_ratio,
+    )
+
+    rows = [
+        (1, "spam " * 200),
+        (2, "the quick brown fox jumps over the lazy dog " * 3),
+        (3, None),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    for doc_id, text in rows:
+        raw = b"" if text is None else text.encode()
+        assert out[doc_id]["n_raw"] == len(raw)
+        assert out[doc_id]["n_compressed"] == len(zlib.compress(raw, 6))
+    assert out[1]["ratio"] < out[2]["ratio"]  # repetition compresses harder
+    assert out[3]["n_raw"] == 0 and out[4]["n_raw"] == 0

@@ -653,3 +653,30 @@ def test_ewma_segmented_bounded_windows(spark):
     plan = _plan(spark, "q_ewma_segmented")
     head = plan.split("Window")[1].splitlines()[0]
     assert "user_id" in head, plan
+
+
+def test_split_leakage_no_cartesian(spark):
+    """q_split_leakage: the cross-split comparison must be an equality
+    join on the fingerprint key — never a cartesian/nested-loop pair
+    explosion; split assignment itself adds no exchange."""
+    plan = _plan(spark, "q_split_leakage")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_robust_scale_broadcasts_stats(spark):
+    """q_robust_scale: the per-group stats frame (|event types| rows)
+    must broadcast back over the scan — the fence pass may never
+    shuffle the fact side for the join."""
+    plan = _plan(spark, "q_robust_scale")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_minhash_error_single_row_reduction(spark):
+    """q_minhash_error: the audit ends in a single-partition 1-row
+    aggregate and adds no cartesian join beyond the dedup pipeline it
+    audits."""
+    plan = _plan(spark, "q_minhash_error")
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" in plan, plan
