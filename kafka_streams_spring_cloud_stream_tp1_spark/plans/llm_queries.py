@@ -2745,3 +2745,71 @@ def q_label_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(same).cast("double") / F.lit(_LKA_K)).alias("agree_frac"),
         )
     )
+
+
+def _power_iteration_sql() -> str:
+    cov_union = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"round(covar_pop(embedding[{i + 1}], embedding[{j + 1}]), 6) AS cov "
+        f"FROM embeddings"
+        for i, j in _COV_PAIRS
+    )
+    v0 = " UNION ALL ".join(
+        f"SELECT {d} AS j, {'1.0' if d == 0 else '0.0'}::DOUBLE AS v"
+        for d in range(_COV_D)
+    )
+    return f"""
+    WITH cov AS ({cov_union}),
+    sym AS (SELECT i, j, cov FROM cov
+            UNION ALL
+            SELECT j AS i, i AS j, cov FROM cov WHERE i <> j),
+    v0 AS ({v0}),
+    m1 AS (SELECT i, sum(cov * v) AS mv FROM sym JOIN v0 USING (j) GROUP BY i),
+    n1 AS (SELECT sqrt(sum(mv * mv)) AS nrm FROM m1),
+    v1 AS (SELECT i AS j, mv / nrm AS v FROM m1 CROSS JOIN n1),
+    m2 AS (SELECT i, sum(cov * v) AS mv FROM sym JOIN v1 USING (j) GROUP BY i),
+    n2 AS (SELECT sqrt(sum(mv * mv)) AS nrm FROM m2)
+    SELECT i AS dim, round(mv / nrm, 4) AS component
+    FROM m2 CROSS JOIN n2
+    """
+
+
+@query("q_power_iteration", oracle=_power_iteration_sql())
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding covariance by two
+    unrolled power-iteration rounds (v ← normalize(C·v), v₀ = e₀) —
+    the PCA-direction estimate a pipeline uses to detect a collapsed/
+    dominant axis before whitening, and the template for every
+    iterative linear-algebra pass over relational matrices (matvec =
+    join-on-j + sum-per-i, normalization = broadcast 1-row aggregate).
+
+    Scale shape: the corpus-sized work is the ONE covariance scan
+    (d(d+1)/2 co-moments, single-row shuffle); each iteration then
+    touches only the d²-entry matrix frame — at d=6 that is 36 rows
+    per matvec no matter how many vectors were scanned. For d ≳ 10³
+    the same unrolled plan runs on a block-partitioned Gramian. The
+    oracle replays the identical rounded-covariance input and op
+    sequence; components round to 4 (sum-order drift ~1e-12)."""
+    from ..operators.similarity import embedding_covariance
+
+    cov = embedding_covariance(load_table(spark, sf_dir, "embeddings"), dims=_COV_D)
+    sym = cov.union(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    v = spark.range(_COV_D).select(
+        F.col("id").cast("int").alias("j"),
+        F.when(F.col("id") == 0, 1.0).otherwise(0.0).alias("v"),
+    )
+    for _ in range(2):
+        m = (
+            sym.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("v")).alias("mv"))
+        )
+        nrm = m.agg(F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("nrm"))
+        v = m.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("mv") / F.col("nrm")).alias("v")
+        )
+    return v.select(F.col("j").alias("dim"), F.round(F.col("v"), 4).alias("component"))
