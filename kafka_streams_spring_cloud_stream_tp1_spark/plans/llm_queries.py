@@ -2813,3 +2813,75 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").alias("j"), (F.col("mv") / F.col("nrm")).alias("v")
         )
     return v.select(F.col("j").alias("dim"), F.round(F.col("v"), 4).alias("component"))
+
+
+def _lm_heldout_sql() -> str:
+    from ..operators.sampling import BUCKETS, hash_bucket_sql
+
+    sb = hash_bucket_sql("doc_id", "split")
+    bounds, lo = [], 0
+    for name, frac in _SPLIT_FRACS.items():
+        lo += round(frac * BUCKETS)
+        bounds.append((name, lo))
+    split_case = " ".join(f"WHEN {sb} < {hi} THEN '{name}'" for name, hi in bounds)
+    return f"""
+    WITH s AS (SELECT doc_id, text, CASE {split_case} END AS split
+               FROM documents),
+    tr AS (SELECT unnest({_TOKS}) AS token FROM s WHERE split = 'train'),
+    v AS (SELECT token, count(*) AS cnt FROM tr GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS vsz FROM v),
+    val AS (SELECT doc_id, unnest({_TOKS}) AS token FROM s
+            WHERE split = 'val'),
+    sc AS (SELECT doc_id,
+                  -ln((coalesce(cnt, 0) + 0.5) / (n + 0.5 * (vsz + 1))) AS nll
+           FROM val LEFT JOIN v USING (token) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(nll), 4) AS avg_nll
+    FROM sc GROUP BY doc_id
+    """
+
+
+@query("q_lm_heldout_nll", oracle=_lm_heldout_sql())
+def q_lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM quality scoring with proper train/apply hygiene:
+    the add-0.5 unigram LM is fit on the TRAIN split only and scores
+    ONLY val-split documents — unlike `q_unigram_logprob` (corpus
+    scores itself), the score here is a real generalization signal
+    and unseen-in-train tokens get the smoothed OOV mass instead of
+    a log(0). The shape every perplexity-filter deployment actually
+    runs: fit on a reference slice, score the incoming slice.
+
+    Scale shape: split assignment is the zero-shuffle hash-bucket
+    projection; the LM build is the word-count plan over the train
+    slice; scoring LEFT-joins the vocab on the token key (broadcast
+    while it fits, shuffled-hash beyond) and aggregates by doc_id, so
+    token-frequency skew never lands on one reducer; the totals are a
+    broadcast 1-row aggregate."""
+    from ..operators.sampling import with_split
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = with_split(docs.select("doc_id", "text"), _SPLIT_FRACS)
+    train_toks = sp.filter(F.col("split") == "train").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    vocab = train_toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(
+        F.sum("cnt").cast("long").alias("n"), F.count(F.lit(1)).alias("vsz")
+    )
+    val = sp.filter(F.col("split") == "val").select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(0.5))
+        / (F.col("n") + F.lit(0.5) * (F.col("vsz") + 1))
+    )
+    return (
+        val.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(nll), 4).alias("avg_nll"),
+        )
+    )

@@ -130,6 +130,7 @@ _FRONT = [
     "q_minhash_error",
     "q_label_knn_accuracy",
     "q_power_iteration",
+    "q_lm_heldout_nll",
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",

@@ -3212,19 +3212,19 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
         SELECT o_custkey AS custkey, o_orderpriority AS attr,
-               o_orderdate AS ts,
+               o_orderdate AS ts, o_orderkey AS ok,
                lag(o_orderpriority) OVER (PARTITION BY o_custkey
                                           ORDER BY o_orderdate, o_orderkey)
                    AS prev_attr
         FROM orders),
     changes AS (
-        SELECT custkey, attr, ts FROM seq
+        SELECT custkey, attr, ts, ok FROM seq
         WHERE prev_attr IS NULL OR attr <> prev_attr),
     versions AS (
         SELECT custkey, attr, ts AS effective_from,
-               lead(ts) OVER (PARTITION BY custkey ORDER BY ts)
+               lead(ts) OVER (PARTITION BY custkey ORDER BY ts, ok)
                    AS effective_to,
-               CAST(row_number() OVER (PARTITION BY custkey ORDER BY ts)
+               CAST(row_number() OVER (PARTITION BY custkey ORDER BY ts, ok)
                     AS BIGINT) AS version
         FROM changes)
     SELECT custkey, version, attr, effective_from, effective_to,
@@ -3240,21 +3240,26 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the consumer side is `q_asof_join`). Two window passes over the
     SAME key partitioning (change detection via LAG, then interval
     closure via LEAD + version numbering — Catalyst reuses the one
-    exchange), ties broken on the order key so version boundaries are
-    total-order deterministic. Per-key partitions are version-count
-    bounded: no skew at any scale."""
+    exchange). BOTH windows tie-break on the order key: two same-date
+    orders of one customer can both be change rows, and ordering the
+    version window by ts alone leaves the engine free to pick either
+    tie order — a latent nondeterminism the sf0.1 sweep caught in
+    round 5 (sf0.01 happened to have no same-date change pairs).
+    Per-key partitions are version-count bounded: no skew at any
+    scale."""
     orders = load_table(spark, sf_dir, "orders")
     w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     seq = orders.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderpriority").alias("attr"),
         F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ok"),
         F.lag("o_orderpriority").over(w_seq).alias("prev_attr"),
     )
     changes = seq.filter(
         F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr"))
     )
-    w_v = Window.partitionBy("custkey").orderBy("ts")
+    w_v = Window.partitionBy("custkey").orderBy("ts", "ok")
     versions = changes.select(
         "custkey",
         "attr",

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -186,3 +188,55 @@ def test_bpe_pair_counts_match_python_reference(spark, docs):
             words_with[p] = words_with.get(p, 0) + 1
     expect = {p: (occ[p], words_with[p]) for p in occ}
     assert got == expect, (docs, got, expect)
+
+
+@given(
+    seqs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    seg_len=st.integers(min_value=1, max_value=7),
+    alpha=st.sampled_from([0.25, 0.5, 0.9]),
+)
+@_SETTINGS
+def test_ewma_segmented_equals_exact_fold(spark, seqs, seg_len, alpha):
+    """Property: for ANY key/value stream, segment length, and alpha,
+    the bounded-state segment-and-carry fold equals the exact
+    sequential fold (affine composition is exact math; floats agree to
+    association error) and equals a driver-side python reference."""
+    import datetime as dt
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.timeseries import (
+        ewma_last,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), k, float(v))
+        for i, (k, v) in enumerate(seqs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    exact = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_last(df, "user_id", ["ts", "event_id"], "value", alpha=alpha).collect()
+    }
+    seg = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_last(
+            df, "user_id", ["ts", "event_id"], "value", alpha=alpha, segment_len=seg_len
+        ).collect()
+    }
+    ref = {}
+    for i, (k, v) in enumerate(seqs):
+        n, e = ref.get(k, (0, None))
+        ref[k] = (n + 1, float(v) if e is None else e * (1 - alpha) + float(v) * alpha)
+    assert exact.keys() == seg.keys() == ref.keys()
+    for k in ref:
+        assert exact[k][0] == seg[k][0] == ref[k][0]
+        assert exact[k][1] == pytest.approx(ref[k][1], abs=1e-9)
+        assert seg[k][1] == pytest.approx(exact[k][1], abs=1e-9)
