@@ -77,7 +77,18 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     final = canon.join(losers, "doc_id", "leftanti")
     print(f"after near-dup clustering: {final.count()}")
 
-    # 5. deterministic split + token accounting
+    # 5. composite Gopher-rules verdict (round 5): the per-rule audit
+    #    columns say WHY a doc fell, not just that it fell
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        gopher_quality_filter,
+    )
+
+    gopher = gopher_quality_filter(final.select("doc_id", "text"))
+    n_gopher = gopher.filter("keep").count()
+    print(f"Gopher-rules verdict keeps: {n_gopher}")
+    final = final.join(gopher.filter("keep").select("doc_id"), "doc_id", "leftsemi")
+
+    # 6. deterministic split + token accounting + leakage audit
     split = with_split(final, {"train": 0.9, "val": 0.05, "test": 0.05})
     summary = (
         split.groupBy("split")
@@ -88,6 +99,22 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         .orderBy("split")
     )
     summary.show(truncate=False)
+
+    # 7. pre-eval contamination gate (round 5): prefix fingerprints
+    #    present in more than one split
+    fp = split.select(
+        F.md5(F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 5))).alias("fp"),
+        "split",
+    ).distinct()
+    leaks = (
+        fp.alias("a")
+        .join(fp.alias("b"), "fp")
+        .filter(F.col("a.split") < F.col("b.split"))
+        .groupBy(F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b"))
+        .count()
+    )
+    print("cross-split prefix-fingerprint leaks:")
+    leaks.show(truncate=False)
 
 
 if __name__ == "__main__":

@@ -2792,7 +2792,14 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence; components round to 4 (sum-order drift ~1e-12)."""
     from ..operators.similarity import embedding_covariance
 
-    cov = embedding_covariance(load_table(spark, sf_dir, "embeddings"), dims=_COV_D)
+    # materialize the d(d+1)/2-row covariance ONCE: sym references it
+    # twice and every unrolled iteration re-references sym — without
+    # the checkpoint Spark replays the corpus scan per reference
+    # (12 scans measured; 1 after), the same lineage discipline as
+    # pagerank's edge list
+    cov = embedding_covariance(
+        load_table(spark, sf_dir, "embeddings"), dims=_COV_D
+    ).localCheckpoint(eager=False)
     sym = cov.union(
         cov.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
@@ -2807,6 +2814,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym.join(v, "j")
             .groupBy("i")
             .agg(F.sum(F.col("cov") * F.col("v")).alias("mv"))
+            .localCheckpoint(eager=False)  # read by both nrm and v
         )
         nrm = m.agg(F.sqrt(F.sum(F.col("mv") * F.col("mv"))).alias("nrm"))
         v = m.crossJoin(F.broadcast(nrm)).select(

@@ -680,3 +680,34 @@ def test_minhash_error_single_row_reduction(spark):
     plan = _plan(spark, "q_minhash_error")
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" in plan, plan
+
+
+def test_lm_heldout_broadcasts_vocab_no_cartesian(spark):
+    """q_lm_heldout_nll: the train-vocab join must be a hash join
+    (broadcast at this scale) and the only cross join is the 1-row
+    totals broadcast."""
+    plan = _plan(spark, "q_lm_heldout_nll")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_power_iteration_single_corpus_scan(spark):
+    """q_power_iteration: the corpus-sized work (the covariance scan)
+    is pinned behind ONE localCheckpoint — the final plan reads only
+    checkpoint placeholders (zero parquet scans; without the pin the
+    lineage replayed the embeddings scan 12x), and the checkpointed
+    covariance frame itself is a single scan + covar partial-agg."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    plan = _plan(spark, "q_power_iteration")
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    cov_plan = (
+        embedding_covariance(load_table(spark, SF_SMOKE, "embeddings"), dims=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert cov_plan.count("Scan parquet") == 1, cov_plan
+    assert "partial_covar_pop" in cov_plan, cov_plan
