@@ -2893,3 +2893,50 @@ def q_lm_heldout_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(nll), 4).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "q_dup_cluster_profile",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(src, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    ),
+    labels AS (SELECT src AS doc_id, least(src, min(reach)) AS cluster_id
+               FROM walk GROUP BY src),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM labels GROUP BY cluster_id)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size profile — the dedup REPORT a pipeline
+    owner reads before committing a destructive pass: how many
+    families of each size exist, how many documents they hold, and
+    how many rows a keep-one policy would delete (n_removable). A fat
+    tail here means template farms / mirror sites; a spike at one
+    size means a systematic snapshot duplication.
+
+    Scale shape: rides the pairs → pointer-jumping components
+    pipeline, then two map-side-combinable aggregates over the
+    label table (cluster-count-sized, then size-histogram-sized) —
+    reporting costs two tiny shuffles on top of the dedup it
+    describes."""
+    labels = D.dup_clusters(q_dedup_ngram_jaccard(spark, sf_dir))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1))).alias("n_removable"),
+    )

@@ -131,6 +131,7 @@ _FRONT = [
     "q_label_knn_accuracy",
     "q_power_iteration",
     "q_lm_heldout_nll",
+    "q_dup_cluster_profile",
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",

@@ -187,3 +187,49 @@ def running_ewma(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_ewma_tws(events: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """`running_ewma` on the v2 arbitrary-state API
+    (`transformWithStateInPandas`): one typed ValueState carrying the
+    (n, ewma) fold per key — the same O(1)-forever state contract,
+    with composable state variables and timers available for an
+    idle-key TTL at web scale. Protobuf-gated like
+    `running_page_totals_tws` (see tws_available())."""
+    from typing import Iterator as _It
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningEwma(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState("ewma", "n LONG, e DOUBLE")
+
+        def handleInputRows(self, key, rows, timer_values) -> _It["pd.DataFrame"]:
+            import pandas as pd
+
+            if self._st.exists():
+                prev = self._st.get()
+                n, e = int(prev[0]), float(prev[1])
+            else:
+                n, e = 0, None
+            for pdf in rows:
+                for v in pdf.sort_values(["ts", "event_id"])["value"]:
+                    v = float(v)
+                    e = v if e is None else e * (1.0 - alpha) + v * alpha
+                    n += 1
+            self._st.update((n, e))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [e]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningEwma(),
+            outputStructType=EWMA_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

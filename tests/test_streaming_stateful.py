@@ -275,3 +275,26 @@ def test_running_ewma_matches_batch_fold(spark, stream_dir):
         assert latest["ewma"] == 27.5
     finally:
         q.stop()
+
+
+def test_running_ewma_tws(spark, stream_dir):
+    """v2-API streaming EWMA — same (n, ewma) carry on typed
+    ValueState; protobuf-gated like the totals test."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming.stateful import (
+        running_ewma_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf not available: transformWithState needs it on workers")
+    out = running_ewma_tws(_file_stream(spark, stream_dir))
+    q = out.writeStream.outputMode("update").format("memory").queryName("tws_ewma").start()
+    try:
+        _write_batch(stream_dir, "b1", [_event(0, 1.0, "P1", 10.0), _event(1, 2.0, "P1", 20.0)])
+        q.processAllAvailable()
+        _write_batch(stream_dir, "b2", [_event(2, 3.0, "P1", 40.0)])
+        q.processAllAvailable()
+        latest = max(spark.table("tws_ewma").collect(), key=lambda r: r["n_events"])
+        assert (latest["n_events"], latest["ewma"]) == (3, 27.5)
+    finally:
+        q.stop()
