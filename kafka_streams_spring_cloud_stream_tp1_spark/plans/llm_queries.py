@@ -2940,3 +2940,116 @@ def q_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
         ((F.col("cluster_size") - 1) * F.count(F.lit(1))).alias("n_removable"),
     )
+
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+    WITH pairs AS ({_JACCARD_PAIRS_SQL}),
+    lab AS (SELECT doc_id, source FROM documents),
+    tagged AS (
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b
+        FROM pairs
+        JOIN lab sa ON sa.doc_id = doc_a
+        JOIN lab sb ON sb.doc_id = doc_b)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM tagged GROUP BY source_a, source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: verified near-dup pairs
+    bucketed by the (unordered) source pair of their endpoints — the
+    'which crawls mirror which' report that decides whether a source
+    is additive or a rehost before it is ingested at full weight.
+    Diagonal entries are within-source template churn; heavy
+    off-diagonal cells are mirrors.
+
+    Scale shape: rides the PPJoin pair pipeline; the source labels
+    join on doc_id (pair-table-sized, the corpus text never moves)
+    and the matrix aggregate is |sources|²-bounded."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tagged = (
+        pairs.join(lab.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a")
+        .join(lab.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+
+
+_NGC_N = 3
+
+
+def _ngram_coverage_sql() -> str:
+    from ..operators.sampling import BUCKETS, hash_bucket_sql
+
+    sb = hash_bucket_sql("doc_id", "split")
+    bounds, lo = [], 0
+    for name, frac in _SPLIT_FRACS.items():
+        lo += round(frac * BUCKETS)
+        bounds.append((name, lo))
+    split_case = " ".join(f"WHEN {sb} < {hi} THEN '{name}'" for name, hi in bounds)
+    return f"""
+    WITH s AS (SELECT doc_id, text, CASE {split_case} END AS split
+               FROM documents),
+    t AS (SELECT doc_id, split, {_TOKS} AS toks FROM s),
+    sh AS (SELECT doc_id, split, {_ngrams_sql('toks', _NGC_N)} AS g FROM t),
+    tr AS (SELECT DISTINCT unnest(g) AS gram FROM sh WHERE split = 'train'),
+    val AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE split = 'val')
+    SELECT val.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS coverage
+    FROM val LEFT JOIN tr USING (gram)
+    GROUP BY val.doc_id
+    """
+
+
+@query("q_ngram_coverage", oracle=_ngram_coverage_sql())
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set n-gram coverage of held-out documents: the fraction
+    of each val-split doc's distinct trigram shingles that appear
+    anywhere in the train split — the coverage twin of
+    `q_lm_heldout_nll` (probability mass) and `q_ngram_novelty`
+    (corpus-internal firsts): low coverage = genuinely novel text the
+    model never saw; suspiciously HIGH coverage on an eval set is the
+    contamination smell `q_split_leakage` then confirms.
+
+    Scale shape: split assignment is the zero-shuffle hash bucket;
+    the train shingle inventory dedups to distinct-gram grain
+    (map-side combinable) and LEFT-joins the val explosion on the
+    gram key; the coverage aggregate is keyed by doc_id, so gram
+    frequency skew never lands on one reducer."""
+    from ..operators.dedup import shingle_sets
+    from ..operators.sampling import with_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = with_split(docs.select("doc_id", "text"), _SPLIT_FRACS)
+    sh = shingle_sets(sp, _NGC_N).join(sp.select("doc_id", "split"), "doc_id")
+    tr = (
+        sh.filter(F.col("split") == "train")
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    val = sh.filter(F.col("split") == "val").select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    cov = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        val.join(tr, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            cov.cast("long").alias("n_covered"),
+            (cov.cast("double") / F.count(F.lit(1))).alias("coverage"),
+        )
+    )

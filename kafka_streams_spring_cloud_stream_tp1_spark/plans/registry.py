@@ -132,6 +132,8 @@ _FRONT = [
     "q_power_iteration",
     "q_lm_heldout_nll",
     "q_dup_cluster_profile",
+    "q_source_overlap",
+    "q_ngram_coverage",
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",

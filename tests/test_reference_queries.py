@@ -63,3 +63,36 @@ def test_contract_shape():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert "q_windowed_count" in q
+
+
+def test_empty_corpus_robustness(spark, tmp_path_factory):
+    """Every registered query must handle a ZERO-ROW corpus without
+    crashing (a 100 TB pipeline routinely points at an empty
+    partition/slice): empty or degenerate results are fine, stack
+    traces are not. The only sanctioned exceptions are the k-means
+    family's explicit k-exceeds-corpus guard — a deliberate,
+    well-messaged ValueError, not a crash. (Round-5 sweep: 173/175
+    graceful, 2 guarded.)"""
+    import duckdb
+
+    out = str(tmp_path_factory.mktemp("sf_empty"))
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"COPY (SELECT * FROM '{SF_SMOKE}/{t}.parquet' LIMIT 0) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+    GUARDED = {"q_kmeans", "q_semdedup"}
+    crashes = []
+    for name in sorted(QUERIES):
+        try:
+            QUERIES[name].builder(spark, out).collect()
+        except ValueError as ex:
+            if name in GUARDED and "exceeds corpus size" in str(ex):
+                continue
+            crashes.append((name, repr(ex)[:80]))
+        except Exception as ex:
+            crashes.append((name, repr(ex)[:80]))
+    assert not crashes, f"queries crashed on an empty corpus: {crashes}"
