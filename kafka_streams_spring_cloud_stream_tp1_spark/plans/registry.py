@@ -134,6 +134,7 @@ _FRONT = [
     "q_dup_cluster_profile",
     "q_source_overlap",
     "q_ngram_coverage",
+    "q_key_skew_profile",
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",

@@ -3805,3 +3805,61 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_out).cast("long").alias("n_outliers"),
         (F.sum(is_out).cast("long") / F.first("n")).alias("outlier_frac"),
     )
+
+
+_SKEW_TOPK = 20
+
+
+@query(
+    "q_key_skew_profile",
+    oracle=f"""
+    WITH kc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS max_c FROM kc),
+    top AS (SELECT c, user_id FROM kc
+            ORDER BY c DESC, user_id LIMIT {_SKEW_TOPK})
+    SELECT n_keys,
+           n_rows,
+           max_c AS max_key_rows,
+           CAST(max_c AS DOUBLE) * n_keys / n_rows AS skew_factor,
+           CAST((SELECT sum(c) FROM top) AS BIGINT) AS top{_SKEW_TOPK}_rows,
+           CAST((SELECT sum(c) FROM top) AS DOUBLE) / n_rows
+               AS top{_SKEW_TOPK}_share
+    FROM tot
+    """,
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for events.user_id — the diagnostic read
+    BEFORE deciding to salt a key or rely on AQE's skew-join split:
+    key count, total rows, the hottest key's row count, skew factor
+    (max/mean — 1.0 is perfectly uniform; AQE's split threshold
+    defaults to 5x median), and how much of the table the top-20 keys
+    own. A skew_factor in the tens with a high top-k share says ONE
+    reducer will own the join unless salted/split.
+
+    Scale shape: the word-count aggregate (map-side partials,
+    key-cardinality shuffle), a 1-row moment reduction, and a
+    TakeOrdered top-k — the profile costs one pass over the key
+    column regardless of table size; all reported ratios are exact
+    integer quotients (bit-identical cross-engine)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    top = kc.orderBy(F.desc("c"), "user_id").limit(_SKEW_TOPK)
+    top_sum = top.agg(F.sum("c").cast("long").alias("tk"))
+    tot = kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_c"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(top_sum))
+        .select(
+            "n_keys",
+            "n_rows",
+            F.col("max_c").alias("max_key_rows"),
+            (F.col("max_c").cast("double") * F.col("n_keys") / F.col("n_rows")).alias("skew_factor"),
+            F.col("tk").alias(f"top{_SKEW_TOPK}_rows"),
+            (F.col("tk").cast("double") / F.col("n_rows")).alias(f"top{_SKEW_TOPK}_share"),
+        )
+    )
