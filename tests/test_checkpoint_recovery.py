@@ -102,3 +102,50 @@ def test_streaming_parquet_ingest_exactly_once(spark, tmp_path):
         "event_type=P1",
         "event_type=P2",
     }
+
+
+def test_running_ewma_state_survives_restart(spark, tmp_path):
+    """applyInPandasWithState EWMA: stop the query, restart from the
+    same checkpoint, feed more events — the (n, ewma) carry must
+    resume from the checkpointed state, not restart from scratch
+    (memory sink can't recover a checkpoint, so the changelog lands
+    in a foreachBatch dict like the KV-store tests). Batch-fold
+    reference: 10 -> 15 -> 27.5 across the restart."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming import running_ewma
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    events = lambda: spark.readStream.schema(EVENTS_SCHEMA).json(str(src))  # noqa: E731
+    latest: dict = {}
+
+    def sink(batch_df, _epoch):
+        for r in batch_df.collect():
+            latest[r["user_id"]] = (r["n_events"], r["ewma"])
+
+    def start():
+        return (
+            running_ewma(events())
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    try:
+        _write_batch(str(src), "b1", [_event(0, 1.0, value=10.0), _event(1, 2.0, value=20.0)])
+        q1.processAllAvailable()
+        assert latest[1] == (2, 15.0)
+    finally:
+        q1.stop()
+
+    q2 = start()
+    try:
+        _write_batch(str(src), "b2", [_event(2, 3.0, value=40.0)])
+        q2.processAllAvailable()
+        # state restored: 3 events total, e = 15*0.5 + 40*0.5 = 27.5;
+        # a from-scratch restart would show (1, 40.0)
+        assert latest[1] == (3, 27.5)
+    finally:
+        q2.stop()
