@@ -57,9 +57,14 @@ def band_lookup(
         ]
     )
     v = F.col(value_col)
-    hit: Column = F.filter(
-        intervals, lambda b: (v >= b["lo"]) & (v < b["hi"])
-    )[0]
+    # F.get (not [0]): a NULL value or out-of-band row yields an EMPTY
+    # filter result, and under ANSI mode (Spark 4 default) indexing an
+    # empty array with [0] throws ArrayIndexOutOfBounds; get() returns
+    # NULL, which the isNotNull filter below drops — preserving the
+    # inner-join semantics for NULLs exactly like the non-equi join.
+    hit: Column = F.get(
+        F.filter(intervals, lambda b: (v >= b["lo"]) & (v < b["hi"])), F.lit(0)
+    )
     return (
         df.withColumn("__band", hit)
         .filter(F.col("__band").isNotNull())

@@ -328,7 +328,9 @@ def resize_payloads(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        def shrink(b: bytes) -> bytes:
+        def shrink(b) -> bytes | None:
+            if b is None:  # NULL payload passes through as NULL
+                return None
             b = bytes(b)
             if len(b) <= target_bytes:
                 return b
@@ -336,14 +338,17 @@ def resize_payloads(
             step = len(b) / target_bytes
             return bytes(b[int(i * step)] for i in range(target_bytes))
 
+        def nbytes(b):
+            return None if b is None else len(b)
+
         for pdf in it:
             out = pdf["payload"].map(shrink)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": out,
-                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
-                    "new_bytes": out.map(len).astype("int64"),
+                    "orig_bytes": pdf["payload"].map(nbytes).astype("Int64"),
+                    "new_bytes": out.map(nbytes).astype("Int64"),
                 }
             )
 

@@ -346,7 +346,9 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
         for pdf in it:
             ids, n_toks, n_bpe = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = text.split()
+                # NULL text encodes as an empty document (0 tokens),
+                # matching what tokens() yields JVM-side for NULL.
+                words = text.split() if isinstance(text, str) else []
                 total = 0
                 for w in words:
                     n = cache.get(w)
@@ -364,7 +366,13 @@ def bpe_encode(df: DataFrame, merges: list[tuple[str, str]],
     out = src.mapInPandas(encode, "doc_id long, n_tokens long, n_bpe_tokens long")
     return out.withColumn(
         "compression",
-        F.round(F.col("n_bpe_tokens") / F.col("n_tokens").cast("double"), 4),
+        # guard n_tokens = 0 (empty/NULL doc): ANSI mode raises
+        # DIVIDE_BY_ZERO instead of returning NULL, so make the NULL
+        # explicit for zero-token documents.
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_bpe_tokens") / F.col("n_tokens").cast("double"), 4),
+        ),
     )
 
 

@@ -1,0 +1,118 @@
+"""NULL-injected corpus robustness.
+
+Real web-scale corpora carry NULLs in every nullable column (failed
+fetches, absent metadata, undecodable media). A query that crashes the
+whole Spark job on one NULL row is a scale bug regardless of its happy
+path — the 100 TB run WILL contain that row. This module rebuilds the
+sf0.001 fixture with NULLs injected into the nullable columns on
+deterministic modular slices and re-runs the operators whose code
+paths touch those columns directly (including the three that a full
+178-query sweep caught crashing: banded range join under ANSI array
+indexing, binary resize on NULL payloads, BPE encode on NULL text).
+
+Contract: NULL in ⇒ NULL/dropped row out, never a task failure.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import queries_map
+
+SF = "/root/testdata/sf0.001"
+
+# Previously-crashing trio + a spread of operators over the same
+# nullable columns (text / value / event_type / lang / source).
+REGRESSION = [
+    "q_join_range_banded",  # ANSI [0] on empty band-filter array
+    "q_resize_payloads",    # bytes(None) / len(None) in the Arrow batch
+    "q_bpe_encode",         # None.split() in the Arrow batch
+    "q_filter",
+    "q_text_stats",
+    "q_dedup_exact",
+    "q_lang_id",
+    "q_token_count",
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sf_nulls")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT doc_id,
+                CASE WHEN doc_id % 10 = 7 THEN NULL ELSE text END AS text,
+                CASE WHEN doc_id % 13 = 5 THEN NULL ELSE lang END AS lang,
+                CASE WHEN doc_id % 11 = 3 THEN NULL ELSE source END AS source,
+                * EXCLUDE (doc_id, text, lang, source)
+            FROM read_parquet('{SF}/documents.parquet'))
+            TO '{out}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                CASE WHEN event_id % 10 = 7 THEN NULL ELSE value END AS value,
+                CASE WHEN event_id % 13 = 5 THEN NULL ELSE event_type END
+                    AS event_type)
+            FROM read_parquet('{SF}/events.parquet'))
+            TO '{out}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        con.execute(
+            f"""COPY (SELECT * FROM read_parquet('{SF}/{t}.parquet'))
+                TO '{out}/{t}.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize("name", REGRESSION)
+def test_query_survives_null_rows(spark, nulls_dir, name):
+    df = queries_map()[name](spark, nulls_dir)
+    assert df.count() >= 0  # materialize: the assertion is "no task failure"
+
+
+def test_band_lookup_null_and_out_of_band(spark):
+    """NULL values and out-of-band values both drop (inner-join
+    semantics), in-band rows keep their interval."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.bands import (
+        band_lookup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, -1.0), (4, 15.0)], "id long, v double"
+    )
+    got = band_lookup(df, "v", [(0.0, 10.0), (10.0, 20.0)]).orderBy("id").collect()
+    assert [(r.id, r.bucket_lo) for r in got] == [(1, 0.0), (4, 10.0)]
+
+
+def test_bpe_encode_null_text_rows(spark):
+    """NULL text ⇒ 0 tokens and NULL compression (no DIVIDE_BY_ZERO
+    under ANSI, no None.split crash)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.vocab import (
+        bpe_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in bpe_encode(df, [("a", "a")]).collect()}
+    assert rows[1].n_tokens == 3 and rows[1].n_bpe_tokens > 0
+    assert rows[2].n_tokens == 0 and rows[2].compression is None
+    assert rows[3].n_tokens == 0 and rows[3].compression is None
+
+
+def test_resize_payloads_null_payload(spark):
+    """NULL payloads pass through as NULL with NULL byte counts."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators import (
+        multimodal as M,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 100), (2, None)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in M.resize_payloads(df, target_bytes=8).collect()}
+    assert rows[1].new_bytes == 8 and rows[1].orig_bytes == 100
+    assert rows[2].payload is None and rows[2].orig_bytes is None
