@@ -240,3 +240,88 @@ def tfidf_cosine_pairs(
         .agg(F.round(F.sum("prod"), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: Sequence[str],
+    query_vec_id: int = 0,
+    candidates: int = 100,
+    rrf_k: int = 60,
+    top: int = 50,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher 2009): fuse a lexical BM25 ranking and a dense
+    embedding-cosine ranking of the same corpus for one query, scoring
+    each doc sum(1 / (rrf_k + rank_i)) over the lists it appears in —
+    the standard first-stage fusion of BM25 + vector retrievers ahead
+    of a reranker in RAG / training-data retrieval stacks.
+
+    Scale shape: each retriever's full ranking is never materialized —
+    both lists are cut to ``candidates`` rows by `orderBy().limit()`,
+    which Spark plans as TakeOrderedAndProject (per-partition partial
+    top-k + driver merge, NO global sort shuffle). Only the two
+    bounded candidate lists (≤ ``candidates`` rows each, a driver-side
+    literal) pass through the unpartitioned rank window and the
+    full-outer fuse join, so the post-retrieval stage is O(candidates)
+    regardless of corpus size. Ranks are assigned on (rounded score,
+    id) so the cut and the fusion are deterministic cross-engine.
+
+    Output: (doc_id, lex_rank, dense_rank, rrf, rank) — list ranks are
+    NULL for docs present in only one list, as the full-outer RRF
+    over the union of candidate lists implies.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import dot, with_norm
+
+    lex = (
+        bm25(docs, query_terms, k1=k1, b=b)
+        .select("doc_id", F.col("score").alias("lex_score"))
+        .orderBy(F.desc("lex_score"), "doc_id")
+        .limit(candidates)
+    )
+    lex = lex.withColumn(
+        "lex_rank",
+        F.row_number().over(Window.orderBy(F.desc("lex_score"), "doc_id")),
+    )
+
+    corpus = with_norm(emb)
+    qside = corpus.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    dense = (
+        corpus.crossJoin(F.broadcast(qside))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+            ).alias("dense_score"),
+        )
+        .orderBy(F.desc("dense_score"), "doc_id")
+        .limit(candidates)
+    )
+    dense = dense.withColumn(
+        "dense_rank",
+        F.row_number().over(Window.orderBy(F.desc("dense_score"), "doc_id")),
+    )
+
+    fused = lex.select("doc_id", "lex_rank").join(
+        dense.select("doc_id", "dense_rank"), "doc_id", "full_outer"
+    )
+    inv = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(rrf_k) + F.col(r)), F.lit(0.0)
+    )
+    fused = fused.withColumn(
+        "rrf", F.round(inv("lex_rank") + inv("dense_rank"), 6)
+    )
+    return (
+        fused.withColumn(
+            "rank", F.row_number().over(Window.orderBy(F.desc("rrf"), "doc_id"))
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(top)
+    )

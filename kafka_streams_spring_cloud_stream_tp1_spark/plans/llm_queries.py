@@ -1150,6 +1150,78 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_C, _RRF_K, _RRF_TOP, _RRF_QID = 100, 60, 50, 0
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS term
+        FROM documents),
+    f AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
+          WHERE term IN {_BM25_TERMS!r}
+          GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, avg(len({_TOKS})) AS avgdl
+              FROM documents),
+    lex0 AS (
+        SELECT doc_id,
+               round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * ({_BM25_K1} + 1))
+                     / (tf + {_BM25_K1}
+                        * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ), 4) AS lex_score
+        FROM f JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id),
+    lex AS (SELECT doc_id, row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                       AS lex_rank
+            FROM lex0 ORDER BY lex_score DESC, doc_id LIMIT {_RRF_C}),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+          WHERE vec_id = {_RRF_QID}),
+    den0 AS (SELECT vec_id AS doc_id,
+                    round(list_cosine_similarity(embedding::DOUBLE[], qv), 4)
+                        AS dense_score
+             FROM embeddings CROSS JOIN q),
+    den AS (SELECT doc_id, row_number() OVER (ORDER BY dense_score DESC, doc_id)
+                       AS dense_rank
+            FROM den0 ORDER BY dense_score DESC, doc_id LIMIT {_RRF_C}),
+    fused AS (
+        SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+               lex_rank, dense_rank,
+               round(coalesce(1::DOUBLE / ({_RRF_K} + lex_rank), 0)
+                     + coalesce(1::DOUBLE / ({_RRF_K} + dense_rank), 0), 6)
+                   AS rrf
+        FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+    SELECT doc_id, lex_rank, dense_rank, rrf,
+           row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-100 and embedding-cosine
+    dense top-100 for one query, fused by Reciprocal Rank Fusion
+    (score = Σ 1/(60 + rank_i)) — the standard first-stage fusion
+    ahead of a reranker. Both candidate lists are cut by
+    TakeOrderedAndProject (distributed partial top-k, no global sort
+    shuffle); only the two ≤100-row lists hit the rank windows and
+    the full-outer fuse. operators/retrieval.py::rrf_fusion."""
+    from ..operators.retrieval import rrf_fusion
+
+    return rrf_fusion(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        query_terms=list(_BM25_TERMS),
+        query_vec_id=_RRF_QID,
+        candidates=_RRF_C,
+        rrf_k=_RRF_K,
+        top=_RRF_TOP,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
 @query(
     "q_source_mixture",
     oracle=f"""

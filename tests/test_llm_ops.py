@@ -755,3 +755,53 @@ def test_compression_ratio_pins_zlib_reference(spark):
         assert out[doc_id]["n_compressed"] == len(zlib.compress(raw, 6))
     assert out[1]["ratio"] < out[2]["ratio"]  # repetition compresses harder
     assert out[3]["n_raw"] == 0 and out[4]["n_raw"] == 0
+
+
+def test_rrf_fusion_invariants(spark):
+    """RRF arithmetic and list semantics: a doc present in both
+    candidate lists scores 1/(k+r_lex) + 1/(k+r_dense); single-list
+    docs keep a NULL rank for the missing list and contribute 0 for
+    it; the fused order is rrf desc with doc_id tie-break."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.retrieval import (
+        rrf_fusion,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark hash window spark"),   # strong lexical hit
+            (1, "spark hash"),                # weaker lexical hit
+            (2, "nothing relevant here"),     # lexical miss
+            (3, "window"),                    # weak lexical hit
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # the query vector (query_vec_id=0)
+            (1, [0.9, 0.1]),
+            (2, [1.0, 0.01]),  # near-duplicate of the query direction
+            (3, [0.0, 1.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {
+        r.doc_id: r
+        for r in rrf_fusion(
+            docs, emb, ["spark", "hash", "window"], rrf_k=60, candidates=10, top=10
+        ).collect()
+    }
+    # doc 2: no lexical hit -> NULL lex_rank, dense contribution only
+    assert rows[2].lex_rank is None and rows[2].dense_rank is not None
+    assert rows[2].rrf == round(1.0 / (60 + rows[2].dense_rank), 6)
+    # doc 0: rank 1 dense (cosine 1.0 with itself); both contributions sum
+    assert rows[0].dense_rank == 1
+    assert rows[0].rrf == round(
+        1.0 / (60 + rows[0].lex_rank) + 1.0 / 61, 6
+    )
+    # fused ordering is total and rank is 1..n
+    ranked = sorted(rows.values(), key=lambda r: r.rank)
+    assert [r.rank for r in ranked] == list(range(1, len(ranked) + 1))
+    assert all(
+        (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)
+        for a, b in zip(ranked, ranked[1:])
+    )
