@@ -32,9 +32,17 @@ BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization (trim first so no empty edge tokens)."""
+    """Whitespace tokenization with NO empty tokens — split then drop
+    '' entries. The former trim-then-split form left phantom empty
+    tokens for text with non-space edge whitespace (trim strips only
+    spaces, so '\\t\\n' split to ['','']) and counted the empty string
+    as one token — polluting vocab/BPE/n-gram statistics on real web
+    text. This form matches Python's str.split() exactly, so the
+    Arrow-batched Python operators and the JVM expression agree on
+    every input; the DuckDB oracle macro applies the same
+    list_filter."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
 def word_ngrams_multiset(toks: Column, n: int) -> Column:

@@ -29,7 +29,7 @@ from .registry import query
 # DuckDB SQL fragments mirroring the Spark operators bit-for-bit
 # ---------------------------------------------------------------------------
 
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
 
 def _ngrams_sql(tok_expr: str, n: int) -> str:
@@ -697,7 +697,7 @@ def q_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared by the chunking query's oracle and the sequence-packing oracle
 _CHUNKS_SQL = r"""
-    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
     s AS (SELECT doc_id, w,
                  unnest(range(0, greatest(len(w) - 8, 1), 56)) AS start
           FROM t)
@@ -1378,7 +1378,7 @@ def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_idf_rarity",
     oracle="""
     WITH pairs AS (
-        SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+        SELECT DISTINCT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS term
         FROM documents),
     dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
     n AS (SELECT count(*) AS n_docs FROM documents)
@@ -1434,7 +1434,7 @@ def q_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_source_kl",
     oracle="""
-    WITH tok AS (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
                  FROM documents),
     st AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
     ct AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY 1),
@@ -1498,7 +1498,7 @@ _TFIDF_COS_T, _TFIDF_COS_MAXDF = 0.85, 400
 @query(
     "q_tfidf_cosine_pairs",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+    WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS term
                  FROM documents),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
