@@ -142,3 +142,25 @@ def triangle_counts(
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def degree_distribution(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Degree histogram of an undirected edge list: (deg, n_nodes) —
+    the connectivity-health diagnostic for the near-dup graph (a long
+    high-degree tail means viral boilerplate families that will chain
+    under transitive closure; `triangle_counts` tells you whether
+    those families are coherent, this tells you how big they are
+    BEFORE any capping).
+
+    Two map-side-combined aggregations: union of endpoints → count by
+    node (shuffle keyed on node id), then count by degree (shuffle
+    carries one row per distinct degree — tiny). No joins, no windows;
+    at 100 TB the node-keyed aggregate is the same shape as any word
+    count."""
+    nodes = pairs.select(F.col(a).alias("node")).unionAll(
+        pairs.select(F.col(b).alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

@@ -325,3 +325,131 @@ def rrf_fusion(
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(top)
     )
+
+
+def mmr_select(
+    emb: DataFrame,
+    n_queries: int = 1,
+    candidates: int = 30,
+    k: int = 10,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): for each query, greedily pick ``k`` of the top
+    ``candidates`` most-relevant vectors, at each step maximizing
+    lam·rel(d) − (1−lam)·max_{s∈selected} sim(d, s) — relevance
+    traded against redundancy with what's already picked. The
+    diversity stage that follows first-stage retrieval (e.g. after
+    `rrf_fusion`) in RAG and eval-set construction.
+
+    Scale shape: the greedy loop is inherently sequential in ``k``,
+    so it runs ONLY over bounded per-query state: relevance top-C via
+    a rank window (WindowGroupLimit) and the C² candidate-pair cosine
+    matrix via a query-local self-join — both O(candidates),
+    driver-side literals. The loop itself executes inside ONE
+    Arrow-cogrouped applyInPandas task per query, so reranking
+    parallelizes across queries while each query's state stays tiny.
+    Nothing is collected to the driver.
+
+    Determinism / oracle parity: rel and pairwise sims are rounded to
+    4 before the greedy loop; inside it the score is the raw-double
+    expression lam·rel − (1−lam)·maxsim with argmax ties broken on
+    id — IEEE arithmetic over identical rounded inputs, so a DuckDB
+    recursive CTE replays the selection exactly. The reported mmr
+    rounds to 6 (inputs have ≤4 decimals, so the 6-digit grid is
+    never at a rounding tie).
+
+    Output: (query_id, step, doc_id, mmr), step = 1..k in selection
+    order.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import dot, with_norm
+
+    corpus = with_norm(emb, vec_col)
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("id"),
+        F.round(
+            dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+        ).alias("rel"),
+        "vec",
+        "norm",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("id"))
+    cand = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= candidates
+    )
+    a = cand.select("query_id", F.col("id").alias("ai"), "vec", "norm")
+    # rename every column on the right side of the query-local
+    # self-join (including the key) — same-lineage columns would
+    # otherwise trip Spark's ambiguous-self-join analyzer
+    b = cand.select(
+        F.col("query_id").alias("qb"),
+        F.col("id").alias("bi"),
+        F.col("vec").alias("bvec"),
+        F.col("norm").alias("bnorm"),
+    )
+    sims = (
+        a.join(b, a["query_id"] == b["qb"])
+        .filter(F.col("ai") != F.col("bi"))
+        .select(
+            "qb",
+            "ai",
+            "bi",
+            F.round(
+                dot(F.col("vec"), F.col("bvec")) / (F.col("norm") * F.col("bnorm")), 4
+            ).alias("s"),
+        )
+    )
+
+    def greedy(cand_pdf, sims_pdf):
+        import pandas as pd
+
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                {"query_id": [], "step": [], "doc_id": [], "mmr": []}
+            )
+        qid = int(cand_pdf["query_id"].iloc[0])
+        rel = dict(zip(cand_pdf["id"].astype(int), cand_pdf["rel"].astype(float)))
+        sim: dict[tuple[int, int], float] = {
+            (int(x), int(y)): float(v)
+            for x, y, v in zip(sims_pdf["ai"], sims_pdf["bi"], sims_pdf["s"])
+        }
+        selected: list[int] = []
+        out = []
+        for step in range(1, min(k, len(rel)) + 1):
+            best_id, best_mmr = None, None
+            for cid in rel:
+                if cid in selected:
+                    continue
+                ms = max((sim[(cid, s)] for s in selected), default=0.0)
+                score = lam * rel[cid] - (1.0 - lam) * ms
+                if (
+                    best_id is None
+                    or score > best_mmr
+                    or (score == best_mmr and cid < best_id)
+                ):
+                    best_id, best_mmr = cid, score
+            selected.append(best_id)
+            out.append((qid, step, best_id, round(best_mmr, 6)))
+        return pd.DataFrame(
+            out, columns=["query_id", "step", "doc_id", "mmr"]
+        )
+
+    return (
+        cand.select("query_id", "id", "rel")
+        .groupBy("query_id")
+        .cogroup(sims.groupBy("qb"))  # keys match positionally; the
+        # renamed right-side key keeps the same-lineage self-join
+        # unambiguous for the analyzer
+        .applyInPandas(greedy, "query_id long, step int, doc_id long, mmr double")
+    )

@@ -1150,6 +1150,67 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_C, _MMR_K, _MMR_LAM = 30, 10, 0.5
+
+
+@query(
+    "q_mmr_select",
+    oracle=f"""
+    WITH RECURSIVE
+    cand AS (
+        SELECT vec_id AS id, rel, v FROM (
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4)
+                       AS rel,
+                   e.embedding::DOUBLE[] AS v
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                        WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0)
+        ORDER BY rel DESC, vec_id LIMIT {_MMR_C}),
+    sims AS (
+        SELECT a.id AS ai, b.id AS bi,
+               round(list_cosine_similarity(a.v, b.v), 4) AS s
+        FROM cand a JOIN cand b ON a.id <> b.id),
+    sel(step, id, mmr, chosen) AS (
+        SELECT 1, t.id, t.mmr, [t.id] FROM (
+            SELECT id, {_MMR_LAM} * rel - {1 - _MMR_LAM} * 0.0 AS mmr FROM cand
+            ORDER BY mmr DESC, id LIMIT 1) t
+        UNION ALL
+        SELECT sel.step + 1, nxt.id, nxt.mmr, list_append(sel.chosen, nxt.id)
+        FROM sel CROSS JOIN LATERAL (
+            SELECT c.id,
+                   {_MMR_LAM} * c.rel - {1 - _MMR_LAM} * coalesce(
+                       (SELECT max(s.s) FROM sims s
+                        WHERE s.ai = c.id
+                          AND list_contains(sel.chosen, s.bi)), 0.0) AS mmr
+            FROM cand c WHERE NOT list_contains(sel.chosen, c.id)
+            ORDER BY mmr DESC, c.id LIMIT 1) nxt
+        WHERE sel.step < {_MMR_K})
+    SELECT 0::BIGINT AS query_id, step::INT AS step, id AS doc_id,
+           round(mmr, 6) AS mmr
+    FROM sel ORDER BY step
+    """,
+)
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-rank of the dense
+    top-30 for one query: greedy 10-step selection trading relevance
+    against redundancy (λ=0.5). The greedy loop runs only over the
+    bounded per-query candidate state inside one Arrow cogroup task
+    (parallel across queries at fleet scale); the DuckDB oracle
+    replays the selection with a recursive CTE over the identically
+    rounded rel/sim inputs. operators/retrieval.py::mmr_select."""
+    from ..operators.retrieval import mmr_select
+
+    return mmr_select(
+        load_table(spark, sf_dir, "embeddings"),
+        n_queries=1,
+        candidates=_MMR_C,
+        k=_MMR_K,
+        lam=_MMR_LAM,
+    )
+
+
 _RRF_C, _RRF_K, _RRF_TOP, _RRF_QID = 100, 60, 50, 0
 
 
@@ -2476,6 +2537,30 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_dedup_simhash_hamming(spark, sf_dir)
     return triangle_counts(pairs, a="doc_a", b="doc_b", max_degree=_TRI_MAX_DEG)
+
+
+@query(
+    "q_degree_distribution",
+    oracle=f"""
+    WITH pairs AS ({_simhash_hamming_sql()}),
+    d AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT doc_a AS x FROM pairs UNION ALL SELECT doc_b FROM pairs)
+          GROUP BY x)
+    SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY deg
+    """,
+)
+def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the SimHash near-dup graph — the
+    connectivity-health read (how large dup families are before any
+    degree capping) that pairs with `q_triangle_count` (how coherent
+    they are) and `q_dup_cluster_profile` (their component sizes).
+    Two map-side-combined aggregations keyed on node then degree; no
+    joins or windows past the pair derivation.
+    operators/graph.py::degree_distribution."""
+    from ..operators.graph import degree_distribution
+
+    return degree_distribution(q_dedup_simhash_hamming(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -805,3 +805,61 @@ def test_rrf_fusion_invariants(spark):
         (a.rrf, -a.doc_id) >= (b.rrf, -b.doc_id)
         for a, b in zip(ranked, ranked[1:])
     )
+
+
+def test_mmr_select_prefers_diverse_over_redundant(spark):
+    """MMR semantics pinned on a hand-computable corpus: after taking
+    the most-relevant candidate, the greedy step must prefer a
+    less-relevant but diverse candidate over a near-duplicate of the
+    first pick; runs per-query in parallel cogroups."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.retrieval import (
+        mmr_select,
+    )
+
+    # Two queries in disjoint 3-D subspaces of a 6-D space. Per block:
+    # A (rel .8) > B (rel .7915, but cosine .9999 to A) > C (rel .6,
+    # orthogonal to A). Step 2 scores at lam=.5: C = .3, cross-block
+    # junk = 0, B = -.104 — so the diverse C must beat the
+    # higher-relevance near-dup B strictly.
+    def pad(v, q):
+        return [0.0] * (3 * q) + v + [0.0] * (3 * (1 - q))
+
+    rows = []
+    for q in (0, 1):
+        base = 10 * (q + 1)
+        rows += [
+            (q, pad([0.8, 0.6, 0.0], q)),                 # the query vector
+            (base + 0, pad([1.0, 0.0, 0.0], q)),          # A: most relevant
+            (base + 1, pad([0.9999, -0.0141, 0.0], q)),   # B: near-dup of A
+            (base + 2, pad([0.0, 1.0, 0.0], q)),          # C: diverse
+        ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = mmr_select(emb, n_queries=2, candidates=10, k=2, lam=0.5)
+    got = {(r.query_id, r.step): r.doc_id for r in out.collect()}
+    for q in (0, 1):
+        base = 10 * (q + 1)
+        assert got[(q, 1)] == base + 0      # argmax relevance first
+        assert got[(q, 2)] == base + 2      # diverse beats near-dup
+    # selected ids must be distinct within each query
+    per_q = {}
+    for (q, _), d in got.items():
+        per_q.setdefault(q, set()).add(d)
+    assert all(len(s) == 2 for s in per_q.values())
+
+
+@pytest.mark.parametrize("name", ["q_dedup_embedding_cosine", "q_mmr_select"])
+def test_cogroup_queries_survive_output_pruning(spark, name):
+    """Regression: cogroup children that shared attribute lineage hit
+    a Catalyst dedup/pruning misbind — plans that prune the cogroup
+    output (`.count()`) sent the right group with only its key column
+    (worker KeyError), and in some plan contexts `.collect()` silently
+    returned wrong rows. The right side now aliases every column.
+    Pin BOTH actions and their agreement."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
+        queries_map,
+    )
+
+    builder = queries_map()[name]
+    n_count = builder(spark, "/root/testdata/sf0.001").count()
+    n_collect = len(builder(spark, "/root/testdata/sf0.001").collect())
+    assert n_count == n_collect and n_count > 0
