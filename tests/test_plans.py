@@ -711,3 +711,37 @@ def test_power_iteration_single_corpus_scan(spark):
     )
     assert cov_plan.count("Scan parquet") == 1, cov_plan
     assert "partial_covar_pop" in cov_plan, cov_plan
+
+
+def test_rrf_fusion_bounded_topk_no_global_sort(spark):
+    """Both retriever lists must be cut by TakeOrderedAndProject
+    (distributed partial top-k), never a global sort shuffle; the
+    final fuse output is itself a TakeOrderedAndProject. The only
+    nested-loop join allowed is the broadcast of the 1-row query
+    vector."""
+    plan = _plan(spark, "q_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject(limit=100") == 2, plan
+    assert "TakeOrderedAndProject(limit=50" in plan, plan
+    assert ", true, 0" not in plan, f"global sort in plan:\n{plan}"
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mmr_select_cogroup_and_keyed_self_join(spark):
+    """The greedy loop must run as ONE Arrow cogroup (per query);
+    the candidate pair matrix must come from a join keyed on the
+    query id — never a cartesian across queries — and the candidate
+    cut must be a rank window, not a global sort."""
+    plan = _plan(spark, "q_mmr_select")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ", true, 0" not in plan, f"global sort in plan:\n{plan}"
+
+
+def test_degree_distribution_aggregates_only(spark):
+    """Past the pair derivation the degree histogram must be two
+    hash aggregates — no windows, no extra joins on the pair
+    stream (the pair pipeline's own joins are bounded and tested
+    with q_dedup_simhash_hamming)."""
+    plan = _plan(spark, "q_degree_distribution")
+    assert "Window" not in plan, plan
+    assert ", true, 0" not in plan, f"global sort in plan:\n{plan}"
