@@ -121,6 +121,9 @@ _FRONT = [
     "q_session_window",
     # ---- slot 51+: past the window; round-6 queue head = new
     # round-5 registrations, then the remaining 12 r02-green queries
+    "q_rrf_fusion",
+    "q_mmr_select",
+    "q_degree_distribution",
     "q_ewma_segmented",
     "q_embedding_covariance",
     "q_gopher_filter",

@@ -3287,7 +3287,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_tot * col_tot / CAST(grand AS DOUBLE) AS e
         FROM obs JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n)
     SELECT CAST(count(*) AS BIGINT) AS n_cells,
-           sum((o - e) * (o - e) / e) AS chi2
+           round(sum((o - e) * (o - e) / e), 6) AS chi2
     FROM cells
     """,
 )
@@ -3296,7 +3296,10 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contingency-table statistic behind corpus-composition drift
     alarms ("did the crawl mix shift?"). Expected counts come from
     exact integer marginals (row_tot·col_tot/N evaluates the same
-    IEEE expression on both engines), so chi² ships as a raw double.
+    IEEE expression on both engines) — but the FINAL sum over cells
+    is partition-order-dependent in Spark, so chi² is rounded to 6
+    before reporting (the partition-invariance sweep caught the raw
+    sum varying in the last ulp between shuffle-partition settings).
     One fact aggregate to the |lang|×|source| table; the marginals
     re-aggregate THAT (grain²-sized) and broadcast back."""
     docs = load_table(spark, sf_dir, "documents")
@@ -3312,7 +3315,9 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cells.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias("chi2"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 6
+        ).alias("chi2"),
     )
 
 

@@ -6,6 +6,8 @@ scale even though it's 'correct'."""
 
 from __future__ import annotations
 
+import pytest
+
 from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
 
 from .conftest import SF_SMOKE
@@ -745,3 +747,32 @@ def test_degree_distribution_aggregates_only(spark):
     plan = _plan(spark, "q_degree_distribution")
     assert "Window" not in plan, plan
     assert ", true, 0" not in plan, f"global sort in plan:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_chisq_independence",  # the sweep's one catch: unrounded sum
+        "q_agg_stats",
+        "q_event_markov",
+        "q_tfidf_topk",
+        "q_rrf_fusion",
+        "q_kmv_distinct",
+    ],
+)
+def test_partition_count_invariance(spark, name):
+    """Results must not depend on spark.sql.shuffle.partitions — the
+    1000-executor invariant. A full-registry sweep at sf0.01 (8 vs 37
+    partitions) found exactly one violation (q_chisq_independence's
+    unrounded chi² sum varied in the last ulp with partition order —
+    now rounded per the report-rounding convention); this subset pins
+    the property for representative shapes."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        a = sorted(map(repr, queries_map()[name](spark, SF_SMOKE).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        b = sorted(map(repr, queries_map()[name](spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
