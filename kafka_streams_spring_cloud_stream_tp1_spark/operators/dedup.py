@@ -702,3 +702,69 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col("id").alias(id_col), status.alias("status"))
+
+
+def snm_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 5,
+    block_chars: int = 2,
+    key_chars: int = 24,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernández & Stolfo's
+    merge/purge): sort documents by a normalized key, compare each doc
+    only against its ``window``−1 successors, verify with word-set
+    Jaccard ≥ ``threshold``. The classic alternative blocking family
+    to MinHash/SimHash: hash blocking scatters typo-class near-dups
+    across buckets, while lexicographic sorting keeps shared-prefix
+    variants adjacent — O(n·window) comparisons total.
+
+    Scale shape: the sort is NOT global — docs hash-partition by the
+    key's ``block_chars`` prefix and sort within the block, so the
+    plan is one keyed exchange + in-partition sort + ``window``−1
+    lead() projections (no join at all; the candidate's token array
+    rides the window frame). Pairs straddling a block boundary are
+    dropped — the standard blocked-SNM trade, recovered in practice
+    by a second pass on a rotated key. Prefix-skewed corpora (every
+    doc starting 'the …') concentrate in few blocks; lengthen
+    ``block_chars`` or key on a normalized infix to re-spread.
+
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4
+    so the threshold cut is stable cross-engine."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""), 1, key_chars
+    )
+    base = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        key.alias("k"),
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    ).withColumn("blk", F.substring(F.col("k"), 1, block_chars))
+    w = Window.partitionBy("blk").orderBy("k", "id")
+    shifted = None
+    for i in range(1, window):
+        s = base.select(
+            "id",
+            "toks",
+            F.lead("id", i).over(w).alias("nid"),
+            F.lead("toks", i).over(w).alias("ntoks"),
+        ).filter(F.col("nid").isNotNull())
+        shifted = s if shifted is None else shifted.unionAll(s)
+    jac = F.round(
+        F.size(F.array_intersect("toks", "ntoks"))
+        / F.size(F.array_union("toks", "ntoks")).cast("double"),
+        4,
+    )
+    return (
+        shifted.select(
+            F.least("id", "nid").alias("doc_a"),
+            F.greatest("id", "nid").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

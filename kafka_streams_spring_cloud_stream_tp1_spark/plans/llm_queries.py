@@ -1150,6 +1150,57 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SNM_W, _SNM_BLK, _SNM_KEY, _SNM_T = 5, 2, 24, 0.5
+_SNM_LEADS = "\n    UNION ALL\n".join(
+    f"""    SELECT id, toks,
+           lead(id, {i}) OVER (PARTITION BY blk ORDER BY k, id) AS nid,
+           lead(toks, {i}) OVER (PARTITION BY blk ORDER BY k, id) AS ntoks
+    FROM b"""
+    for i in range(1, _SNM_W)
+)
+
+
+@query(
+    "q_dedup_snm",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id AS id,
+               substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                      1, {_SNM_KEY}) AS k,
+               list_distinct({_TOKS}) AS toks
+        FROM documents),
+    b AS (SELECT *, substr(k, 1, {_SNM_BLK}) AS blk FROM base),
+    sh AS (
+{_SNM_LEADS}
+    ),
+    cand AS (
+        SELECT least(id, nid) AS doc_a, greatest(id, nid) AS doc_b,
+               round(len(list_intersect(toks, ntoks))
+                     / CAST(len(list_distinct(list_concat(toks, ntoks)))
+                            AS DOUBLE), 4) AS jaccard
+        FROM sh WHERE nid IS NOT NULL)
+    SELECT doc_a, doc_b, jaccard FROM cand WHERE jaccard >= {_SNM_T}
+    """,
+)
+def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (merge/purge) near-dup candidates: docs
+    sorted by a normalized 24-char key within 2-char prefix blocks,
+    each compared to its 4 successors, verified by word-set Jaccard
+    ≥ 0.5. The blocking family that catches shared-prefix/typo
+    near-dups hash blocking scatters; no join in the plan — the
+    candidate's token array rides window lead()s.
+    operators/dedup.py::snm_pairs."""
+    from ..operators.dedup import snm_pairs
+
+    return snm_pairs(
+        load_table(spark, sf_dir, "documents"),
+        window=_SNM_W,
+        block_chars=_SNM_BLK,
+        key_chars=_SNM_KEY,
+        threshold=_SNM_T,
+    )
+
+
 _MMR_C, _MMR_K, _MMR_LAM = 30, 10, 0.5
 
 

@@ -124,6 +124,7 @@ _FRONT = [
     "q_rrf_fusion",
     "q_mmr_select",
     "q_degree_distribution",
+    "q_dedup_snm",
     "q_ewma_segmented",
     "q_embedding_covariance",
     "q_gopher_filter",

@@ -863,3 +863,30 @@ def test_cogroup_queries_survive_output_pruning(spark, name):
     n_count = builder(spark, "/root/testdata/sf0.001").count()
     n_collect = len(builder(spark, "/root/testdata/sf0.001").collect())
     assert n_count == n_collect and n_count > 0
+
+
+def test_snm_pairs_window_and_threshold(spark):
+    """Sorted-neighborhood semantics: shared-prefix near-dups sort
+    adjacent and pair; dissimilar docs in the same block don't; output
+    pairs are (doc_a < doc_b, jaccard >= threshold) and candidate
+    volume is bounded by n*(window-1)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        snm_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),      # near-dup of 1 (j=4/6)
+            (3, "alpha omega psi chi phi"),           # same block, dissimilar
+            (4, "zz totally different words here"),   # other block
+        ],
+        "doc_id long, text string",
+    )
+    out = snm_pairs(docs, window=3, threshold=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out}
+    assert (1, 2) in pairs and abs(pairs[(1, 2)] - round(4 / 6, 4)) < 1e-9
+    assert all(a < b for a, b in pairs)
+    assert all(j >= 0.5 for j in pairs.values())
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert len(out) <= 4 * 2  # n * (window-1) hard bound
