@@ -608,3 +608,92 @@ def compression_ratio(df: DataFrame, text_col: str = "text", level: int = 6) -> 
     return fan_out(df).select("doc_id", text_col).mapInPandas(
         batches, "doc_id long, n_raw long, n_compressed long, ratio double"
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking dup profile (the LBFS/FastCDC family):
+    split each document at positions where the 60-bit hash of the
+    trailing ``gram`` chars ≡ 0 (mod ``divisor``) — boundaries depend
+    only on LOCAL content, so an insertion early in a document shifts
+    NO later chunk boundary, unlike fixed-stride chunking where one
+    added word re-keys every subsequent chunk. Chunk hashes are then
+    counted corpus-wide: the shift-robust storage-dedup signal.
+
+    Per doc: one codegen'd projection evaluates the boundary filter
+    over a char-position sequence (O(len) hash evaluations, all
+    JVM-side), slices chunks between consecutive cutpoints, and
+    explodes (doc, chunk_hash) rows; a duplicated-hash inventory via
+    map-side-combined groupBy joins back (same no-hot-reducer shape
+    as boilerplate_fraction). Expected chunk length ≈ ``divisor``
+    chars. Empty/NULL docs report 0 chunks.
+
+    Output: (doc_id, n_chunks, n_dup_chunks, dup_frac) where a dup
+    chunk's content hash appears >1 time in the corpus.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    L = F.length(t)
+    # boundary positions: gram ends at p, covers [p-gram+1, p]
+    bounds = F.when(
+        L >= gram,
+        F.filter(
+            F.sequence(F.lit(gram), L),
+            lambda p: xhash(t.substr(p - gram + 1, F.lit(gram))) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    cuts = F.array_distinct(
+        F.concat(F.array(F.lit(0).cast("bigint")), bounds, F.array(L.cast("bigint")))
+    )
+    base = fan_out(df).select(
+        F.col(id_col).alias("doc_id"), t.alias("__t"), cuts.alias("__c")
+    )
+    spans = base.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(F.col("__c"), 1, F.size("__c") - 1),
+                F.slice(F.col("__c"), 2, F.size("__c") - 1),
+            )
+        ).alias("idx", "pair"),
+        "__t",
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.md5(
+            F.col("__t").substr(
+                F.col("pair")["0"].cast("int") + 1,
+                (F.col("pair")["1"] - F.col("pair")["0"]).cast("int"),
+            )
+        ).alias("h"),
+    )
+    dup_inventory = (
+        chunks.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(F.col("cnt") > 1)
+    )
+    flagged = chunks.join(F.broadcast(dup_inventory), "h", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("cnt").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+    )
+    # docs with zero chunks (empty text) still get a row
+    all_docs = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.when(
+                F.coalesce("n_chunks", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_dup_chunks") / F.col("n_chunks").cast("double"), 4
+                ),
+            ).alias("dup_frac"),
+        )
+    )

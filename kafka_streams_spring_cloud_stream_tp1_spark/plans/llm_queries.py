@@ -1150,6 +1150,62 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_G, _CDC_D = 8, 64
+
+
+@query(
+    "q_cdc_chunks",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, coalesce(text, '') AS t,
+               length(coalesce(text, '')) AS L
+        FROM documents),
+    cuts AS (
+        SELECT doc_id, t,
+               list_sort(list_distinct(list_concat(list_concat(
+                   [0::BIGINT],
+                   CASE WHEN L >= {_CDC_G} THEN
+                        list_filter(range({_CDC_G}, L + 1), p ->
+                            CAST('0x' || substr(md5(substr(t,
+                                (p - {_CDC_G - 1})::INT, {_CDC_G})), 1, 15)
+                                AS BIGINT) % {_CDC_D} = 0)
+                        ELSE []::BIGINT[] END),
+                   [L::BIGINT]))) AS c
+        FROM d),
+    ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(c)), i ->
+                   md5(substr(t, (c[i] + 1)::INT, (c[i+1] - c[i])::INT)))) AS h
+        FROM cuts),
+    inv AS (SELECT h, count(*) AS cnt FROM ch GROUP BY h HAVING count(*) > 1),
+    per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN cnt IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks
+        FROM ch LEFT JOIN inv ON ch.h = inv.h GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_chunks, 0) AS n_chunks,
+           coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+           CASE WHEN coalesce(n_chunks, 0) > 0
+                THEN round(n_dup_chunks / CAST(n_chunks AS DOUBLE), 4)
+           END AS dup_frac
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dup profile (LBFS/FastCDC family):
+    chunk boundaries where the rolling 8-gram hash ≡ 0 (mod 64) —
+    local-content boundaries, so early insertions shift NO later
+    chunk, unlike fixed-stride chunking; chunk hashes counted
+    corpus-wide via the duplicated-inventory join (no hot-reducer
+    window). operators/text.py::cdc_chunk_stats."""
+    from ..operators.text import cdc_chunk_stats
+
+    return cdc_chunk_stats(
+        load_table(spark, sf_dir, "documents"), gram=_CDC_G, divisor=_CDC_D
+    )
+
+
 _SNM_W, _SNM_BLK, _SNM_KEY, _SNM_T = 5, 2, 24, 0.5
 _SNM_LEADS = "\n    UNION ALL\n".join(
     f"""    SELECT id, toks,

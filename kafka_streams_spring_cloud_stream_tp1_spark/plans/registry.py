@@ -125,6 +125,7 @@ _FRONT = [
     "q_mmr_select",
     "q_degree_distribution",
     "q_dedup_snm",
+    "q_cdc_chunks",
     "q_ewma_segmented",
     "q_embedding_covariance",
     "q_gopher_filter",

@@ -890,3 +890,34 @@ def test_snm_pairs_window_and_threshold(spark):
     assert all(j >= 0.5 for j in pairs.values())
     assert (1, 3) not in pairs and (2, 3) not in pairs
     assert len(out) <= 4 * 2  # n * (window-1) hard bound
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The property that justifies content-defined over fixed-stride
+    chunking: prepending text to a document changes only the chunks
+    up to the first unchanged boundary — most chunk hashes survive,
+    so the corpus-wide dup counter still links the shifted copy to
+    the original. With fixed-stride chunking every chunk after the
+    insertion re-keys."""
+    import hashlib
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        cdc_chunk_stats,
+    )
+
+    base_text = " ".join(f"w{i:04d} token filler" for i in range(120))  # ~2 KB
+    shifted = "PREPENDED INSERT " + base_text
+    docs = spark.createDataFrame(
+        [(1, base_text), (2, shifted)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in cdc_chunk_stats(docs).collect()}
+    # the two docs must share most chunks: each doc's dup fraction is
+    # high because nearly all of its chunks also exist in the other
+    assert rows[1].n_chunks > 5
+    assert rows[1].dup_frac >= 0.7, rows[1]
+    assert rows[2].dup_frac >= 0.7, rows[2]
+    # empty + NULL contract
+    edge = spark.createDataFrame([(3, ""), (4, None)], "doc_id long, text string")
+    erows = {r.doc_id: r for r in cdc_chunk_stats(edge).collect()}
+    assert erows[3].n_chunks == 0 and erows[3].dup_frac is None
+    assert erows[4].n_chunks == 0 and erows[4].dup_frac is None
