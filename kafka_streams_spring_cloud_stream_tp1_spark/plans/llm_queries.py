@@ -241,9 +241,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-trigram Jaccard ≥ 0.8 — exact, via
     PPJoin-style prefix+length filtering (operators/dedup.py): only
     rarest-prefix shingles enter the candidate join, and size-
-    incompatible pairs are pruned inside the join condition."""
-    return D.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=_JACCARD_N, threshold=_JACCARD_T
+    incompatible pairs are pruned inside the join condition.
+    Materialized once per session via plans/shared.py — four other
+    registry queries ride this pair table."""
+    from .shared import shared_df
+
+    return shared_df(
+        spark,
+        sf_dir,
+        "jaccard_pairs",
+        lambda: D.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), n=_JACCARD_N, threshold=_JACCARD_T
+        ),
     )
 
 
@@ -395,9 +404,19 @@ def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup pairs (distance ≤ 1) via
     pigeonhole segment blocking (operators/dedup.py) — the oracle
     verifies the blocked plan against the brute-force O(n²) pair scan
-    it avoids."""
-    return D.simhash_hamming_pairs(
-        load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS, max_distance=_HAMMING_D
+    it avoids. Materialized once per session via plans/shared.py —
+    the triangle and degree queries ride this pair table."""
+    from .shared import shared_df
+
+    return shared_df(
+        spark,
+        sf_dir,
+        "simhash_pairs",
+        lambda: D.simhash_hamming_pairs(
+            load_table(spark, sf_dir, "documents"),
+            bits=_SIMHASH_BITS,
+            max_distance=_HAMMING_D,
+        ),
     )
 
 
