@@ -135,6 +135,45 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH m AS (
+        SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM ({_lang_sql()}) p
+        GROUP BY labeled_lang, pred_lang)
+    SELECT labeled_lang, pred_lang, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY labeled_lang) AS DOUBLE),
+                 4) AS frac_of_labeled
+    FROM m
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the classifier-eval query every
+    pipeline runs before trusting a heuristic gate — ground-truth
+    `lang` vs `with_lang_id`'s prediction, with each cell's share of
+    its true-language row mass. One scan + a |langs|²-bounded
+    aggregate; the share window partitions the tiny matrix by
+    labeled_lang. Oracle replays the full prediction pipeline inside
+    the aggregate."""
+    from pyspark.sql import Window
+
+    m = (
+        T.with_lang_id(load_table(spark, sf_dir, "documents"))
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return m.select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 4).alias(
+            "frac_of_labeled"
+        ),
+    )
+
+
+@query(
     "q_repetition_stats",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

@@ -126,6 +126,7 @@ _FRONT = [
     "q_degree_distribution",
     "q_dedup_snm",
     "q_cdc_chunks",
+    "q_lang_confusion",
     "q_ewma_segmented",
     "q_embedding_covariance",
     "q_gopher_filter",
