@@ -127,6 +127,7 @@ _FRONT = [
     "q_dedup_snm",
     "q_cdc_chunks",
     "q_lang_confusion",
+    "q_seasonal_profile",
     "q_ewma_segmented",
     "q_embedding_covariance",
     "q_gopher_filter",

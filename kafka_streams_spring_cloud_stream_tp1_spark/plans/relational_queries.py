@@ -2887,6 +2887,56 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_seasonal_profile",
+    oracle="""
+    WITH cell AS (
+        SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value) / CAST(count(*) AS DOUBLE), 4) AS avg_value
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_cells FROM cell)
+    SELECT dow, hr, n_events, avg_value,
+           round(n_events * n_cells / CAST(total AS DOUBLE), 4) AS seasonal_idx
+    FROM cell CROSS JOIN tot
+    """,
+)
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event volume and mean value per
+    (day-of-week, hour-of-day) cell, plus the multiplicative seasonal
+    index (cell volume vs the uniform expectation) — the traffic-shape
+    read behind capacity planning and anomaly baselining. The index
+    is exact-integer arithmetic (n·n_cells/total) so the double is
+    bit-identical cross-engine (the q_anomaly_zscore moment trick);
+    the mean value follows the round-4 report convention. One
+    168-cell aggregate + a broadcast 1-row total. Note Spark
+    dayofweek() is 1-7 Sunday-first while DuckDB's is 0-6 — the
+    oracle adds 1."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value") / F.count(F.lit(1)).cast("double"), 4).alias(
+            "avg_value"
+        ),
+    )
+    tot = cell.agg(
+        F.sum("n_events").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hr",
+        "n_events",
+        "avg_value",
+        F.round(
+            F.col("n_events") * F.col("n_cells") / F.col("total").cast("double"), 4
+        ).alias("seasonal_idx"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-3 third batch: entity resolution, YoY growth, normalization,
 # Z-order clustering

@@ -352,9 +352,11 @@ def test_registry_rotation_staleness_bound():
     cannot satisfy it. The achievable invariant: every oracle-backed
     query must be (a) checked in one of the last ⌈N/50⌉ − 1 driver
     CORRECTNESS rounds, (b) in the upcoming window (first 50), or
-    (c) queued at the head of the next round's window (slots 51-70).
-    Anything past that means a query could drift a full cycle plus a
-    round without a driver row — a schedule bug, not jitter."""
+    (c) queued inside the NEXT round's window (slots 51-100 — the
+    driver checks 50 per round, so everything in that span gets its
+    row next round). Anything past that means a query could drift a
+    full cycle plus a round without a driver row — a schedule bug,
+    not jitter."""
     import glob
     import json
     import math
@@ -377,12 +379,12 @@ def test_registry_rotation_staleness_bound():
             checked_recently |= set(json.load(fh))
     covered = checked_recently | set(names[:50])
     leftover = oracle - covered
-    queue_head = set(names[50:70])
+    queue_head = set(names[50:100])
     stragglers = leftover - queue_head
     assert not stragglers, (
         f"oracle-backed queries neither driver-checked in the last "
-        f"{lookback} rounds, in the window, nor at the round-ahead queue "
-        f"head (slots 51-70): {sorted(stragglers)}"
+        f"{lookback} rounds, in the window, nor inside the next round's "
+        f"window (slots 51-100): {sorted(stragglers)}"
     )
 
 
