@@ -96,3 +96,40 @@ def test_empty_corpus_robustness(spark, tmp_path_factory):
         except Exception as ex:
             crashes.append((name, repr(ex)[:80]))
     assert not crashes, f"queries crashed on an empty corpus: {crashes}"
+
+
+def test_harness_discriminates_drift(spark, duck):
+    """The gate is only as good as its ability to FAIL: a row dropped,
+    a value perturbed, or a column renamed must each break
+    compare_query. Guards against silently-vacuous oracles (e.g. a
+    canonicalizer bug that hashes everything equal)."""
+    spec = QUERIES["q_filter"]
+    sdf = spec.builder(spark, SF_SMOKE)
+    num_col = next(
+        f.name for f in sdf.schema.fields if f.dataType.typeName() in
+        ("long", "integer", "double")
+    )
+
+    with pytest.raises(AssertionError):  # row drift
+        compare_query(
+            spark, duck, lambda s, sf: spec.builder(s, sf).limit(1),
+            spec.oracle, SF_SMOKE,
+        )
+    with pytest.raises(AssertionError):  # value drift
+        from pyspark.sql import functions as F
+
+        compare_query(
+            spark, duck,
+            lambda s, sf: spec.builder(s, sf).withColumn(
+                num_col, F.col(num_col) + 1
+            ),
+            spec.oracle, SF_SMOKE,
+        )
+    with pytest.raises(AssertionError):  # schema drift
+        compare_query(
+            spark, duck,
+            lambda s, sf: spec.builder(s, sf).withColumnRenamed(
+                num_col, "renamed"
+            ),
+            spec.oracle, SF_SMOKE,
+        )
