@@ -712,6 +712,7 @@ def snm_pairs(
     block_chars: int = 2,
     key_chars: int = 24,
     threshold: float = 0.5,
+    key_start: int = 0,
 ) -> DataFrame:
     """Sorted-neighborhood near-dup candidates (Hernández & Stolfo's
     merge/purge): sort documents by a normalized key, compare each doc
@@ -737,8 +738,15 @@ def snm_pairs(
 
     from .text import tokens
 
+    # ``key_start`` rotates the sort key into the normalized text —
+    # the standard multi-pass SNM recipe: pairs straddling a block
+    # boundary under one key sort adjacent under a rotated key, so
+    # union(snm_pairs(start=0), snm_pairs(start=k)).distinct()
+    # recovers boundary pairs without widening the window.
     key = F.substring(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""), 1, key_chars
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
+        1 + key_start,
+        key_chars,
     )
     base = fan_out(df).select(
         F.col(id_col).alias("id"),

@@ -921,3 +921,29 @@ def test_cdc_chunks_shift_robust(spark):
     erows = {r.doc_id: r for r in cdc_chunk_stats(edge).collect()}
     assert erows[3].n_chunks == 0 and erows[3].dup_frac is None
     assert erows[4].n_chunks == 0 and erows[4].dup_frac is None
+
+
+def test_snm_rotated_key_recovers_boundary_pairs(spark):
+    """Multi-pass SNM: a near-dup pair whose keys differ in the FIRST
+    characters (different blocks → never compared in pass one) must be
+    recovered by a rotated-key pass, because past the differing prefix
+    the keys realign. union + distinct of the two passes is the
+    standard recipe."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        snm_pairs,
+    )
+
+    shared = "identical middle and tail content that matches exactly"
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa " + shared),   # block 'aa'
+            (2, "zzzz " + shared),   # block 'zz' — same doc, different prefix
+            (3, "mmmm unrelated words that do not match anything"),
+        ],
+        "doc_id long, text string",
+    )
+    p0 = snm_pairs(docs, window=3, threshold=0.5, key_start=0)
+    assert (1, 2) not in {(r.doc_a, r.doc_b) for r in p0.collect()}
+    p1 = snm_pairs(docs, window=3, threshold=0.5, key_start=4)
+    both = p0.unionAll(p1).dropDuplicates(["doc_a", "doc_b"])
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in both.collect()}
