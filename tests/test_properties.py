@@ -240,3 +240,66 @@ def test_ewma_segmented_equals_exact_fold(spark, seqs, seg_len, alpha):
         assert exact[k][0] == seg[k][0] == ref[k][0]
         assert exact[k][1] == pytest.approx(ref[k][1], abs=1e-9)
         assert seg[k][1] == pytest.approx(exact[k][1], abs=1e-9)
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-100, 1100, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_band_lookup_matches_python_reference(spark, vals):
+    """band_lookup ≡ first-matching-interval semantics for arbitrary
+    values incl. NULLs and out-of-band — NULLs/misses drop (inner-join
+    contract), hits carry their half-open interval."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.bands import (
+        band_lookup,
+    )
+
+    buckets = [(0.0, 250.0), (250.0, 500.0), (500.0, 1000.0)]
+    df = spark.createDataFrame(list(enumerate(vals)), "id long, v double")
+    got = {r["id"]: r["bucket_lo"] for r in band_lookup(df, "v", buckets).collect()}
+    for i, v in enumerate(vals):
+        expect = next(
+            (lo for lo, hi in buckets if v is not None and lo <= v < hi), None
+        )
+        if expect is None:
+            assert i not in got, (i, v, got.get(i))
+        else:
+            assert got[i] == expect, (i, v, got[i], expect)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdef gh é日", min_size=0, max_size=200),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_cdc_chunk_count_matches_python_reference(spark, texts):
+    """cdc_chunk_stats' chunk count ≡ the pure-Python rolling-hash
+    boundary construction for arbitrary (incl. multi-byte) strings —
+    pins the char-based substr/hash parity end to end."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        cdc_chunk_stats,
+    )
+
+    def ref_n_chunks(t: str, g: int = 8, d: int = 64) -> int:
+        length = len(t)
+        bounds = [
+            p
+            for p in range(g, length + 1)
+            if int(hashlib.md5(t[p - g : p].encode()).hexdigest()[:15], 16) % d == 0
+        ]
+        cuts = sorted({0, *bounds, length})
+        return len(cuts) - 1
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_chunks"] for r in cdc_chunk_stats(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == ref_n_chunks(t), (i, repr(t), got[i], ref_n_chunks(t))
