@@ -96,7 +96,16 @@ def weighted_value_by_type(events: DataFrame) -> DataFrame:
 
 def chunk_documents(df: DataFrame, max_tokens: int = 64, overlap: int = 8) -> DataFrame:
     """Explode documents into overlapping chunks via the UDTF (lateral
-    join keeps doc_id alongside each emitted chunk row)."""
+    join keeps doc_id alongside each emitted chunk row).
+
+    Sets ``spark.sql.execution.pythonUDTF.arrow.enabled`` defensively
+    (runtime-settable; OFF by default in Spark 4): without it the
+    UDTF plans as row-at-a-time pickled ``BatchEvalPythonUDTF`` —
+    the audit caught exactly that — with it the same UDTF runs
+    Arrow-batched (``ArrowEvalPythonUDTF``), identical results.
+    Same defensive pattern as load_table's nanos shim: the external
+    driver brings an untuned session."""
+    df.sparkSession.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     chunker = udtf(ChunkDocument, returnType=CHUNK_SCHEMA)
     return (
         df.select("doc_id", "text")

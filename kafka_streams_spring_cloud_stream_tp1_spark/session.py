@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs are row-at-a-time pickled unless this is on
+        # (plan node BatchEvalPythonUDTF vs ArrowEvalPythonUDTF)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         # fixture parquet stores naive-UTC micros; read as session-TZ
         # TIMESTAMP (not NTZ) so time functions and oracles line up
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -778,3 +778,23 @@ def test_partition_count_invariance(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_registry_global_plan_invariants(spark):
+    """Whole-registry plan audit (plans/audit.py): zero cartesian
+    products and zero row-at-a-time Python nodes (pickled UDFs OR
+    pickled UDTFs — the audit caught the UDTF default being
+    non-Arrow) anywhere in the 185-query surface. Planning only,
+    nothing executes."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.audit import (
+        audit_registry,
+    )
+
+    feats = audit_registry(spark, SF_SMOKE)
+    assert len(feats) >= 185
+    bad_cart = [f.name for f in feats if f.cartesian]
+    bad_py = [f.name for f in feats if f.batch_eval_python]
+    bad_udtf = [f.name for f in feats if f.pickled_udtf]
+    assert not bad_cart, f"cartesian products: {bad_cart}"
+    assert not bad_py, f"row-at-a-time Python UDFs: {bad_py}"
+    assert not bad_udtf, f"pickled (non-Arrow) UDTFs: {bad_udtf}"
