@@ -798,3 +798,22 @@ def test_registry_global_plan_invariants(spark):
     assert not bad_cart, f"cartesian products: {bad_cart}"
     assert not bad_py, f"row-at-a-time Python UDFs: {bad_py}"
     assert not bad_udtf, f"pickled (non-Arrow) UDTFs: {bad_udtf}"
+
+
+def test_query_catalog_in_sync():
+    """QUERIES.md (the generated catalog) must list every registered
+    query — regenerate with tools/gen_query_catalog.py after adding
+    queries."""
+    import re
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
+        QUERIES,
+        queries_map,
+    )
+
+    queries_map()
+    listed = set(re.findall(r"\| `(q_\w+)` \|", open("QUERIES.md").read()))
+    missing = set(QUERIES) - listed
+    assert not missing, (
+        f"queries missing from QUERIES.md (regenerate it): {sorted(missing)}"
+    )
