@@ -164,3 +164,76 @@ def degree_distribution(
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     return deg.groupBy("deg").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+def common_neighbor_scores(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_degree: int | None = 64,
+    top_k: int = 50,
+) -> DataFrame:
+    """Link prediction over an undirected (a < b) edge list: for every
+    NON-edge node pair sharing at least one neighbor, the common-
+    neighbor count and Jaccard coefficient |N(u)∩N(v)| / |N(u)∪N(v)|
+    (Liben-Nowell & Kleinberg CIKM'03). On the near-dup graph these
+    are the "missing edge" candidates: two documents whose neighbor
+    sets overlap heavily but that no blocking pass ever compared —
+    the audit that catches LSH/SimHash recall gaps before a
+    transitive-closure dedup splits one true family into two.
+
+    Returns the top_k (doc_a, doc_b, common, jaccard) candidates,
+    ordered by common DESC then ids — an exact integer-first order
+    both engines reproduce bit-identically.
+
+    Scale shape: symmetrize the edge list (2m rows), degree-cap as in
+    `triangle_counts` (wedge mass through a hub grows as deg², so
+    edges at nodes with degree > max_degree drop BEFORE the self-join
+    — bounded at 2m·max_degree wedges no matter how viral a dup
+    family gets), one self-join on the shared-neighbor key, a
+    pair-keyed count, an anti-join against the real edges, two
+    broadcast-ready degree joins, and a TakeOrdered top-k. Every join
+    key is a single node/pair id; no windows, no collects."""
+    e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")).localCheckpoint(
+        eager=False
+    )
+    # symmetric adjacency: (node, neighbor) both directions
+    adj = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    if max_degree is not None:
+        keep = deg.filter(F.col("deg") <= max_degree).select("node")
+        adj = adj.join(keep, "node").join(
+            keep.withColumnRenamed("node", "nbr"), "nbr"
+        )
+    adj = adj.localCheckpoint(eager=False)
+    # wedge through the shared neighbor: (u, v) with u < v via the hub
+    left = adj.select(F.col("nbr").alias("hub"), F.col("node").alias("u"))
+    right = adj.select(F.col("nbr").alias("hub"), F.col("node").alias("v"))
+    cand = (
+        left.join(right, "hub")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    # drop pairs that are already edges (canonical a < b matches u < v)
+    cand = cand.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(F.desc("common"), "doc_a", "doc_b").limit(top_k)

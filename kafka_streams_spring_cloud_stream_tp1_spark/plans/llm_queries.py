@@ -2728,6 +2728,59 @@ def q_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degree_distribution(q_dedup_simhash_hamming(spark, sf_dir))
 
 
+_LP_MAX_DEG = 64
+_LP_TOPK = 50
+
+
+@query(
+    "q_link_prediction",
+    oracle=f"""
+    WITH pairs AS ({_simhash_hamming_sql()}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    adj AS (SELECT a AS node, b AS nbr FROM e
+            UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+            FROM adj GROUP BY node),
+    capped AS (SELECT adj.node, adj.nbr FROM adj
+               JOIN deg dn ON dn.node = adj.node
+               JOIN deg db ON db.node = adj.nbr
+               WHERE dn.deg <= {_LP_MAX_DEG} AND db.deg <= {_LP_MAX_DEG}),
+    cand AS (SELECT l.node AS u, r.node AS v, count(*) AS common
+             FROM capped l JOIN capped r ON l.nbr = r.nbr
+             WHERE l.node < r.node
+             GROUP BY l.node, r.node),
+    nonedge AS (SELECT u, v, common FROM cand
+                WHERE NOT EXISTS (SELECT 1 FROM e
+                                  WHERE e.a = cand.u AND e.b = cand.v))
+    SELECT u AS doc_a, v AS doc_b,
+           CAST(common AS BIGINT) AS common,
+           CAST(common AS DOUBLE) / (du.deg + dv.deg - common) AS jaccard
+    FROM nonedge JOIN deg du ON du.node = nonedge.u
+    JOIN deg dv ON dv.node = nonedge.v
+    ORDER BY common DESC, doc_a, doc_b
+    LIMIT {_LP_TOPK}
+    """,
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-edge candidates in the SimHash near-dup graph: top-50
+    non-adjacent doc pairs by common-neighbor count, with the Jaccard
+    coefficient |N∩|/|N∪| (Liben-Nowell & Kleinberg CIKM'03) — the
+    recall audit for blocking-based dedup: a pair whose neighbor sets
+    overlap heavily but that no LSH band ever co-bucketed is exactly
+    the dup the blocking pass missed, and chasing these candidates is
+    how a production pipeline measures (and patches) its blocking
+    recall without an all-pairs pass. Degree-capped wedge join as in
+    `q_triangle_count` (2m·max_degree bound), pair-keyed count,
+    anti-join against real edges
+    (operators/graph.py::common_neighbor_scores)."""
+    from ..operators.graph import common_neighbor_scores
+
+    pairs = q_dedup_simhash_hamming(spark, sf_dir)
+    return common_neighbor_scores(
+        pairs, a="doc_a", b="doc_b", max_degree=_LP_MAX_DEG, top_k=_LP_TOPK
+    )
+
+
 # ---------------------------------------------------------------------------
 # round 5: corpus-health statistics (Gopher filter, Zipf fit, whitening prep)
 # ---------------------------------------------------------------------------

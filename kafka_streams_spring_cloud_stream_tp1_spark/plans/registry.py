@@ -128,6 +128,12 @@ _FRONT = [
     "q_cdc_chunks",
     "q_lang_confusion",
     "q_seasonal_profile",
+    "q_link_prediction",
+    "q_ks_drift",
+    "q_mann_whitney",
+    "q_acf",
+    "q_cusum_changepoint",
+    "q_benford",
     "q_ewma_segmented",
     "q_embedding_covariance",
     "q_gopher_filter",

@@ -3918,3 +3918,473 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tk").cast("double") / F.col("n_rows")).alias(f"top{_SKEW_TOPK}_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5 (cont.): distribution-drift and sequential statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ks_drift",
+    oracle="""
+    WITH tv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ct
+                FROM documents GROUP BY n_chars),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+           FROM documents GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    sv AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cs
+           FROM documents GROUP BY source, n_chars),
+    grid AS (SELECT ns.source, ns.n_src, tv.v, tv.ct,
+                    coalesce(sv.cs, 0) AS c_src
+             FROM ns CROSS JOIN tv
+             LEFT JOIN sv ON sv.source = ns.source AND sv.v = tv.v),
+    cum AS (SELECT source, n_src, v,
+                   CAST(sum(c_src) OVER (PARTITION BY source ORDER BY v)
+                        AS BIGINT) AS cum_src,
+                   CAST(sum(ct - c_src) OVER (PARTITION BY source ORDER BY v)
+                        AS BIGINT) AS cum_rest
+            FROM grid)
+    SELECT source, n_src AS n_docs,
+           max(abs(cum_src / CAST(n_src AS DOUBLE)
+                   - cum_rest / CAST(n - n_src AS DOUBLE))) AS ks,
+           max(abs(cum_src / CAST(n_src AS DOUBLE)
+                   - cum_rest / CAST(n - n_src AS DOUBLE)))
+             > 1.36 * sqrt(n / (CAST(n_src AS DOUBLE) * (n - n_src))) AS drift
+    FROM cum CROSS JOIN tot
+    WHERE n_src < n
+    GROUP BY source, n_src, n
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov-Smirnov drift test of the
+    doc-length distribution (each source vs the REST of the corpus) —
+    the crawl-composition alarm: a source whose length ECDF walks away
+    from the pool (boilerplate floods, truncation bugs, template
+    switches) trips the classic 1.36·sqrt((n1+n2)/(n1·n2)) 95% fence
+    before any downstream quality score moves.
+
+    Scale shape: the KS sup runs over the UNION of jump points, built
+    as a (sources × distinct-values) grid — both factors are
+    domain-bounded (the per-(source,value) count is the only
+    fact-sized shuffle; the ECDF windows partition BY SOURCE, so no
+    global single-partition sort, and each partition holds at most
+    |value domain| rows). Every reported number is derived from exact
+    integer cumulative counts: the divisions and the max are the only
+    float ops, so the statistic is bit-identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents").select("source", F.col("n_chars").alias("v"))
+    tv = docs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sv = docs.groupBy("source", "v").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    grid = (
+        tv.crossJoin(F.broadcast(ns))
+        .join(sv, ["source", "v"], "left")
+        .withColumn("c_src", F.coalesce(F.col("cs"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "source",
+        "n_src",
+        "v",
+        F.sum("c_src").over(w).cast("long").alias("cum_src"),
+        F.sum(F.col("ct") - F.col("c_src")).over(w).cast("long").alias("cum_rest"),
+    )
+    d = F.abs(
+        F.col("cum_src") / F.col("n_src").cast("double")
+        - F.col("cum_rest") / (F.col("n") - F.col("n_src")).cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_src") < F.col("n"))
+        .groupBy("source", "n_src", "n")
+        .agg(F.max(d).alias("ks"))
+        .select(
+            "source",
+            F.col("n_src").alias("n_docs"),
+            "ks",
+            (
+                F.col("ks")
+                > 1.36
+                * F.sqrt(
+                    F.col("n")
+                    / (F.col("n_src").cast("double") * (F.col("n") - F.col("n_src")))
+                )
+            ).alias("drift"),
+        )
+    )
+
+
+_MW_A, _MW_B = "purchase", "click"
+_MW_BUCKETS = 256
+
+
+@query(
+    "q_mann_whitney",
+    oracle=f"""
+    WITH ev AS (SELECT value AS v,
+                       CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS g
+                FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')),
+    vc AS (SELECT v, CAST(sum(g) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM ev GROUP BY v),
+    cum AS (SELECT v, c1, c,
+                   CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c AS cb
+            FROM vc),
+    agg AS (SELECT CAST(sum(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1t,
+                   CAST(sum(c * c * c - c) AS BIGINT) AS t
+            FROM cum),
+    ns AS (SELECT CAST(sum(g) AS BIGINT) AS n1,
+                  CAST(count(*) - sum(g) AS BIGINT) AS n2
+           FROM ev)
+    SELECT n1, n2,
+           (r1t - n1 * (n1 + 1)) / 2.0 AS u1,
+           ((r1t - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+             / sqrt(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - t / CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE))) AS z,
+           1 - (r1t - n1 * (n1 + 1)) / CAST(n1 * n2 AS DOUBLE)
+               AS rank_biserial
+    FROM agg CROSS JOIN ns
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (with midrank tie handling and
+    the tie-corrected normal approximation) comparing the event-value
+    distribution of 'purchase' vs 'click' events — the distribution-free
+    "did the metric move" readout that `q_ab_test`'s proportion
+    z-test cannot give for heavy-tailed continuous metrics; also
+    reports the rank-biserial effect size 1 − 2U/(n1·n2).
+
+    Scale shape — exact global midranks with NO single-partition
+    sort, via the `q_quantile_bins` value-bucket machinery: a 1-row
+    (min, max) broadcast assigns each distinct value a range bucket,
+    per-bucket keyed windows produce local cumulative counts, a
+    B²-row self-join prefix-sum supplies bucket offsets, and the
+    rank-sum reduces to ONE integer aggregate Σ c1·(2·below + c + 1)
+    = 2·R1 — every statistic is then a deterministic float expression
+    over exact BIGINTs (n1·n2 and the tie term Σc³ bound the integer
+    range; at corpus scales past 2^31 rows switch these to DECIMAL).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_MW_A, _MW_B))
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == _MW_A, F.lit(1)).otherwise(F.lit(0)).alias("g"),
+        )
+    )
+    rng = ev.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.sum("g").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n2"),
+    )
+    B = _MW_BUCKETS
+    span = F.col("vmax") - F.col("vmin")
+    vb = (
+        F.when(
+            span > 0,
+            F.least(F.lit(B - 1), F.floor((F.col("v") - F.col("vmin")) / span * B)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    vc = (
+        ev.crossJoin(F.broadcast(rng.select("vmin", "vmax")))
+        .withColumn("vb", vb)
+        .groupBy("vb", "v")
+        .agg(F.sum("g").cast("long").alias("c1"), F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wloc = (
+        Window.partitionBy("vb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vc = vc.withColumn("lcum", F.sum("c").over(wloc).cast("long"))
+    sizes = vc.groupBy("vb").agg(F.sum("c").cast("long").alias("cnt"))
+    prev = sizes.select(F.col("vb").alias("pvb"), F.col("cnt").alias("pcnt"))
+    offs = (
+        sizes.join(prev, F.col("pvb") < F.col("vb"), "left")
+        .groupBy("vb")
+        .agg(F.coalesce(F.sum("pcnt"), F.lit(0)).cast("long").alias("off"))
+    )
+    cum = vc.join(F.broadcast(offs), "vb").withColumn(
+        "cb", F.col("off") + F.col("lcum") - F.col("c")
+    )
+    agg = cum.agg(
+        F.sum(F.col("c1") * (2 * F.col("cb") + F.col("c") + 1)).cast("long").alias("r1t"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast("long").alias("t"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1 = (F.col("r1t") - n1 * (n1 + 1)) / F.lit(2.0)
+    sigma = F.sqrt(
+        n1 * n2 / F.lit(12.0)
+        * (
+            (n1 + n2 + 1)
+            - F.col("t") / ((n1 + n2) * (n1 + n2 - 1)).cast("double")
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(rng.select("n1", "n2")))
+        .select(
+            "n1",
+            "n2",
+            u1.alias("u1"),
+            ((u1 - n1 * n2 / F.lit(2.0)) / sigma).alias("z"),
+            (F.lit(1) - (F.col("r1t") - n1 * (n1 + 1)) / (n1 * n2).cast("double")).alias(
+                "rank_biserial"
+            ),
+        )
+    )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q_acf",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY CAST(ts AS DATE)),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM d),
+    p AS (SELECT CAST(t.k AS INTEGER) AS lag, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+                 CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(b.x) AS BIGINT) AS sb
+          FROM range(1, {_ACF_MAX_LAG + 1}) t(k)
+          JOIN d a ON true
+          JOIN d b ON b.day = a.day + CAST(t.k AS INTEGER) * INTERVAL 1 DAY
+          GROUP BY t.k)
+    SELECT lag, m AS n_pairs,
+           (sxy - (CAST(sx AS DOUBLE) / n) * (sa + sb)
+                + (m * (CAST(sx AS DOUBLE) / n)) * (CAST(sx AS DOUBLE) / n))
+             / (sxx - CAST(sx AS DOUBLE) * sx / n) AS acf
+    FROM p CROSS JOIN s
+    """,
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-volume series at
+    lags 1..7 — the seasonality detector read before choosing a
+    forecast model or an anomaly baseline (a spike at lag 7 says
+    weekly rhythm; `q_seasonal_profile` then shows its shape). Uses
+    the standard sample ACF: lag-k cross-products of demeaned counts
+    over the full-series variance.
+
+    Scale shape: ONE fact-sized day-keyed aggregate, then everything
+    runs on the |days|-sized series — a broadcast self-join per lag
+    (7 tiny equi-joins on the date key, fanned out by an exploded lag
+    array, no windows at all). Numerator and denominator are expanded
+    into pure integer sums (Σxy, Σx, Σx², pair counts), so the only
+    float arithmetic is a fixed expression over exact BIGINTs —
+    bit-identical cross-engine, immune to summation order."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    lags = d.select(
+        "day",
+        F.col("x").alias("xa"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])).alias("lag"),
+    )
+    b = d.select(F.col("day").alias("bday"), F.col("x").alias("xb"))
+    p = (
+        lags.withColumn("bday", F.date_add(F.col("day"), F.col("lag")))
+        .join(F.broadcast(b), "bday")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+            F.sum("xa").cast("long").alias("sa"),
+            F.sum("xb").cast("long").alias("sb"),
+        )
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    num = (
+        F.col("sxy")
+        - mu * (F.col("sa") + F.col("sb"))
+        + (F.col("m") * mu) * mu
+    )
+    den = F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    return p.crossJoin(F.broadcast(s)).select(
+        "lag",
+        F.col("m").alias("n_pairs"),
+        (num / den).alias("acf"),
+    )
+
+
+_CUSUM_H = 3.0
+
+
+@query(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM d GROUP BY event_type),
+    c AS (SELECT event_type, day, x,
+                 CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS cx,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS t
+          FROM d),
+    z AS (SELECT c.event_type, day, n,
+                 (cx - t * (CAST(sx AS DOUBLE) / n))
+                   / sqrt(CAST(sxx AS DOUBLE) / n
+                          - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                     AS s_t
+          FROM c JOIN s USING (event_type)),
+    r AS (SELECT event_type, day, n, s_t,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(s_t) DESC, day) AS rn
+          FROM z)
+    SELECT event_type, n AS n_days, abs(s_t) AS max_cusum, day AS peak_day,
+           abs(s_t) > {_CUSUM_H} AS alarm
+    FROM r WHERE rn = 1
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point scan (Page 1954) over each event type's
+    daily volume: cumulative sums of standardized deviations from the
+    type's own mean, reporting where |S_t| peaks and whether it
+    crosses the h=3.0 alarm fence — the level-shift detector
+    that catches a gradual drift a per-day z-score
+    (`q_anomaly_zscore`) never flags, because CUSUM integrates small
+    deviations until they become undeniable.
+
+    Scale shape: one fact-sized (type, day) aggregate; all windows
+    partition by event_type over day-count-sized partitions. The
+    running statistic is algebraically rearranged to
+    (cum_x − t·μ)/σ with cum_x an exact integer running sum and t
+    the row index, so no float accumulates across rows — every float
+    op is a fixed expression over exact integers (bit-identical
+    cross-engine); μ and σ come from exact Σx/Σx² moments."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    c = d.select(
+        "event_type",
+        "day",
+        F.sum("x").over(wc).cast("long").alias("cx"),
+        F.row_number().over(wt).cast("long").alias("t"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("sxx").cast("double") / F.col("n") - mu * mu)
+    z = c.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        ((F.col("cx") - F.col("t") * mu) / sigma).alias("s_t"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc(F.abs(F.col("s_t"))), "day")
+    return (
+        z.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.abs(F.col("s_t")).alias("max_cusum"),
+            F.col("day").alias("peak_day"),
+            (F.abs(F.col("s_t")) > F.lit(_CUSUM_H)).alias("alarm"),
+        )
+    )
+
+
+# Benford expectations as shared literals: log10 is NOT guaranteed to
+# round identically across libm implementations, so both engines get
+# the same Python-computed double rather than calling their own log10.
+import math as _math
+
+_BENFORD = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_CASE = " ".join(
+    # CAST each literal: DuckDB types a bare decimal literal DECIMAL,
+    # which would decimal-ize exp_frac/abs_dev instead of DOUBLE
+    f"WHEN {d} THEN CAST({v!r} AS DOUBLE)" for d, v in _BENFORD.items()
+)
+
+
+@query(
+    "q_benford",
+    oracle=f"""
+    WITH f AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS ip
+               FROM orders WHERE o_totalprice >= 1),
+    d AS (SELECT CAST(substr(CAST(ip AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM f),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(*) AS DOUBLE) / total AS obs_frac,
+           CASE digit {_BENFORD_CASE} END AS exp_frac,
+           abs(CAST(count(*) AS DOUBLE) / total
+               - CASE digit {_BENFORD_CASE} END) AS abs_dev
+    FROM d CROSS JOIN n
+    GROUP BY digit, total
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law (Newcomb 1881 / Benford 1938) — the
+    forensic-accounting screen: organically generated amounts follow
+    log10(1 + 1/d), while fabricated or system-glitched values pile
+    onto favorite digits; the per-digit absolute deviation is the
+    audit trigger.
+
+    Scale shape: the leading digit comes from the INTEGER part
+    (exact for every amount ≥ 1 — no log10 on data, no float
+    boundary issues), so the whole query is one map-side-combined
+    9-group aggregate plus a broadcast 1-row total. The Benford
+    expectations are Python-computed literals shared verbatim with
+    the oracle SQL, since libm log10 is not bit-identical across
+    engines."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").cast("long").alias("total"))
+    exp_frac = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, v in _BENFORD.items() for x in (d, v)]
+        ),
+        F.col("digit"),
+    )
+    obs = F.col("n_orders").cast("double") / F.col("total")
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_orders",
+        obs.alias("obs_frac"),
+        exp_frac.alias("exp_frac"),
+        F.abs(obs - exp_frac).alias("abs_dev"),
+    )

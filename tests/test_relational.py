@@ -311,3 +311,184 @@ def test_ewma_segmented_matches_exact(spark):
         for u in exact:
             assert seg[u][0] == exact[u][0]
             assert seg[u][1] == pytest.approx(exact[u][1], abs=1e-12)
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    """U, z, and the effect size must equal a direct O(n1*n2)
+    pair-count computation over the same rows (midrank/tie-corrected
+    formulas from first principles) — validates the value-bucket
+    rank machinery end to end."""
+    import math
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(r.value for r in rows if r.event_type == "purchase")
+    b = sorted(r.value for r in rows if r.event_type == "click")
+    n1, n2 = len(a), len(b)
+    u1 = 0.0
+    for x in a:
+        for y in b:
+            if y < x:
+                u1 += 1.0
+            elif y == x:
+                u1 += 0.5
+    from collections import Counter
+
+    ties = Counter(a) + Counter(b)
+    t_term = sum(c**3 - c for c in ties.values())
+    n = n1 + n2
+    sigma = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - t_term / (n * (n - 1))))
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    row = queries_map()["q_mann_whitney"](spark, SF_SMOKE).collect()[0]
+    assert row.n1 == n1 and row.n2 == n2
+    assert abs(row.u1 - u1) < 1e-9
+    assert abs(row.z - z) < 1e-9
+    assert abs(row.rank_biserial - (1 - 2 * u1 / (n1 * n2))) < 1e-12
+
+
+def test_ks_drift_matches_bruteforce_ecdf(spark):
+    """Per-source KS statistic equals the direct sup-|F1−F2| over the
+    union of jump points, computed in Python on the same rows."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    allv = sorted({r.n_chars for r in rows})
+    out = {r.source: r for r in queries_map()["q_ks_drift"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(by_src)
+    for src, vals in by_src.items():
+        rest = [r.n_chars for r in rows if r.source != src]
+        ks = max(
+            abs(
+                sum(v <= x for v in vals) / len(vals)
+                - sum(v <= x for v in rest) / len(rest)
+            )
+            for x in allv
+        )
+        assert abs(out[src].ks - ks) < 1e-12, src
+        assert out[src].n_docs == len(vals)
+
+
+def test_acf_matches_numpy(spark):
+    """Sample ACF at each lag equals the direct demeaned-product
+    formula over the collected daily series (calendar-gap-aware:
+    pairs exist only where day+k is present)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    )
+    series = {r.day: r["count"] for r in daily}
+    mu = sum(series.values()) / len(series)
+    den = sum((x - mu) ** 2 for x in series.values())
+    out = {r.lag: r for r in queries_map()["q_acf"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(range(1, 8))
+    from datetime import timedelta
+
+    for k in range(1, 8):
+        pairs = [
+            (series[d], series[d + timedelta(days=k)])
+            for d in series
+            if d + timedelta(days=k) in series
+        ]
+        num = sum((x - mu) * (y - mu) for x, y in pairs)
+        assert out[k].n_pairs == len(pairs)
+        assert abs(out[k].acf - num / den) < 1e-9, k
+
+
+def test_cusum_matches_bruteforce(spark):
+    """Peak |CUSUM| and its day must match the direct running-sum
+    scan of standardized daily counts per event type."""
+    import math
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    )
+    by_type: dict = {}
+    for r in daily:
+        by_type.setdefault(r.event_type, []).append((r.day, r["count"]))
+    out = {
+        r.event_type: r
+        for r in queries_map()["q_cusum_changepoint"](spark, SF_SMOKE).collect()
+    }
+    for et, pts in by_type.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        n = len(xs)
+        mu = sum(xs) / n
+        sd = math.sqrt(sum(x * x for x in xs) / n - mu * mu)
+        s, best = 0.0, (-1.0, None)
+        for day, x in pts:
+            s += (x - mu) / sd
+            if abs(s) > best[0] + 1e-15:
+                best = (abs(s), day)
+        assert abs(out[et].max_cusum - best[0]) < 1e-9, et
+        assert out[et].peak_day == best[1], et
+        assert out[et].n_days == n
+
+
+def test_benford_digits_and_expectations(spark):
+    """All nine digits present, observed fractions sum to 1, and the
+    expectation column is exactly the Python log10 law."""
+    import math
+
+    rows = queries_map()["q_benford"](spark, SF_SMOKE).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.obs_frac for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.exp_frac == math.log10(1 + 1 / r.digit)
+        assert abs(r.abs_dev - abs(r.obs_frac - r.exp_frac)) < 1e-15
+
+
+def test_common_neighbor_scores_hand_graph(spark):
+    """Square 1-2-3-4-1 plus pendant 5-1: the two diagonals are the
+    only multi-neighbor candidates; existing edges never appear; the
+    degree cap drops wedges through hot hubs."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.graph import (
+        common_neighbor_scores,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 5)], ["doc_a", "doc_b"]
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in common_neighbor_scores(edges, max_degree=64).collect()
+    }
+    # diagonals: (1,3) via {2,4}; (2,4) via {1,3} wait 4's nbrs {3,1}, 2's {1,3} -> common {1,3}
+    assert out[(1, 3)].common == 2
+    assert out[(2, 4)].common == 2
+    # deg(1)=3, deg(3)=2: jaccard(1,3) = 2/(3+2-2)
+    assert abs(out[(1, 3)].jaccard - 2 / 3) < 1e-12
+    assert abs(out[(2, 4)].jaccard - 2 / (2 + 2 - 2)) < 1e-12
+    # pendant 5 shares neighbor 1 with 2 and 4
+    assert out[(2, 5)].common == 1 and out[(4, 5)].common == 1
+    # no existing edge is ever proposed
+    assert (1, 2) not in out and (3, 4) not in out
+    # capping at degree 2 removes every wedge through node 1 (deg 3)
+    capped = {
+        (r.doc_a, r.doc_b): r
+        for r in common_neighbor_scores(edges, max_degree=2).collect()
+    }
+    assert (2, 5) not in capped and (4, 5) not in capped
+    assert capped[(2, 4)].common == 1  # only via 3 now
