@@ -817,3 +817,43 @@ def test_query_catalog_in_sync():
     assert not missing, (
         f"queries missing from QUERIES.md (regenerate it): {sorted(missing)}"
     )
+
+
+def test_acf_no_windows_no_global_sort(spark):
+    """ACF must be joins+aggregates over the day-keyed series: any
+    Window node would mean a single-partition series sort snuck in."""
+    plan = _plan(spark, "q_acf")
+    assert "Window" not in plan, plan
+    assert ", true, 0" not in plan, plan  # no global Sort
+
+
+def test_ks_drift_windows_are_source_partitioned(spark):
+    """The ECDF windows must partition by source — an empty
+    partitionBy would pin the whole grid on one reducer."""
+    import re
+
+    plan = _plan(spark, "q_ks_drift")
+    for m in re.finditer(r"Window \[", plan):
+        tail = plan[m.start() : m.start() + 400]
+        assert "source" in tail, tail
+
+
+def test_mann_whitney_no_global_sort_or_window(spark):
+    """Midranks come from the vb-bucket machinery: the only window
+    partitions by vb; no global ORDER BY materializes the sample."""
+    import re
+
+    plan = _plan(spark, "q_mann_whitney")
+    assert ", true, 0" not in plan, plan
+    for m in re.finditer(r"Window \[", plan):
+        tail = plan[m.start() : m.start() + 400]
+        assert "vb" in tail, tail
+
+
+def test_benford_two_aggregates_no_window(spark):
+    """Digit histogram = one 9-group aggregate + broadcast total:
+    no windows, no sorts, and the digit expression stays codegen."""
+    plan = _plan(spark, "q_benford")
+    assert "Window" not in plan, plan
+    assert ", true, 0" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
