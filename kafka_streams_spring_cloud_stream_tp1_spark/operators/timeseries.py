@@ -129,3 +129,72 @@ def ewma_last(
     # total scale is 0 by construction (segment 0 contains the rn==1
     # constant map), so the EWMA is the composed offset
     return folded.select(key, "n_events", F.col("aff")["o"].alias("ewma"))
+
+
+def holt_linear(
+    df: DataFrame,
+    key: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per ``key``: the
+    level+trend fold
+
+        l_i = α·v_i + (1−α)·(l_{i−1} + b_{i−1})
+        b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+
+    seeded with l₁ = v₁, b₁ = v₂ − v₁, reported at the last event as
+    (key, n_events, level, trend, forecast = level + trend) — the
+    one-step-ahead trending forecast EWMA cannot give (EWMA lags a
+    ramp forever; Holt tracks it). Keys with fewer than 2 events are
+    dropped (no trend is defined).
+
+    Same executable shape as `ewma_last`'s exact fold: ONE shuffle
+    keyed by entity, collect + array_sort, codegen'd `F.aggregate`
+    with a (l, b) struct accumulator — per-task state is one entity's
+    history (the step is an affine map on (l, b), so the
+    segment-and-carry path `ewma_last` implements applies verbatim if
+    a key's history outgrows a task). Raw-double bit parity with the
+    DuckDB oracle: the oracle's list_reduce replays the identical op
+    sequence in the identical order, and the duplicated l-expression
+    inside the trend update recomputes to the same bits on both
+    engines."""
+    seq = (
+        df.select(key, *order_cols, value_col)
+        .groupBy(key)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(*order_cols, value_col))
+            ).alias("seq")
+        )
+    )
+    vals = F.transform(F.col("seq"), lambda s: s[value_col].cast("double"))
+    a, b_ = F.lit(alpha), F.lit(beta)
+    one_a, one_b = F.lit(1.0 - alpha), F.lit(1.0 - beta)
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        (F.element_at(vals, 2) - F.element_at(vals, 1)).alias("b"),
+    )
+
+    def step(acc, x):
+        nl = a * x + one_a * (acc["l"] + acc["b"])
+        return F.struct(
+            nl.alias("l"),
+            (b_ * (nl - acc["l"]) + one_b * acc["b"]).alias("b"),
+        )
+
+    folded = F.aggregate(
+        F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0))), init, step
+    )
+    return (
+        seq.filter(F.size("seq") >= 2)
+        .select(
+            key,
+            F.size("seq").cast("long").alias("n_events"),
+            folded["l"].alias("level"),
+            folded["b"].alias("trend"),
+            (folded["l"] + folded["b"]).alias("forecast"),
+        )
+    )

@@ -18,6 +18,8 @@ never a full sort.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -203,13 +205,69 @@ def source_token_kl(
     p_s = F.col("c_st") / F.col("n_s")
     p_c = F.col("c_t") / F.col("n_tot")
     return (
-        st.join(F.broadcast(corpus), "token")
+        # the corpus-marginal frame is VOCAB-sized — unbounded at
+        # web-corpus scale, so it must NOT broadcast (same lesson as
+        # token_pmi's r4 ADVICE fix): shuffle hash join on the token
+        # key; only the |sources|-row and 1-row frames broadcast
+        st.join(corpus, "token")
         .join(F.broadcast(per_source), "source")
         .crossJoin(F.broadcast(total))
         .groupBy("source")
         .agg(
             F.max("n_s").cast("long").alias("n_tokens"),
             F.round(F.sum(p_s * F.log(p_s / p_c)), 4).alias("kl_vs_corpus"),
+        )
+    )
+
+
+# ln(2) as a Python literal shared with the oracle SQL (the JSD zero-
+# overlap term): libm log is not guaranteed bit-identical cross-engine.
+LN2 = math.log(2.0)
+
+
+def source_token_jsd(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source Jensen-Shannon divergence JSD(P_source ‖ P_corpus)
+    over unigram token distributions — the SYMMETRIC, bounded
+    ([0, ln 2]) drift metric next to `source_token_kl`: KL explodes on
+    tokens the corpus lacks and is asymmetric, JSD is the
+    mixture-comparison number dataset cards report.
+
+    Algebraic form that never materializes the token union: with
+    p = P_source(t), q = P_corpus(t), m = (p+q)/2,
+
+      JSD = ½·Σ_{p>0}[p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+          + ½·ln2·(1 − Σ_{p>0} q)
+
+    — tokens the source lacks (p = 0) contribute exactly q·ln 2 to the
+    q-side sum, so their whole mass folds into the closed-form last
+    term and only the source's OWN (source, token) rows are ever
+    scanned. Same frames as the KL: one corpus-sized (source, token)
+    aggregate, vocab-sized marginals joined on the token key (never
+    broadcast), |sources|-row and 1-row frames broadcast. Rounded to 4
+    like the KL (the ln-sum is the one float accumulation; rounding
+    absorbs partial-order ulps)."""
+    tok = df.select(
+        F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    corpus = st.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    per_source = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    total = corpus.agg(F.sum("c_t").alias("n_tot"))
+    p = F.col("c_st") / F.col("n_s")
+    q = F.col("c_t") / F.col("n_tot")
+    core = p * F.log(2 * p / (p + q)) + q * F.log(2 * q / (p + q))
+    return (
+        st.join(corpus, "token")
+        .join(F.broadcast(per_source), "source")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.round(
+                0.5 * F.sum(core) + 0.5 * F.lit(LN2) * (1 - F.sum(q)), 4
+            ).alias("jsd_vs_corpus"),
         )
     )
 

@@ -14,6 +14,8 @@ tests/test_llm_ops.py.
 
 from __future__ import annotations
 
+import math as _m
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3427,4 +3429,193 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov.cast("long").alias("n_covered"),
             (cov.cast("double") / F.count(F.lit(1))).alias("coverage"),
         )
+    )
+
+
+from ..operators.vocab import LN2 as _LN2
+
+
+@query(
+    "q_jsd_sources",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    st AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+    ct AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY 1),
+    ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+    tot AS (SELECT sum(c_t) AS n_tot FROM ct)
+    SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+           round(0.5 * sum((c_st / n_s)
+                           * ln(2 * (c_st / n_s) / ((c_st / n_s) + (c_t / n_tot)))
+                         + (c_t / n_tot)
+                           * ln(2 * (c_t / n_tot) / ((c_st / n_s) + (c_t / n_tot))))
+                 + 0.5 * CAST({_LN2!r} AS DOUBLE) * (1 - sum(c_t / n_tot)),
+                 4) AS jsd_vs_corpus
+    FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN tot
+    GROUP BY source
+    """,
+)
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence vs the corpus blend — the
+    symmetric, [0, ln 2]-bounded drift metric dataset cards report
+    (KL, its sibling `q_source_kl`, is unbounded and asymmetric).
+    Computed WITHOUT materializing the token union: the p=0 mass
+    folds into a closed-form ½·ln2·(1 − coverage) term, so only the
+    source's own (source, token) rows are scanned
+    (operators/vocab.py::source_token_jsd; vocab-sized marginals join
+    on the token key, never broadcast)."""
+    from ..operators.vocab import source_token_jsd
+
+    return source_token_jsd(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_gini_token",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tc AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    vm AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS m FROM tc GROUP BY c),
+    cum AS (SELECT v, m,
+                   CAST(sum(m) OVER (ORDER BY v) AS BIGINT) - m AS t
+            FROM vm),
+    agg AS (SELECT CAST(sum(v * (2 * m * t + m * (m + 1))) AS BIGINT) AS s2,
+                   CAST(sum(m) AS BIGINT) AS n,
+                   CAST(sum(v * m) AS BIGINT) AS tot
+            FROM cum)
+    SELECT n AS n_items, tot AS total_count,
+           s2 / CAST(n * tot AS DOUBLE) - CAST(n + 1 AS DOUBLE) / n AS gini
+    FROM agg
+    """,
+)
+def q_gini_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus token-frequency distribution —
+    the single concentration number behind "how head-heavy is this
+    vocabulary" (natural text ≈ 0.95+ under Zipf; a COLLAPSED Gini
+    means template spam flattened the tail, complementing
+    `q_zipf_slope`'s exponent fit with a rank-free statistic).
+
+    Scale shape: word count (the one corpus-sized shuffle) → collapse
+    to per-count-VALUE rows (a domain-bounded frame under Zipf, ~√N
+    distinct counts) → `operators/stats.py::bucketed_cumsum` for
+    items-below (no single-partition sort) → ONE integer aggregate
+    using the tied-run closed form c·(2mt + m(m+1)) = 2·Σ i·cᵢ. The
+    Gini is two divisions of exact BIGINTs — bit-identical
+    cross-engine. Σ 2i·cᵢ can reach n²·c̄: past ~10⁹ distinct tokens
+    switch the accumulator to DECIMAL."""
+    from ..operators.stats import gini_concentration
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return gini_concentration(tc, c="c")
+
+
+# nDCG position weights 1/log2(i+1) and their cumulative sums (the
+# ideal-DCG ladder), Python-computed and shared with the oracle —
+# libm log2 is not bit-portable, literals are.
+_RM_K, _RM_Q = 10, 20
+_RM_W = [1.0 / _m.log2(i + 1) for i in range(1, _RM_K + 1)]
+_RM_IDCG = [sum(_RM_W[: r + 1]) for r in range(_RM_K)]
+_RM_W_CASE = " ".join(f"WHEN {i + 1} THEN CAST({w!r} AS DOUBLE)" for i, w in enumerate(_RM_W))
+_RM_I_CASE = " ".join(
+    f"WHEN {r + 1} THEN CAST({v!r} AS DOUBLE)" for r, v in enumerate(_RM_IDCG)
+)
+
+
+@query(
+    "q_ranking_metrics",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_RM_Q}),
+    scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      round(list_cosine_similarity(e.v, q.qv), 4) AS score
+               FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored),
+    top AS (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= {_RM_K}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    rel AS (SELECT top.query_id, top.rank,
+                   CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END AS rel,
+                   ql.label AS qlabel
+            FROM top
+            JOIN lab ql ON ql.vec_id = top.query_id
+            JOIN lab nl ON nl.vec_id = top.neighbor_id),
+    g AS (SELECT query_id, any_value(qlabel) AS query_label,
+                 CAST(sum(rel) AS BIGINT) AS n_rel,
+                 min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+                 sum(CASE WHEN rel = 1
+                          THEN CASE rank {_RM_W_CASE} END
+                          ELSE 0.0e0 END) AS dcg
+          FROM rel GROUP BY query_id)
+    SELECT query_id, query_label, n_rel,
+           coalesce(1.0 / first_rel, 0.0e0) AS mrr,
+           CASE WHEN n_rel = 0 THEN 0.0e0
+                ELSE round(dcg / (CASE n_rel {_RM_I_CASE} END), 6)
+           END AS ndcg
+    FROM g
+    """,
+)
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for the embedding retrieval stack:
+    per-probe MRR (reciprocal rank of the first same-label neighbor)
+    and self-normalized nDCG@10 with binary same-label relevance —
+    the eval numbers every retrieval/RAG deployment reports, computed
+    over the SAME deterministic top-k the kNN/label-agreement queries
+    rank (`operators/similarity.py::knn_bruteforce`). The 1/log2
+    position weights and the ideal-DCG ladder are Python literals
+    shared with the oracle (libm log2 is not bit-portable); MRR is an
+    exact 1/rank; nDCG rounds to 6 (the ≤10-term weight sum is the
+    one order-sensitive float).
+
+    Scale shape: probe side broadcasts, the corpus streams the
+    scoring scan (never shuffles), rank runs on projected score
+    triples, then two label joins and a probe-grain aggregate."""
+    from ..operators.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lab = emb.select("vec_id", "label")
+    top = knn_bruteforce(emb, n_queries=_RM_Q, k=_RM_K)
+    w_map = F.create_map(*[F.lit(x) for i, w in enumerate(_RM_W) for x in (i + 1, w)])
+    i_map = F.create_map(
+        *[F.lit(x) for r, v in enumerate(_RM_IDCG) for x in (r + 1, v)]
+    )
+    rel = F.when(F.col("label") == F.col("query_label"), 1).otherwise(0)
+    g = (
+        top.join(
+            F.broadcast(
+                lab.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("query_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(lab.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id")
+        .select("query_id", "query_label", "rank", rel.alias("rel"))
+        .groupBy("query_id")
+        .agg(
+            F.first("query_label").alias("query_label"),
+            F.sum("rel").cast("long").alias("n_rel"),
+            F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+            F.sum(
+                F.when(F.col("rel") == 1, F.element_at(w_map, F.col("rank"))).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("dcg"),
+        )
+    )
+    return g.select(
+        "query_id",
+        "query_label",
+        "n_rel",
+        F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)).alias("mrr"),
+        F.when(F.col("n_rel") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("dcg") / F.element_at(i_map, F.col("n_rel").cast("int")), 6)
+        )
+        .alias("ndcg"),
     )

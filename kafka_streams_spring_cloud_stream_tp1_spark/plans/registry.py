@@ -134,6 +134,16 @@ _FRONT = [
     "q_acf",
     "q_cusum_changepoint",
     "q_benford",
+    "q_auc_propensity",
+    "q_welch_ttest",
+    "q_poisson_bootstrap",
+    "q_jsd_sources",
+    "q_gini_token",
+    "q_calibration_bins",
+    "q_funnel_time",
+    "q_survival_km",
+    "q_holt_smoothing",
+    "q_ranking_metrics",
     "q_ewma_segmented",
     "q_embedding_covariance",
     "q_gopher_filter",

@@ -4388,3 +4388,502 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_frac.alias("exp_frac"),
         F.abs(obs - exp_frac).alias("abs_dev"),
     )
+
+
+@query(
+    "q_auc_propensity",
+    oracle="""
+    WITH u0 AS (SELECT user_id,
+                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS v,
+                       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS np
+                FROM events WHERE event_type IN ('view', 'purchase')
+                GROUP BY user_id),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                 CAST(sum(np) AS BIGINT) AS s FROM u0),
+    u AS (SELECT v, CASE WHEN np * nu > s THEN 1 ELSE 0 END AS label
+          FROM u0 CROSS JOIN t),
+    vc AS (SELECT v, CAST(sum(label) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM u GROUP BY v),
+    cum AS (SELECT v, c1, c,
+                   CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c AS cb
+            FROM vc),
+    agg AS (SELECT CAST(sum(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1t,
+                   CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c) - sum(c1) AS BIGINT) AS n2
+            FROM cum)
+    SELECT n1 AS n_pos, n2 AS n_neg,
+           (r1t - n1 * (n1 + 1)) / CAST(2 * n1 * n2 AS DOUBLE) AS auc,
+           2 * ((r1t - n1 * (n1 + 1)) / CAST(2 * n1 * n2 AS DOUBLE)) - 1
+               AS gini
+    FROM agg
+    """,
+)
+def q_auc_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a behavioral propensity signal — does view volume
+    predict heavy purchasing? Per-user score = view-event count,
+    label = above-average purchase count (the did-purchase flag
+    saturates on this fixture, `q_ab_test`'s documented lesson; the
+    above-mean cut is non-degenerate at every scale and stays exact:
+    nₚ·N > Σnₚ is an integer comparison, no float mean). AUC by the
+    exact rank-sum identity U₁/(n₁·n₂) with midrank ties (NOT a
+    binned trapezoid), plus the Gini coefficient 2·AUC−1 — the
+    model-eval primitive every ranking/conversion pipeline reports.
+
+    Scale shape: one user-keyed aggregate (the only fact-sized
+    shuffle), per-distinct-score counts, then
+    `operators/stats.py::rank_sum_auc` — the bucket-offset global
+    cumulative (no single-partition sort) and ONE integer rank-sum
+    aggregate; AUC is a single division of exact BIGINTs,
+    bit-identical cross-engine."""
+    from ..operators.stats import rank_sum_auc
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    u0 = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+    )
+    t = u0.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("np").cast("long").alias("s"),
+    )
+    users = u0.crossJoin(F.broadcast(t)).select(
+        "score",
+        F.when(F.col("np") * F.col("nu") > F.col("s"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("label"),
+    )
+    return rank_sum_auc(users, score="score", label="label")
+
+
+@query(
+    "q_welch_ttest",
+    oracle="""
+    WITH d AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+                      CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE event_type IN ('purchase', 'click')
+               GROUP BY 1, 2),
+    m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM d GROUP BY g),
+    a AS (SELECT n AS n1, sx AS sx1, sxx AS sxx1 FROM m WHERE g = 1),
+    b AS (SELECT n AS n2, sx AS sx2, sxx AS sxx2 FROM m WHERE g = 0)
+    SELECT n1, n2,
+           (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2) AS mean_diff,
+           (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+             / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
+                    + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+               AS t_stat,
+           (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
+            + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+           * (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
+              + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+           / ((CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1)
+              * (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1)
+              / (n1 - 1)
+              + (CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+                * (CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+                / (n2 - 1)) AS df
+    FROM a CROSS JOIN b
+    """,
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing mean DAILY volume of
+    purchases vs clicks, with the Welch-Satterthwaite degrees of
+    freedom — the "did the level shift" readout robust to the two
+    series having different variances (Student's pooled t is not).
+
+    Scale shape: one fact-sized (group, day) count aggregate, a 2-row
+    moment frame, and a broadcast 1×1 join. All moments are exact
+    integer sums; mean/variance/t/df are fixed float expressions over
+    them (`operators/stats.py::welch_ttest`) — bit-identical
+    cross-engine, no order-dependent float accumulation."""
+    from ..operators.stats import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    d = ev.groupBy(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    return welch_ttest(d, group="g", x="x")
+
+
+from ..operators.hashing import xhash_sql as _xh
+from ..operators.stats import POISSON1_CDF as _P1
+
+_PB_B = 64
+_PB_CASE = " ".join(
+    f"WHEN u < CAST({t!r} AS DOUBLE) THEN {k}" for k, t in enumerate(_P1)
+)
+
+
+@query(
+    "q_poisson_bootstrap",
+    oracle=f"""
+    WITH r AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                      o_orderkey
+               FROM orders),
+    e AS (SELECT cents, o_orderkey, t.i,
+                 md5('pb|' || CAST(o_orderkey AS VARCHAR)
+                           || '|' || CAST(t.i AS VARCHAR)) AS h
+          FROM r CROSS JOIN range({_PB_B // 4}) t(i)),
+    uu AS (SELECT cents, i * 4 + j.j AS b,
+                  CAST('0x' || substr(h, 1 + 8 * CAST(j.j AS INTEGER), 8)
+                       AS BIGINT) / 4294967296.0 AS u
+           FROM e CROSS JOIN range(4) j(j)),
+    w AS (SELECT cents, b, CASE {_PB_CASE} ELSE {len(_P1)} END AS w FROM uu),
+    rep AS (SELECT b, CAST(sum(w * cents) AS BIGINT) AS swx,
+                   CAST(sum(w) AS BIGINT) AS sw
+            FROM w GROUP BY b),
+    ms AS (SELECT list_sort(list(CAST(swx AS DOUBLE) / sw)) AS ms FROM rep),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(cents) AS BIGINT) AS sx FROM r)
+    SELECT n_rows,
+           CAST(sx AS DOUBLE) / n_rows AS est_mean,
+           ms[2] AS ci_lo,
+           ms[63] AS ci_hi
+    FROM base CROSS JOIN ms
+    """,
+)
+def q_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order value (in
+    cents) via the Poisson bootstrap (Chamandy et al., Google 2012) —
+    THE bootstrap that works on sharded data: each row joins replicate
+    b with weight w ~ Poisson(1) drawn independently per (row, b), so
+    no replicate ever needs a global resample or a second pass.
+
+    Determinism: weights come from the engine-portable 60-bit md5 hash
+    of (salt, orderkey, b) mapped through Python-computed Poisson CDF
+    literals shared verbatim with the oracle. Each replicate's
+    (Σw·x, Σw) are exact integers; the 64 replicate means float only
+    at the final division, and the CI is index-based order statistics
+    over that 64-element frame (`operators/stats.py::
+    poisson_bootstrap_mean`). Scale shape: one scan fanned ×64 into a
+    64-group aggregate — map-side combined, replicate state is 64
+    pairs of longs per task regardless of table size."""
+    from ..operators.stats import poisson_bootstrap_mean
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    return poisson_bootstrap_mean(
+        rows, value_int="cents", key="o_orderkey", replicates=_PB_B, salt="pb"
+    )
+
+
+_CAL_B = 8
+
+
+@query(
+    "q_calibration_bins",
+    oracle=f"""
+    WITH u0 AS (SELECT user_id,
+                       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS v,
+                       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS np
+                FROM events WHERE event_type IN ('view', 'purchase')
+                GROUP BY user_id),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS nu, CAST(sum(np) AS BIGINT) AS s,
+                 CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax
+          FROM u0),
+    lab AS (SELECT v, CASE WHEN np * nu > s THEN 1 ELSE 0 END AS label,
+                   CASE WHEN vmax > vmin
+                        THEN least({_CAL_B - 1},
+                                   CAST(floor((v - vmin) * {_CAL_B}.0
+                                              / (vmax - vmin)) AS BIGINT))
+                        ELSE 0 END AS bin,
+                   nu, s
+            FROM u0 CROSS JOIN t),
+    g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(sum(label) AS BIGINT) AS c1,
+                 any_value(nu) AS nu, any_value(s) AS s
+          FROM lab GROUP BY bin),
+    pos AS (SELECT CAST(sum(c1) AS BIGINT) AS p1 FROM g)
+    SELECT bin, n_users,
+           CAST(sv AS DOUBLE) / n_users AS avg_score,
+           CAST(c1 AS DOUBLE) / n_users AS pos_rate,
+           CAST(c1 * nu AS DOUBLE) / (n_users * p1) AS lift
+    FROM g CROSS JOIN pos
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-bin calibration (reliability) table for the view-volume
+    propensity signal: users bucketed into 8 fixed-width score bins,
+    each reporting its size, mean score, empirical heavy-buyer rate,
+    and lift over the base rate — the table behind every reliability
+    diagram and decile-lift report; `q_auc_propensity` says whether
+    the signal RANKS, this says whether its LEVELS mean anything.
+
+    Scale shape: the user rollup is the only fact-sized shuffle; the
+    bin id is a pure function of the score given a broadcast 1-row
+    (min, max, totals) frame, then one 8-group aggregate. Every
+    reported number is a single division of exact BIGINTs —
+    bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    u0 = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+    )
+    t = u0.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("np").cast("long").alias("s"),
+        F.min("v").cast("long").alias("vmin"),
+        F.max("v").cast("long").alias("vmax"),
+    )
+    B = _CAL_B
+    bin_ = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.least(
+            F.lit(B - 1),
+            F.floor(
+                (F.col("v") - F.col("vmin")) * float(B) / (F.col("vmax") - F.col("vmin"))
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(0))
+    lab = u0.crossJoin(F.broadcast(t)).select(
+        "v",
+        F.when(F.col("np") * F.col("nu") > F.col("s"), 1).otherwise(0).alias("label"),
+        bin_.alias("bin"),
+        "nu",
+        "s",
+    )
+    g = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum("label").cast("long").alias("c1"),
+        F.first("nu").alias("nu"),
+    )
+    pos = g.agg(F.sum("c1").cast("long").alias("p1"))
+    return g.crossJoin(F.broadcast(pos)).select(
+        "bin",
+        "n_users",
+        (F.col("sv").cast("double") / F.col("n_users")).alias("avg_score"),
+        (F.col("c1").cast("double") / F.col("n_users")).alias("pos_rate"),
+        (
+            (F.col("c1") * F.col("nu")).cast("double")
+            / (F.col("n_users") * F.col("p1"))
+        ).alias("lift"),
+    )
+
+
+@query(
+    "q_funnel_time",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT DISTINCT user_id, ts AS view_ts FROM events
+          WHERE event_type = 'view'),
+    j AS (SELECT p.user_id, p.ts, v.view_ts
+          FROM p ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND p.ts >= v.view_ts),
+    d AS (SELECT epoch_us(ts) - epoch_us(view_ts) AS delay_us FROM j
+          WHERE view_ts IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases FROM j)
+    SELECT n_purchases,
+           CAST((SELECT count(*) FROM d) AS BIGINT) AS n_with_prior_view,
+           (SELECT quantile_cont(delay_us, 0.50) FROM d) / 1000000.0 AS p50_sec,
+           (SELECT quantile_cont(delay_us, 0.90) FROM d) / 1000000.0 AS p90_sec,
+           (SELECT quantile_cont(delay_us, 0.99) FROM d) / 1000000.0 AS p99_sec
+    FROM n
+    """,
+)
+def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every purchase, the delay since that
+    user's most recent prior view, summarized as p50/p90/p99 seconds
+    — the funnel-velocity number next to `q_funnel_steps`' volume
+    counts (how FAST the funnel moves, not just how many pass).
+
+    Composability exhibit: the SAME union-merge as-of primitive
+    (`operators/asof.py::asof_join`, one keyed sort, zero pair
+    materialization) that serves `q_asof_join`/`q_attribution`, here
+    feeding an exact-percentile reduction. Delays are exact epoch-µs
+    integer differences; percentile interpolation is the same double
+    arithmetic on both engines (the `q_length_trim` precedent), and
+    the /1e6 to seconds is a fixed final division. The oracle
+    cross-validates against DuckDB's NATIVE ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .distinct()
+    )
+    j = asof_join(
+        p, v, left_key="user_id", right_key="user_id",
+        left_ts="ts", right_ts="view_ts", payload_cols=["view_ts"],
+    )
+    delay = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("view_ts"))
+    ).alias("delay_us")
+    d = j.select("view_ts", delay)
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count("view_ts").cast("long").alias("n_with_prior_view"),
+        (F.expr("percentile(delay_us, 0.50D)") / 1000000.0).alias("p50_sec"),
+        (F.expr("percentile(delay_us, 0.90D)") / 1000000.0).alias("p90_sec"),
+        (F.expr("percentile(delay_us, 0.99D)") / 1000000.0).alias("p99_sec"),
+    )
+
+
+@query(
+    "q_survival_km",
+    oracle="""
+    WITH b AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+    u AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+                 min(CASE WHEN event_type = 'purchase'
+                          THEN CAST(ts AS DATE) END) AS pd
+          FROM events GROUP BY user_id),
+    s AS (SELECT CASE WHEN pd IS NOT NULL THEN date_diff('day', fd, pd)
+                      ELSE date_diff('day', fd, maxd) END AS t,
+                 CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM u CROSS JOIN b),
+    g AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS tot
+          FROM s GROUP BY t),
+    n AS (SELECT CAST(sum(tot) AS BIGINT) AS nn FROM g),
+    c AS (SELECT t, d, tot,
+                 CAST(sum(tot) OVER (ORDER BY t) AS BIGINT) AS cumt
+          FROM g),
+    z AS (SELECT t, d, nn - cumt + tot AS n_at,
+                 CASE WHEN d > 0 AND d < nn - cumt + tot
+                      THEN ln(CAST(nn - cumt + tot - d AS DOUBLE)
+                              / (nn - cumt + tot))
+                      ELSE 0.0 END AS lt,
+                 CASE WHEN d >= nn - cumt + tot THEN 1 ELSE 0 END AS zf
+          FROM c CROSS JOIN n),
+    k AS (SELECT t, d, n_at, sum(lt) OVER (ORDER BY t) AS cl,
+                 CAST(sum(zf) OVER (ORDER BY t) AS BIGINT) AS cz
+          FROM z)
+    SELECT t AS t_days, n_at AS n_at_risk, d AS n_events,
+           round(CASE WHEN cz > 0 THEN 0.0 ELSE exp(cl) END, 4) AS survival
+    FROM k WHERE d > 0
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (Kaplan & Meier 1958):
+    duration = days from a user's first event to their first
+    purchase, right-CENSORED at the window edge for users who never
+    purchased — the estimator a naive 1−ECDF of converter delays gets
+    WRONG because it silently drops the non-converters that make long
+    conversions look common. One row per distinct conversion day:
+    at-risk count, conversions, and the product-limit survival
+    ("still unconverted") probability.
+
+    Scale shape: one user-keyed rollup (the only fact-sized shuffle),
+    then everything runs on the calendar-span-bounded duration frame:
+    two `bucketed_cumsum` passes (operators/stats.py::kaplan_meier) —
+    an exact-integer one for at-risk counts and a float one turning
+    the survival product into exp of an ordered ln-sum (no
+    overflowing integer product, no single-partition window).
+    At-risk/event counts are exact BIGINTs; survival rounds to 4 (the
+    ln/exp floats, `q_source_kl` precedent)."""
+    from ..operators.stats import kaplan_meier
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("fd"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts").cast("date"))
+        ).alias("pd"),
+    )
+    b = ev.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    spans = u.crossJoin(F.broadcast(b)).select(
+        F.when(
+            F.col("pd").isNotNull(), F.datediff(F.col("pd"), F.col("fd"))
+        )
+        .otherwise(F.datediff(F.col("maxd"), F.col("fd")))
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("pd").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return kaplan_meier(spans, dur="dur", event="ev")
+
+
+_HOLT_A, _HOLT_B = 0.5, 0.3
+
+
+def _holt_oracle(a: float, b: float) -> str:
+    # Recursive-CTE replay (the repo's MMR-oracle pattern): DuckDB
+    # 1.0's list_reduce updates a struct accumulator FIELD-BY-FIELD in
+    # place, so a two-field state reads its own half-written step
+    # (probed: '{l: x.l*100, b: acc.l}' returns the NEW l in b) —
+    # unusable for (level, trend). The CTE carries both fields intact
+    # per step and computes the identical expressions in the identical
+    # order, preserving raw-double parity with the Spark fold.
+    ca = f"CAST({a!r} AS DOUBLE)"
+    c1a = f"CAST({1.0 - a!r} AS DOUBLE)"
+    cb = f"CAST({b!r} AS DOUBLE)"
+    c1b = f"CAST({1.0 - b!r} AS DOUBLE)"
+    nl = f"({ca} * vals[st.i + 1] + {c1a} * (st.l + st.b))"
+    return f"""
+    WITH RECURSIVE d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (SELECT event_type, list(CAST(x AS DOUBLE) ORDER BY day) AS vals
+          FROM d GROUP BY event_type),
+    st AS (
+        SELECT event_type, 2 AS i,
+               vals[1] AS l, vals[2] - vals[1] AS b
+        FROM s WHERE len(vals) >= 2
+        UNION ALL
+        SELECT st.event_type, st.i + 1,
+               {nl},
+               {cb} * ({nl} - st.l) + {c1b} * st.b
+        FROM st JOIN s USING (event_type)
+        WHERE st.i < len(vals)
+    )
+    SELECT st.event_type, CAST(len(vals) AS BIGINT) AS n_events,
+           st.l AS level, st.b AS trend, st.l + st.b AS forecast
+    FROM st JOIN s USING (event_type)
+    WHERE st.i = len(vals)
+    """
+
+
+@query("q_holt_smoothing", oracle=_holt_oracle(_HOLT_A, _HOLT_B))
+def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level + trend) exponential smoothing of each
+    event type's daily volume, with the one-step-ahead forecast —
+    the trending-series forecaster plain EWMA cannot be (EWMA lags a
+    ramp by a constant forever; Holt's trend term closes the gap).
+    Completes the sequential-smoother ladder `q_ewma` →
+    `q_ewma_segmented` → Holt: the step is an affine map on the
+    (level, trend) pair, so the same segment-and-carry algebra
+    applies when a key's history outgrows a task
+    (operators/timeseries.py::holt_linear).
+
+    One fact-sized (type, day) aggregate, then a keyed collect +
+    codegen'd struct fold per type — raw-double bit parity with the
+    oracle's list_reduce replay of the identical op sequence."""
+    from ..operators.timeseries import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    return holt_linear(
+        d, key="event_type", order_cols=["day"], value_col="x",
+        alpha=_HOLT_A, beta=_HOLT_B,
+    )

@@ -947,3 +947,40 @@ def test_snm_rotated_key_recovers_boundary_pairs(spark):
     p1 = snm_pairs(docs, window=3, threshold=0.5, key_start=4)
     both = p0.unionAll(p1).dropDuplicates(["doc_a", "doc_b"])
     assert (1, 2) in {(r.doc_a, r.doc_b) for r in both.collect()}
+
+
+def test_ranking_metrics_bruteforce(spark):
+    """MRR and nDCG must match a direct Python computation over the
+    same deterministic top-10 lists."""
+    import math
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    top = knn_bruteforce(emb, n_queries=20, k=10).collect()
+    per_q: dict = {}
+    for r in top:
+        per_q.setdefault(r.query_id, []).append((r.rank, labels[r.neighbor_id]))
+    out = {r.query_id: r for r in queries_map()["q_ranking_metrics"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(per_q)
+    for qid, lst in per_q.items():
+        lst.sort()
+        ql = labels[qid]
+        rels = [(rank, 1 if lab == ql else 0) for rank, lab in lst]
+        n_rel = sum(r for _, r in rels)
+        first = min((rank for rank, r in rels if r), default=None)
+        mrr = 1.0 / first if first else 0.0
+        dcg = sum(r / math.log2(rank + 1) for rank, r in rels)
+        idcg = sum(1.0 / math.log2(i + 2) for i in range(n_rel))
+        ndcg = round(dcg / idcg, 6) if n_rel else 0.0
+        assert out[qid].n_rel == n_rel, qid
+        assert abs(out[qid].mrr - mrr) < 1e-12, qid
+        assert abs(out[qid].ndcg - ndcg) < 1e-6, qid
+        assert out[qid].query_label == ql

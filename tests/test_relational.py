@@ -492,3 +492,287 @@ def test_common_neighbor_scores_hand_graph(spark):
     }
     assert (2, 5) not in capped and (4, 5) not in capped
     assert capped[(2, 4)].common == 1  # only via 3 now
+
+
+def test_auc_matches_pair_counting(spark):
+    """AUC must equal the direct P(score_pos > score_neg) + ½P(=)
+    pair count over the same per-user frame."""
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
+        )
+        .collect()
+    )
+    s = sum(r.np for r in rows)
+    nu = len(rows)
+    pos = [r.v for r in rows if r.np * nu > s]
+    neg = [r.v for r in rows if r.np * nu <= s]
+    u = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    )
+    out = queries_map()["q_auc_propensity"](spark, SF_SMOKE).collect()[0]
+    assert out.n_pos == len(pos) and out.n_neg == len(neg)
+    assert abs(out.auc - u / (len(pos) * len(neg))) < 1e-12
+    assert abs(out.gini - (2 * out.auc - 1)) < 1e-15
+
+
+def test_welch_matches_bruteforce(spark):
+    """t and the Welch-Satterthwaite df must match the textbook
+    formulas computed in Python over the same daily series."""
+    import math
+
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    )
+    a = [r["count"] for r in daily if r.event_type == "purchase"]
+    b = [r["count"] for r in daily if r.event_type == "click"]
+    m1, m2 = sum(a) / len(a), sum(b) / len(b)
+    v1 = sum((x - m1) ** 2 for x in a) / (len(a) - 1)
+    v2 = sum((x - m2) ** 2 for x in b) / (len(b) - 1)
+    se = v1 / len(a) + v2 / len(b)
+    t = (m1 - m2) / math.sqrt(se)
+    df = se * se / (
+        (v1 / len(a)) ** 2 / (len(a) - 1) + (v2 / len(b)) ** 2 / (len(b) - 1)
+    )
+    out = queries_map()["q_welch_ttest"](spark, SF_SMOKE).collect()[0]
+    assert out.n1 == len(a) and out.n2 == len(b)
+    assert abs(out.mean_diff - (m1 - m2)) < 1e-9
+    assert abs(out.t_stat - t) < 1e-9
+    assert abs(out.df - df) < 1e-6
+
+
+def test_poisson_bootstrap_properties(spark):
+    """The CI must bracket the point estimate, the weights must be
+    deterministic (two runs identical), and replicate means must
+    scatter AROUND the sample mean (non-degenerate CI)."""
+    q = queries_map()["q_poisson_bootstrap"]
+    r1 = q(spark, SF_SMOKE).collect()[0]
+    r2 = q(spark, SF_SMOKE).collect()[0]
+    assert r1 == r2
+    assert r1.ci_lo <= r1.est_mean <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi
+    # CI width should be on the order of sigma/sqrt(n), not zero/huge:
+    # bounded above by the full value range
+    assert (r1.ci_hi - r1.ci_lo) < r1.est_mean
+
+
+def test_gini_concentration_known_distributions(spark):
+    """Uniform counts → G = 0 exactly; a maximally-skewed two-point
+    distribution approaches the textbook value computed directly."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.stats import (
+        gini_concentration,
+    )
+
+    uniform = spark.createDataFrame([(f"t{i}", 7) for i in range(100)], ["k", "c"])
+    g0 = gini_concentration(uniform, c="c").collect()[0]
+    assert g0.n_items == 100 and g0.total_count == 700
+    assert abs(g0.gini) < 1e-12
+    skewed = spark.createDataFrame(
+        [(f"t{i}", 1) for i in range(99)] + [("hot", 9901)], ["k", "c"]
+    )
+    g1 = gini_concentration(skewed, c="c").collect()[0]
+    counts = sorted([1] * 99 + [9901])
+    n, tot = len(counts), sum(counts)
+    s = sum((i + 1) * c for i, c in enumerate(counts))
+    expected = 2 * s / (n * tot) - (n + 1) / n
+    assert abs(g1.gini - expected) < 1e-12
+
+
+def test_jsd_bounds_and_bruteforce(spark):
+    """JSD must sit in [0, ln 2] and equal the direct two-distribution
+    computation (including the zero-overlap closed form) per source."""
+    import math
+    from collections import Counter
+
+    rows = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    corpus = Counter()
+    per_src: dict = {}
+    for r in rows:
+        toks = r.text.split()
+        corpus.update(toks)
+        per_src.setdefault(r.source, Counter()).update(toks)
+    n_tot = sum(corpus.values())
+    out = {r.source: r for r in queries_map()["q_jsd_sources"](spark, SF_SMOKE).collect()}
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        jsd = 0.0
+        for t in corpus:
+            p = cnt.get(t, 0) / n_s
+            q = corpus[t] / n_tot
+            m = (p + q) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            if q > 0:
+                jsd += 0.5 * q * math.log(q / m)
+        assert 0 <= out[src].jsd_vs_corpus <= math.log(2) + 1e-9
+        assert abs(out[src].jsd_vs_corpus - jsd) < 5e-4, src
+        assert out[src].n_tokens == n_s
+
+
+def test_bucketed_cumsum_matches_python(spark):
+    """Exact global cumulatives from the bucket machinery must equal a
+    plain Python running sum over the sorted values, including under
+    constant values (single-bucket degenerate case)."""
+    import random
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.stats import (
+        bucketed_cumsum,
+    )
+
+    rng = random.Random(7)
+    data = [(rng.randint(-50, 50), rng.randint(1, 9)) for _ in range(300)]
+    # collapse to distinct values as the contract requires
+    agg: dict = {}
+    for v, c in data:
+        agg[v] = agg.get(v, 0) + c
+    df = spark.createDataFrame(sorted(agg.items()), ["v", "c"])
+    got = {
+        r.v: r.cum_c for r in bucketed_cumsum(df, "v", ["c"], buckets=16).collect()
+    }
+    run = 0
+    for v in sorted(agg):
+        run += agg[v]
+        assert got[v] == run, v
+    const = spark.createDataFrame([(5, i + 1) for i in range(4)], ["v", "c"])
+    # constant value column → span 0 → everything lands in bucket 0;
+    # rows are NOT distinct by v here, so local window order within the
+    # tie is unspecified — only the TOTAL at the last row is defined
+    tot = sorted(
+        r.cum_c for r in bucketed_cumsum(const, "v", ["c"], buckets=16).collect()
+    )[-1]
+    assert tot == 10
+
+
+def test_calibration_bins_bruteforce(spark):
+    """Bin assignment, rates, and lift must match a direct Python
+    computation; user mass must be conserved across bins."""
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("np"),
+        )
+        .collect()
+    )
+    nu, s = len(rows), sum(r.np for r in rows)
+    vmin, vmax = min(r.v for r in rows), max(r.v for r in rows)
+    bins: dict = {}
+    for r in rows:
+        b = min(7, int((r.v - vmin) * 8.0 / (vmax - vmin))) if vmax > vmin else 0
+        n, sv, c1 = bins.get(b, (0, 0, 0))
+        bins[b] = (n + 1, sv + r.v, c1 + (1 if r.np * nu > s else 0))
+    p1 = sum(c for _, _, c in bins.values())
+    out = {r.bin: r for r in queries_map()["q_calibration_bins"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(bins)
+    assert sum(r.n_users for r in out.values()) == nu
+    for b, (n, sv, c1) in bins.items():
+        assert out[b].n_users == n
+        assert abs(out[b].avg_score - sv / n) < 1e-12
+        assert abs(out[b].pos_rate - c1 / n) < 1e-12
+        assert abs(out[b].lift - (c1 * nu) / (n * p1)) < 1e-12
+
+
+def test_funnel_time_bruteforce(spark):
+    """Counts and the median delay must match a direct per-purchase
+    scan for the latest prior view."""
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_type", "ts").collect()
+    views: dict = {}
+    for r in ev:
+        if r.event_type == "view":
+            views.setdefault(r.user_id, []).append(r.ts)
+    delays = []
+    n_purch = 0
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        n_purch += 1
+        prior = [t for t in views.get(r.user_id, []) if t <= r.ts]
+        if prior:
+            delays.append((r.ts - max(prior)).total_seconds())
+    out = queries_map()["q_funnel_time"](spark, SF_SMOKE).collect()[0]
+    assert out.n_purchases == n_purch
+    assert out.n_with_prior_view == len(delays)
+    delays.sort()
+    # exact linear-interpolation percentile, same definition both engines
+    def pct(p):
+        k = (len(delays) - 1) * p
+        f, c = int(k), min(int(k) + 1, len(delays) - 1)
+        return delays[f] + (k - f) * (delays[c] - delays[f])
+
+    assert abs(out.p50_sec - pct(0.50)) < 1e-6
+    assert abs(out.p99_sec - pct(0.99)) < 1e-6
+
+
+def test_survival_km_bruteforce(spark):
+    """The KM curve must match the textbook product-limit computation
+    over per-user (time-to-first-purchase, converted) spans, including
+    the absorbing zero if the last at-risk cohort all converts."""
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "event_type", "ts").collect()
+    first: dict = {}
+    firstp: dict = {}
+    maxd = max(r.ts for r in ev).date()
+    for r in ev:
+        d = r.ts.date()
+        first[r.user_id] = min(first.get(r.user_id, d), d)
+        if r.event_type == "purchase":
+            firstp[r.user_id] = min(firstp.get(r.user_id, d), d)
+    spans = [
+        (
+            (firstp[u] - fd).days if u in firstp else (maxd - fd).days,
+            1 if u in firstp else 0,
+        )
+        for u, fd in first.items()
+    ]
+    from collections import Counter
+
+    deaths = Counter(t for t, e in spans if e == 1)
+    out = {r.t_days: r for r in queries_map()["q_survival_km"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(deaths)
+    s = 1.0
+    for t in sorted({t for t, _ in spans}):
+        n_at = sum(1 for tt, _ in spans if tt >= t)
+        d = deaths.get(t, 0)
+        if d:
+            s *= (n_at - d) / n_at
+            assert out[t].n_at_risk == n_at and out[t].n_events == d
+            assert abs(out[t].survival - round(s, 4)) < 1e-9, t
+    # survival is monotone non-increasing and within [0, 1]
+    vals = [out[t].survival for t in sorted(out)]
+    assert all(1 >= a >= b >= 0 for a, b in zip(vals, vals[1:]))
+
+
+def test_holt_matches_python_fold(spark):
+    """Level/trend/forecast must equal the sequential Python fold to
+    the last bit (raw-double parity contract, as q_ewma)."""
+    daily = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .count()
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, float(r["count"])))
+    out = {r.event_type: r for r in queries_map()["q_holt_smoothing"](spark, SF_SMOKE).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        l, b = xs[0], xs[1] - xs[0]
+        for v in xs[2:]:
+            nl = 0.5 * v + 0.5 * (l + b)
+            b = 0.3 * (nl - l) + 0.7 * b
+            l = nl
+        assert out[et].level == l, et
+        assert out[et].trend == b, et
+        assert out[et].forecast == l + b, et
+        assert out[et].n_events == len(xs)
