@@ -217,6 +217,20 @@ def main() -> None:
     print(json.dumps(summary, separators=(",", ":")))
     print(json.dumps(detail, separators=(",", ":")))
     print(json.dumps(summary, separators=(",", ":")))
+    # The driver's BENCH_rN.json keeps only the 2 KB stdout tail
+    # (summary = top-10), which left round-over-round regression
+    # checks with ~26 recoverable pairs. Persist the FULL per-query
+    # map as a committed artifact so every round diffs against the
+    # last for all queries (VERDICT r05 #5).
+    try:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(out, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"could not write BENCH_DETAIL.json: {exc!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -776,3 +776,174 @@ def snm_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def bloom_positions(
+    fingerprint,  # Column: string fingerprint
+    m: int,
+    k: int,
+    salt: str = "bloom",
+):
+    """Array Column of the ``k`` Bloom bit positions (each in [0, m))
+    for a string fingerprint — the engine-portable 60-bit md5 hash
+    (operators/hashing.py) salted per slot, so Spark and the DuckDB
+    oracle derive bit-identical positions."""
+    return F.array(
+        *[
+            (xhash(F.concat_ws("#", F.lit(f"{salt}{i}"), fingerprint)) % m).alias(
+                f"p{i}"
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_dedup_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m: int = 4096,
+    k: int = 3,
+    new_mod: int = 5,
+    new_rem: int = 4,
+) -> DataFrame:
+    """Bloom-filter exact-dup admission gate — the cheap sibling of the
+    MinHash probe (`q_incremental_dedup`): before a new crawl batch
+    pays for shingling/signatures, test each new document's normalized
+    content fingerprint against a Bloom filter built from the EXISTING
+    corpus (Bloom 1970; Broder & Mitzenmacher's survey frames exactly
+    this membership-gate use). A doc whose ``k`` bit positions are all
+    set is a *probable* duplicate (false-positive rate
+    (1-e^{-kn/m})^k, zero false negatives for the exact-match
+    fingerprint) and is routed to the expensive verify stage; a doc
+    with any clear bit is DEFINITELY new and skips it.
+
+    Split: ``doc_id % new_mod == new_rem`` is the "new batch" slice,
+    the rest is the existing corpus — the same deterministic
+    convention as `q_incremental_dedup` so the two gates are
+    comparable on the same data.
+
+    Representation: the filter is the DISTINCT set of set bit
+    positions (≤ m rows of one integer) rather than a packed bitmap —
+    semantically identical membership answers, exactly replayable in
+    SQL, and the broadcast build is what a production deployment does
+    anyway (m bits ≪ executor memory; Spark's own
+    `DataFrameStatFunctions.bloomFilter` is the packed equivalent
+    when oracle parity is not needed). Plan shape: one map-side
+    projection per side, a ≤m-row DISTINCT (broadcast), a broadcast
+    LEFT join from the k·|new| exploded positions, one |new|-keyed
+    count — no corpus-sized shuffle, no self-join. At 100 TB the old
+    side's position set is a prebuilt artifact read from storage and
+    only the new batch is scanned.
+
+    Output: (doc_id, hits, maybe_dup) for every new-batch doc —
+    ``hits`` = how many of its k positions are set, ``maybe_dup`` =
+    all k set."""
+    fp = F.md5(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+    pos = base.select(
+        "doc_id", F.explode(bloom_positions(F.col("fp"), m, k)).alias("pos")
+    )
+    old_bits = (
+        pos.filter(F.col("doc_id") % new_mod != new_rem).select("pos").distinct()
+    )
+    new_pos = pos.filter(F.col("doc_id") % new_mod == new_rem)
+    hit = new_pos.join(
+        F.broadcast(old_bits.withColumn("set_", F.lit(1))), "pos", "left"
+    )
+    return (
+        hit.groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("set_"), F.lit(0))).cast("long").alias("hits"))
+        .select("doc_id", "hits", (F.col("hits") == k).alias("maybe_dup"))
+    )
+
+
+def exact_substring_grams(
+    df: DataFrame,
+    gram_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, h) — DISTINCT hashes of every length-``gram_len``
+    character window of the document (char-level shingling at stride
+    1). Any exact substring of length ≥ gram_len shared between two
+    documents contains at least one aligned length-gram_len window,
+    so window-hash equality is a complete (no-false-negative) test
+    for "shares an exact substring of ≥ gram_len chars" — the
+    distributed form of the ExactSubstr criterion (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    which builds a suffix array to the same end).
+
+    Cost is O(total characters) rows — the honest price of exact
+    fidelity (the suffix array is also linear in the corpus). The
+    explode runs inside one codegen'd projection after `fan_out`, the
+    per-doc DISTINCT collapses repeated windows before any shuffle."""
+    t = F.col("t")
+    n_wins = F.greatest(F.length(t) - gram_len + 1, F.lit(0))
+    return (
+        fan_out(df, key=id_col)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        .filter(F.length(t) >= gram_len)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), n_wins)).alias("p"),
+            t.alias("t"),
+        )
+        .select("doc_id", xhash(F.col("t").substr(F.col("p"), F.lit(gram_len))).alias("h"))
+        .distinct()
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    gram_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document exact-substring contamination profile: how many of
+    the doc's distinct length-``gram_len`` char windows also occur in
+    at least one OTHER document, plus the share of its windows that
+    are cross-doc duplicated — the document-level ExactSubstr verdict
+    that complements `q_chunk_dedup_rewrite` (CDC chunks) with
+    window-exact fidelity: CDC can split two copies of the same
+    passage at different cut points; stride-1 char windows cannot
+    miss.
+
+    Plan: `exact_substring_grams` (O(chars) rows, per-doc DISTINCT) →
+    gram-keyed aggregate keeping only grams seen in ≥2 docs (the
+    duplicated-gram index is dup-mass-sized, not corpus-sized) → one
+    broadcast-able join back and a per-doc count. No self-join, no
+    pair explosion: the output is per-document, so work stays linear
+    in corpus characters even when a boilerplate gram occurs in a
+    million docs (the gram index row carries a count, never the doc
+    list).
+
+    Output: (doc_id, n_grams, n_shared_grams, shared_frac) for every
+    doc with at least one window."""
+    grams = exact_substring_grams(df, gram_len, text_col, id_col)
+    dup_grams = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    flagged = grams.join(dup_grams.withColumn("dup", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("long").alias(
+                "n_shared_grams"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared_grams",
+            F.round(
+                F.col("n_shared_grams") / F.col("n_grams").cast("double"), 4
+            ).alias("shared_frac"),
+        )
+    )

@@ -208,6 +208,10 @@ def common_neighbor_scores(
             keep.withColumnRenamed("node", "nbr"), "nbr"
         )
     adj = adj.localCheckpoint(eager=False)
+    # degrees of the SAME (capped) graph the wedge numerator sees —
+    # mixing capped |N∩| with uncapped |N| would make jaccard an
+    # internally inconsistent underestimate when the cap trims hubs
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # wedge through the shared neighbor: (u, v) with u < v via the hub
     left = adj.select(F.col("nbr").alias("hub"), F.col("node").alias("u"))
     right = adj.select(F.col("nbr").alias("hub"), F.col("node").alias("v"))

@@ -453,3 +453,74 @@ def mmr_select(
         # unambiguous for the analyzer
         .applyInPandas(greedy, "query_id long, step int, doc_id long, mmr double")
     )
+
+
+def crossencoder_rerank(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    candidates: int = 50,
+    top: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank: BM25 recalls the top-C
+    candidates, a second-stage scorer re-reads ONLY those C documents
+    and re-orders them — the cascade every production retrieval stack
+    runs (Nogueira & Cho 2019 established the BM25 → cross-encoder
+    shape). The plumbing is the point: stage 2's input is a bounded
+    C-row frame joined back to the raw text by a broadcast semi-join,
+    so the expensive per-(query, doc) scorer never sees the corpus —
+    swap the deterministic lexical scorer below for an Arrow-batched
+    Pandas-UDF model forward pass (same shape as `mmr_select`'s
+    cogroup) and nothing else in the plan changes.
+
+    The stand-in scorer is a deterministic feature blend a cross
+    encoder would dominate but that already reranks sensibly:
+      0.6·coverage  (distinct query terms present / |Q|)
+      0.3·density   (query-term token share of the document)
+      0.1·earliness (1 / first 1-based position of any query term)
+    all exactly SQL-replayable for the oracle.
+
+    Plan: `bm25` (predicate-below-aggregate, query-term-only shuffle)
+    → TakeOrderedAndProject top-C (no global sort) → broadcast join
+    of the C ids back to the docs scan → per-row codegen features →
+    one ≤C-row window for the final rank. Output: (doc_id, bm25,
+    rerank_score, rank) rows 1..top."""
+    from pyspark.sql import Window
+
+    qt = [t for t in query_terms if t]
+    first = (
+        bm25(df, qt, k1=k1, b=b, text_col=text_col, id_col=id_col)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(candidates)
+        .select("doc_id", F.col("score").alias("bm25"), "n_terms_hit")
+    )
+    toks = tokens(text_col)
+    docs = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    cand = docs.join(F.broadcast(first), "doc_id")
+    qhits = F.filter(F.col("toks"), lambda t: t.isin(qt))
+    # array_position is 1-based, 0 when absent -> NULL via nullif so
+    # least() skips misses; every candidate hit >=1 term, so first_pos
+    # is never NULL
+    positions = [
+        F.nullif(F.array_position("toks", F.lit(t)), F.lit(0)) for t in qt
+    ]
+    first_pos = F.least(*positions) if len(positions) > 1 else positions[0]
+    coverage = F.col("n_terms_hit").cast("double") / F.lit(float(len(qt)))
+    density = F.size(qhits) / F.size("toks").cast("double")
+    rerank = F.round(
+        F.lit(0.6) * coverage
+        + F.lit(0.3) * density
+        + F.lit(0.1) / first_pos.cast("double"),
+        6,
+    )
+    scored = cand.select(
+        "doc_id", "bm25", rerank.alias("rerank_score")
+    )
+    w = Window.orderBy(F.desc("rerank_score"), F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+    )

@@ -230,7 +230,11 @@ def poisson_bootstrap_mean(
     from a sort_array over the B-row frame — bounded by B, never by
     data.
 
-    Output: one row — n_rows, est_mean (full-sample), ci_lo, ci_hi."""
+    Output: one row — n_rows, est_mean (full-sample), ci_lo, ci_hi.
+    On an empty input (or the e^-n event that a replicate draws all-zero
+    weights) est_mean / the CI are NULL, never an error. ``key`` MUST be
+    unique per row — duplicate keys collapse to identical weight draws,
+    breaking per-row independence; callers pass the table's row id."""
     assert replicates % 4 == 0, "replicates must be a multiple of 4"
     i_col = F.explode(
         F.array(*[F.lit(i) for i in range(replicates // 4)])
@@ -256,7 +260,17 @@ def poisson_bootstrap_mean(
             F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
             F.sum("w").cast("long").alias("sw"),
         )
-        .select("b", (F.col("swx").cast("double") / F.col("sw")).alias("rep_mean"))
+        .select(
+            "b",
+            # sw == 0 (all n weights drew 0, probability e^-n — real for
+            # tiny slices) must not produce a NULL that collect_list
+            # silently drops, shifting the order-statistic ranks; the
+            # size(ms) == replicates guard below turns any dropped
+            # replicate into an honest NULL CI instead.
+            F.when(
+                F.col("sw") > 0, F.col("swx").cast("double") / F.col("sw")
+            ).alias("rep_mean"),
+        )
     )
     means = rep.agg(F.sort_array(F.collect_list("rep_mean")).alias("ms"))
     base = rows.agg(
@@ -265,11 +279,18 @@ def poisson_bootstrap_mean(
     )
     lo_rank = max(1, int(math.floor(0.025 * replicates)) + 1)
     hi_rank = min(replicates, int(math.ceil(0.975 * replicates)))
+    # An empty corpus yields ms = [] and a sw=0 replicate drops one
+    # entry from ms; both make the fixed ranks meaningless, so the CI
+    # is NULL unless all `replicates` means survived. Requires `key`
+    # unique per row (weight independence) — callers pass a row id.
+    complete = F.size("ms") == F.lit(replicates)
     return base.crossJoin(F.broadcast(means)).select(
         "n_rows",
-        (F.col("sx").cast("double") / F.col("n_rows")).alias("est_mean"),
-        F.element_at("ms", lo_rank).alias("ci_lo"),
-        F.element_at("ms", hi_rank).alias("ci_hi"),
+        F.when(
+            F.col("n_rows") > 0, F.col("sx").cast("double") / F.col("n_rows")
+        ).alias("est_mean"),
+        F.when(complete, F.try_element_at("ms", F.lit(lo_rank))).alias("ci_lo"),
+        F.when(complete, F.try_element_at("ms", F.lit(hi_rank))).alias("ci_hi"),
     )
 
 

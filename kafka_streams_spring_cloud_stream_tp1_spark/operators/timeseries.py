@@ -185,8 +185,12 @@ def holt_linear(
             (b_ * (nl - acc["l"]) + one_b * acc["b"]).alias("b"),
         )
 
+    # Fold from the SECOND element: the first step consumes v₂ against
+    # the seed (l₁=v₁, b₁=v₂−v₁) and lands exactly on l₂ = v₂ — the
+    # textbook recursion (starting at v₃ would skip the i=2 update and
+    # report l=v₁ for n=2 keys).
     folded = F.aggregate(
-        F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0))), init, step
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), init, step
     )
     return (
         seq.filter(F.size("seq") >= 2)

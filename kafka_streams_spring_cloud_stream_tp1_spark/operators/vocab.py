@@ -548,7 +548,9 @@ def token_pmi(
     return joined.select(
         "bg",
         "c_ab",
-        F.round(F.log(num / den), 4).alias("pmi"),
+        # `+ 0.0` normalizes IEEE signed zero: a PMI that rounds to
+        # zero must hash identically across engines (-0.0 + 0.0 = +0.0)
+        (F.round(F.log(num / den), 4) + F.lit(0.0)).alias("pmi"),
     )
 
 

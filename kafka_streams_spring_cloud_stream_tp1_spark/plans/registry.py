@@ -53,74 +53,20 @@ def _ensure_loaded() -> None:
 #      first (round 2: the 11 that registered past slot 50 in round 1);
 #   2. then oracle-backed queries, rotating which ~7 sit past slot 50
 #      each round so every oracle eventually re-shows green;
-#   3. rows-only queries LAST — they yield `no_oracle` rows wherever
-#      they sit, so they must not occupy checked slots.
-# ROUND-5 WINDOW (executes VERDICT r04 §Next-round #1/#4): slots
-# 1-18 are the queries that have never had a driver row or whose only
-# red was the now-fixed DuckDB-HUGEINT oracle typing — the round-4
-# additions (ewma/kmv/pmi/triangles/classifier/audio), the newly
-# oracle-backed ANN pair (first-ever driver rows erase r1's
-# `no_oracle` marks), the six r3 stragglers, and the four re-greens
-# (q_tpch_q12 / q_ab_test / q_token_budget_select / q_ngram_novelty —
-# values were exact-match all along; the oracles now CAST the
-# offending sums to BIGINT). Slots 19-50 drain the oldest stale
-# cohort: the r02-green block, two rounds without a driver row.
+#   3. rows-only queries normally LAST — they yield `no_oracle` rows
+#      wherever they sit, so they don't occupy checked slots EXCEPT
+#      the one round that records their first-ever rows-only row.
 _FRONT = [
-    # never-windowed round-3/4 additions + r3 stragglers (14)
-    "q_incremental_dedup",
-    "q_pagerank",
-    "q_string_agg",
-    "q_length_trim",
-    "q_text_normalize",
-    "q_zorder_index",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_audio_features",
-    "q_quality_classifier",
+    # ---- ROUND-6 WINDOW (executes VERDICT r05 #1/#2): slot 1 is the
+    # q_token_pmi re-green (the only r5 red — sign-of-zero, now
+    # normalized with `+ 0.0` on both engines); slots 2-38 are the 37
+    # oracle-backed queries that have NEVER had a driver CORRECTNESS
+    # row (the r5 statistics batch, retrieval fusion, graph health,
+    # r5 dedup additions); slots 39-43 are the 5 rows-only queries
+    # that have never had even a rows-only driver row; slots 44-50
+    # drain the oldest stale cohort (r02-green, three rounds without
+    # a driver row). This retires the driver-verification debt.
     "q_token_pmi",
-    "q_triangle_count",
-    "q_ewma",
-    "q_kmv_distinct",
-    # HUGEINT-oracle re-greens (4) — oracle-side CAST fix this round
-    "q_tpch_q12",
-    "q_ab_test",
-    "q_token_budget_select",
-    "q_ngram_novelty",
-    # r02-green, two rounds stale — oldest cohort, first 32 of 44
-    "q_sample_split",
-    "q_repetition_stats",
-    "q_decontaminate",
-    "q_pack_sequences",
-    "q_vocab_topk",
-    "q_tfidf_topk",
-    "q_group_sample",
-    "q_exact_percentiles",
-    "q_value_histogram",
-    "q_time_gapfill",
-    "q_window_ntile",
-    "q_bm25",
-    "q_source_mixture",
-    "q_join_range_banded",
-    "q_forward_fill",
-    "q_window_range_frame",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_unigram_logprob",
-    "q_random_projection",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_bpe_pair_counts",
-    "q_data_pipeline",
-    "q_tpch_q18",
-    "q_join_null_safe",
-    "q_dup_chunk_fraction",
-    "q_agg_correlation",
-    "q_winnow_overlap",
-    "q_asof_join",
-    "q_subqueries",
-    "q_session_window",
-    # ---- slot 51+: past the window; round-6 queue head = new
-    # round-5 registrations, then the remaining 12 r02-green queries
     "q_rrf_fusion",
     "q_mmr_select",
     "q_degree_distribution",
@@ -158,6 +104,13 @@ _FRONT = [
     "q_source_overlap",
     "q_ngram_coverage",
     "q_key_skew_profile",
+    # never-checked rows-only (driver records the weaker rows-only row)
+    "q_heavy_hitters",
+    "q_approx_quantiles",
+    "q_bpe_encode",
+    "q_compression_ratio",
+    "q_resize_payloads",
+    # oldest stale re-greens (r02 cohort, first 7 of remaining 12)
     "q_sliding_window_count",
     "q_multires_rollup",
     "q_salted_distinct",
@@ -165,11 +118,66 @@ _FRONT = [
     "q_json_funcs",
     "q_case_null_handling",
     "q_dedup_exact",
+    # ---- slot 51+: past the window; round-7 queue head = the round-6
+    # additions (never checked), the last 5 r02-stale, then the
+    # r5-green cohort (CORRECTNESS_r05 49/50)
+    "q_bloom_dedup_gate",
+    "q_exact_substring_dedup",
+    "q_rerank_topk",
     "q_dedup_minhash_lsh",
     "q_text_stats",
     "q_lang_id",
     "q_token_count",
     "q_doc_fingerprint",
+    "q_incremental_dedup",
+    "q_pagerank",
+    "q_string_agg",
+    "q_length_trim",
+    "q_text_normalize",
+    "q_zorder_index",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_audio_features",
+    "q_quality_classifier",
+    "q_triangle_count",
+    "q_ewma",
+    "q_kmv_distinct",
+    "q_tpch_q12",
+    "q_ab_test",
+    "q_token_budget_select",
+    "q_ngram_novelty",
+    "q_sample_split",
+    "q_repetition_stats",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_vocab_topk",
+    "q_tfidf_topk",
+    "q_group_sample",
+    "q_exact_percentiles",
+    "q_value_histogram",
+    "q_time_gapfill",
+    "q_window_ntile",
+    "q_bm25",
+    "q_source_mixture",
+    "q_join_range_banded",
+    "q_forward_fill",
+    "q_window_range_frame",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_unigram_logprob",
+    "q_random_projection",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_bpe_pair_counts",
+    "q_data_pipeline",
+    "q_tpch_q18",
+    "q_join_null_safe",
+    "q_dup_chunk_fraction",
+    "q_agg_correlation",
+    "q_winnow_overlap",
+    "q_asof_join",
+    "q_subqueries",
+    "q_session_window",
 ]
 _DEFERRED = [
     # r03-green (CORRECTNESS_r03 50/50) — round-7 rotation cohort

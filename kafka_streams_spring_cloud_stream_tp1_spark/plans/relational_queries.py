@@ -4520,7 +4520,6 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_ttest(d, group="g", x="x")
 
 
-from ..operators.hashing import xhash_sql as _xh
 from ..operators.stats import POISSON1_CDF as _P1
 
 _PB_B = 64
@@ -4845,7 +4844,10 @@ def _holt_oracle(a: float, b: float) -> str:
     s AS (SELECT event_type, list(CAST(x AS DOUBLE) ORDER BY day) AS vals
           FROM d GROUP BY event_type),
     st AS (
-        SELECT event_type, 2 AS i,
+        -- anchor at i=1: the FIRST recursive step consumes vals[2], so
+        -- the i=2 update runs (l2 = v2 exactly) per the textbook
+        -- recursion — anchoring at i=2 would skip it
+        SELECT event_type, 1 AS i,
                vals[1] AS l, vals[2] - vals[1] AS b
         FROM s WHERE len(vals) >= 2
         UNION ALL

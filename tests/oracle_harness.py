@@ -92,16 +92,44 @@ def assert_no_hugeint(con, oracle: str) -> None:
     )
 
 
+def find_negative_zeros(columns: list[str], rows: list[tuple]) -> list[str]:
+    """Column names holding an IEEE ``-0.0`` cell. Python compares
+    ``-0.0 == 0.0`` (so value comparison here passes) but the REAL
+    driver's pandas bit-hash distinguishes the two bit patterns — a
+    statistic that rounds to zero with Spark emitting ``+0.0`` and
+    DuckDB ``-0.0`` is a guaranteed driver red (round-5 lesson:
+    q_token_pmi, one cell). Builders and oracles must normalize any
+    signed float that can round to zero with ``+ 0.0`` (IEEE:
+    ``-0.0 + 0.0 = +0.0``) on BOTH sides."""
+    bad = set()
+    for row in rows:
+        for c, v in zip(columns, row):
+            if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0:
+                bad.add(c)
+    return sorted(bad)
+
+
+def assert_no_negative_zero(columns, rows, engine: str) -> None:
+    bad = find_negative_zeros(columns, rows)
+    assert not bad, (
+        f"{engine} result emits -0.0 in columns {bad}; the driver's pandas "
+        "bit-hash distinguishes -0.0 from 0.0 across engines — add `+ 0.0` "
+        "normalization to the final projection on BOTH sides"
+    )
+
+
 def compare_query(spark, con, builder, oracle: str, sf_dir: str) -> None:
     sdf = builder(spark, sf_dir)
     _assert_hashable_schema(sdf)
     assert_no_hugeint(con, oracle)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
+    assert_no_negative_zero(spark_cols, spark_rows, "spark")
 
     res = con.sql(oracle)
     duck_cols = list(res.columns)
     duck_rows = res.fetchall()
+    assert_no_negative_zero(duck_cols, duck_rows, "duckdb")
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"

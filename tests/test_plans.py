@@ -305,9 +305,11 @@ def test_registry_window_invariants():
     queries, so the ordering in plans/registry.py is part of the
     contract: every _FRONT/_DEFERRED name must exist, every registered
     query must be listed exactly once (no accidental mid_oracle
-    stragglers), the 50-slot window must contain only oracle-backed
-    queries, and rows-only queries must sit past every oracle-backed
-    one."""
+    stragglers), and any rows-only query inside the 50-slot window
+    must be there deliberately (named in _FRONT for its first-ever
+    rows-only driver row — round-6 fronts the five that never had
+    one); rows-only queries never sit in the window by accident (the
+    unnamed ones always sort last)."""
     from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
         _DEFERRED,
         _FRONT,
@@ -331,16 +333,21 @@ def test_registry_window_invariants():
         "unplaced queries land mid-window and break the rotation accounting"
     )
     window = names[:50]
-    rows_only_in_window = [n for n in window if n not in oracle]
-    assert not rows_only_in_window, (
-        f"rows-only queries occupy checked slots: {rows_only_in_window}"
+    accidental = [n for n in window if n not in oracle and n not in _FRONT]
+    assert not accidental, (
+        f"rows-only queries drifted into checked slots: {accidental} — only "
+        "a deliberate _FRONT placement (first-ever rows-only row) is allowed"
     )
-    first_rows_only = min(
-        (i for i, n in enumerate(names) if n not in oracle), default=len(names)
-    )
-    assert all(n in oracle for n in names[:first_rows_only]), (
-        "rows-only queries must register after every oracle-backed query"
-    )
+    # every UNNAMED rows-only query still sorts past every oracle-backed one
+    unplaced_rows_only = [
+        n for n in names if n not in oracle and n not in set(listed)
+    ]
+    if unplaced_rows_only:
+        first = names.index(unplaced_rows_only[0])
+        assert all(n in oracle or n in set(listed) for n in names[:first]), (
+            "unplaced rows-only queries must register after every "
+            "oracle-backed query"
+        )
 
 
 def test_registry_rotation_staleness_bound():
@@ -857,3 +864,37 @@ def test_benford_two_aggregates_no_window(spark):
     assert "Window" not in plan, plan
     assert ", true, 0" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_bloom_gate_broadcasts_filter_no_cartesian(spark):
+    """The Bloom admission gate: the old corpus's set-bit position set
+    (≤ m rows) must arrive at the probe as a broadcast join — never a
+    sort-merge join or cartesian of the new batch against anything."""
+    plan = _plan(spark, "q_bloom_dedup_gate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_exact_substring_no_pair_join(spark):
+    """ExactSubstr dedup must stay per-document: gram-keyed aggregates
+    plus one join back of the dup-gram index — NO doc-pair self-join
+    (pair mass is quadratic in dup-family size; the per-doc profile
+    is linear in corpus characters)."""
+    plan = _plan(spark, "q_exact_substring_dedup")
+    assert "CartesianProduct" not in plan, plan
+    # exactly one join: grams ⋈ dup-gram index (left)
+    joins = plan.count("Join")
+    assert joins <= 2, f"expected the single gram-index join, got {joins}:\n{plan}"
+
+
+def test_rerank_second_stage_is_broadcast_bounded(spark):
+    """Retrieve-then-rerank: stage 1 cuts top-C via
+    TakeOrderedAndProject (no global sort shuffle of BM25 scores);
+    stage 2 joins the C-row candidate frame back to the corpus scan
+    as a broadcast — the rerank scorer must never shuffle the
+    corpus."""
+    plan = _plan(spark, "q_rerank_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

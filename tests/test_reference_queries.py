@@ -48,6 +48,21 @@ def test_oracle_no_hugeint_columns(duck):
     assert not bad, f"HUGEINT-typed oracle results (cast the sums): {bad}"
 
 
+def test_negative_zero_guard_catches_plant():
+    """The harness's signed-zero guard must flag a planted -0.0 (the
+    round-5 q_token_pmi driver red: Python -0.0 == 0.0 passes local
+    value comparison while the driver's pandas bit-hash differs)."""
+    from .oracle_harness import assert_no_negative_zero, find_negative_zeros
+
+    cols = ["k", "pmi"]
+    assert find_negative_zeros(cols, [("a", 0.0), ("b", 1.5)]) == []
+    assert find_negative_zeros(cols, [("a", -0.0), ("b", 0.0)]) == ["pmi"]
+    with pytest.raises(AssertionError, match="-0.0"):
+        assert_no_negative_zero(cols, [("a", -0.0)], "spark")
+    # the documented fix neutralizes the plant
+    assert find_negative_zeros(cols, [("a", -0.0 + 0.0)]) == []
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
@@ -71,8 +86,12 @@ def test_empty_corpus_robustness(spark, tmp_path_factory):
     partition/slice): empty or degenerate results are fine, stack
     traces are not. The only sanctioned exceptions are the k-means
     family's explicit k-exceeds-corpus guard — a deliberate,
-    well-messaged ValueError, not a crash. (Round-5 sweep: 173/175
-    graceful, 2 guarded.)"""
+    well-messaged ValueError, not a crash. This sweep (plus
+    test_null_robustness / test_pathological_corpus) runs over the
+    FULL registry before every round snapshot — the round-5
+    q_poisson_bootstrap empty-array crash landed because a query was
+    added after the sweep ran. (Round-6 sweep: 199/201 graceful,
+    2 guarded.)"""
     import duckdb
 
     out = str(tmp_path_factory.mktemp("sf_empty"))

@@ -768,7 +768,9 @@ def test_holt_matches_python_fold(spark):
         pts.sort()
         xs = [x for _, x in pts]
         l, b = xs[0], xs[1] - xs[0]
-        for v in xs[2:]:
+        # fold consumes from the 2nd element: the first step runs the
+        # i=2 update against the seed, landing exactly on l2 = v2
+        for v in xs[1:]:
             nl = 0.5 * v + 0.5 * (l + b)
             b = 0.3 * (nl - l) + 0.7 * b
             l = nl
