@@ -386,3 +386,134 @@ def kaplan_meier(spans: DataFrame, dur: str = "dur", event: str = "ev") -> DataF
             ).alias("survival"),
         )
     )
+
+
+def spearman_rho(units: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
+    """Spearman rank correlation (with exact midrank tie handling)
+    between two per-unit metrics — the distribution-free monotone-
+    association readout (Spearman 1904): Pearson correlation applied
+    to the rank transforms, robust to the heavy tails that wreck raw
+    Pearson on engagement/spend-style metrics.
+
+    Exactness: a value with ``cb`` units below it and ``c`` tied units
+    has midrank (2·cb + c + 1)/2, so DOUBLED ranks are integers;
+    Pearson is scale-invariant, so the statistic is computed on the
+    doubled ranks and every data-sized sum (Σa, Σa², Σab) is an exact
+    BIGINT — the only floats are the one final closed-form expression,
+    bit-identical cross-engine with NO rounding. Doubled ranks are
+    ≤ 2n, so Σa² ≤ 4n³: past ~10⁶ units switch the moment
+    accumulators to DECIMAL (same bound family as `rank_sum_auc`).
+
+    Plan: two per-distinct-value count aggregates (domain-bounded) →
+    `bucketed_cumsum` global ranks with no single-partition window →
+    two joins of the unit frame against the value-keyed rank tables →
+    ONE global integer aggregate. Output one row:
+    (n_units, rho, t_stat)."""
+
+    def _dranks(col: str) -> DataFrame:
+        vc = units.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        cum = bucketed_cumsum(vc, "v", ["c"])
+        return cum.select(
+            F.col("v").alias(col),
+            (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias(f"dr_{col}"),
+        )
+
+    ranked = units.join(_dranks(x), x).join(_dranks(y), y)
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(f"dr_{x}").cast("long").alias("sa"),
+        F.sum(f"dr_{y}").cast("long").alias("sb"),
+        F.sum(F.col(f"dr_{x}") * F.col(f"dr_{x}")).cast("long").alias("saa"),
+        F.sum(F.col(f"dr_{y}") * F.col(f"dr_{y}")).cast("long").alias("sbb"),
+        F.sum(F.col(f"dr_{x}") * F.col(f"dr_{y}")).cast("long").alias("sab"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    den = F.sqrt(
+        (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+        * (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    )
+    rho = num / den
+    return agg.select(
+        n.alias("n_units"),
+        rho.alias("rho"),
+        (
+            rho
+            * F.sqrt((n - 2).cast("double") / (F.lit(1.0) - rho * rho))
+        ).alias("t_stat"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index of each group's ``value_col``
+    distribution against the REST of the corpus —
+    PSI = Σ_bins (p_i − q_i)·ln(p_i / q_i), the score-drift number ML
+    monitoring stacks alarm on (rule of thumb: > 0.1 investigate,
+    > 0.25 act), complementing `q_ks_drift` (sup-norm, location-
+    sensitive) with a mass-reweighting-sensitive divergence.
+
+    Bins are ``buckets`` equal-width cells of the GLOBAL value range
+    (broadcast 1-row min/max) — deterministic cross-engine, no
+    quantile estimation pass. Bins where either side has zero mass
+    contribute ±∞ in the textbook formula; instead the term is
+    SKIPPED and the count of such one-sided bins is reported
+    (``n_onesided_bins``) — an explicit, visible truncation rather
+    than a silent ε floor. The ≤B per-bin terms are exact-integer
+    ratios; the ln/sum floats are absorbed by round(4) as in
+    `q_jsd_sources`.
+
+    Plan: one fact-sized (group, bin) count, a bin-grain grid join
+    (groups × ≤B bins), one group-keyed aggregate. No windows, no
+    corpus-sized joins."""
+    rng = df.agg(F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax"))
+    span = F.col("vmax") - F.col("vmin")
+    bin_ = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(buckets - 1),
+                F.floor((F.col(value_col) - F.col("vmin")) / span * buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    binned = df.crossJoin(F.broadcast(rng)).select(
+        F.col(group_col).alias("g"), bin_.alias("b")
+    )
+    gb = binned.groupBy("g", "b").agg(F.count(F.lit(1)).cast("long").alias("c_gb"))
+    bc = binned.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_b"))
+    ng = binned.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    tot = binned.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        bc.crossJoin(F.broadcast(ng))
+        .join(gb, ["g", "b"], "left")
+        .withColumn("c_gb", F.coalesce(F.col("c_gb"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_g") < F.col("n"))
+    )
+    p = F.col("c_gb") / F.col("n_g").cast("double")
+    q = (F.col("c_b") - F.col("c_gb")) / (F.col("n") - F.col("n_g")).cast("double")
+    both = (F.col("c_gb") > 0) & (F.col("c_b") - F.col("c_gb") > 0)
+    term = F.when(both, (p - q) * F.log(p / q)).otherwise(F.lit(0.0))
+    onesided = F.when(~both & ((F.col("c_gb") > 0) | (F.col("c_b") - F.col("c_gb") > 0)), 1).otherwise(0)
+    return (
+        grid.groupBy("g", "n_g")
+        .agg(
+            (F.round(F.sum(term), 4) + F.lit(0.0)).alias("psi"),
+            F.sum(onesided).cast("long").alias("n_onesided_bins"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n_g").alias("n_rows"),
+            "psi",
+            "n_onesided_bins",
+        )
+    )

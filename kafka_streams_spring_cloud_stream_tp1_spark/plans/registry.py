@@ -124,6 +124,8 @@ _FRONT = [
     "q_bloom_dedup_gate",
     "q_exact_substring_dedup",
     "q_rerank_topk",
+    "q_spearman",
+    "q_psi_drift",
     "q_dedup_minhash_lsh",
     "q_text_stats",
     "q_lang_id",

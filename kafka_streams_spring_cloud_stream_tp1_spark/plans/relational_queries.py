@@ -4889,3 +4889,127 @@ def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, key="event_type", order_cols=["day"], value_col="x",
         alpha=_HOLT_A, beta=_HOLT_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: rank correlation and population-stability drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_spearman",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(count(*) AS BIGINT) AS x,
+                      CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS y
+               FROM events GROUP BY user_id),
+    rx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY x),
+    rxc AS (SELECT v,
+                   2 * (CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1
+                       AS dr
+            FROM rx),
+    ry AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY y),
+    ryc AS (SELECT v,
+                   2 * (CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1
+                       AS dr
+            FROM ry),
+    r AS (SELECT rxc.dr AS da, ryc.dr AS db
+          FROM u JOIN rxc ON u.x = rxc.v JOIN ryc ON u.y = ryc.v),
+    agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(da) AS BIGINT) AS sa,
+                   CAST(sum(db) AS BIGINT) AS sb,
+                   CAST(sum(da * da) AS BIGINT) AS saa,
+                   CAST(sum(db * db) AS BIGINT) AS sbb,
+                   CAST(sum(da * db) AS BIGINT) AS sab
+            FROM r)
+    SELECT n AS n_units,
+           CAST(n * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                    * CAST(n * sbb - sb * sb AS DOUBLE)) AS rho,
+           (CAST(n * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                    * CAST(n * sbb - sb * sb AS DOUBLE)))
+           * sqrt(CAST(n - 2 AS DOUBLE)
+                  / (1.0 - (CAST(n * sab - sa * sb AS DOUBLE)
+                            / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                   * CAST(n * sbb - sb * sb AS DOUBLE)))
+                         * (CAST(n * sab - sa * sb AS DOUBLE)
+                            / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                   * CAST(n * sbb - sb * sb AS DOUBLE)))))
+               AS t_stat
+    FROM agg
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user engagement breadth
+    and intensity (events fired vs distinct active days) — the
+    distribution-free monotone-association readout for heavy-tailed
+    behavioural metrics where raw Pearson is hostage to whales.
+    Doubled midranks keep every data-sized sum an exact BIGINT; the
+    statistic and its t approximation are one closed-form float
+    expression over six integers, bit-identical cross-engine with no
+    rounding (operators/stats.py::spearman_rho; Spearman 1904)."""
+    from ..operators.stats import spearman_rho
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.countDistinct(F.col("ts").cast("date")).cast("long").alias("y"),
+    )
+    return spearman_rho(u, x="x", y="y")
+
+
+_PSI_B = 10
+
+
+@query(
+    "q_psi_drift",
+    oracle=f"""
+    WITH d AS (SELECT source AS g, n_chars AS v FROM documents),
+    rng AS (SELECT min(v) AS vmin, max(v) AS vmax FROM d),
+    binned AS (
+        SELECT g,
+               CASE WHEN vmax - vmin > 0
+                    THEN CAST(least({_PSI_B - 1},
+                              floor((v - vmin) / (vmax - vmin) * {_PSI_B}))
+                         AS INT)
+                    ELSE 0 END AS b
+        FROM d CROSS JOIN rng),
+    gb AS (SELECT g, b, CAST(count(*) AS BIGINT) AS c_gb
+           FROM binned GROUP BY g, b),
+    bc AS (SELECT b, CAST(count(*) AS BIGINT) AS c_b FROM binned GROUP BY b),
+    ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g FROM binned GROUP BY g),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM binned),
+    grid AS (SELECT ng.g, ng.n_g, bc.b, bc.c_b,
+                    coalesce(gb.c_gb, 0) AS c_gb, n
+             FROM bc CROSS JOIN ng
+             LEFT JOIN gb ON gb.g = ng.g AND gb.b = bc.b
+             CROSS JOIN tot
+             WHERE ng.n_g < n)
+    SELECT g AS source, n_g AS n_rows,
+           round(sum(CASE WHEN c_gb > 0 AND c_b - c_gb > 0
+                          THEN (c_gb / CAST(n_g AS DOUBLE)
+                                - (c_b - c_gb) / CAST(n - n_g AS DOUBLE))
+                               * ln((c_gb / CAST(n_g AS DOUBLE))
+                                    / ((c_b - c_gb)
+                                       / CAST(n - n_g AS DOUBLE)))
+                          ELSE 0.0 END), 4) + 0.0 AS psi,
+           CAST(sum(CASE WHEN NOT (c_gb > 0 AND c_b - c_gb > 0)
+                              AND (c_gb > 0 OR c_b - c_gb > 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_onesided_bins
+    FROM grid GROUP BY g, n_g
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's doc-length
+    distribution vs the rest of the corpus over 10 equal-width global
+    bins — the mass-reweighting drift alarm (PSI > 0.1 investigate,
+    > 0.25 act) that complements `q_ks_drift`'s sup-norm statistic;
+    one-sided bins are skipped and counted explicitly rather than
+    ε-floored (operators/stats.py::psi_drift). One fact-sized
+    (source, bin) count, bin-grain grid join, group-keyed aggregate —
+    no windows, no corpus-sized joins."""
+    from ..operators.stats import psi_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return psi_drift(docs, value_col="n_chars", group_col="source", buckets=_PSI_B)

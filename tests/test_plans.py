@@ -898,3 +898,30 @@ def test_rerank_second_stage_is_broadcast_bounded(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_spearman_no_single_partition_window(spark):
+    """Spearman's exact midranks must come from the value-bucket
+    machinery: no single-partition Exchange feeding a window (the
+    scale failure mode of naive global rank()), and the final moment
+    reduction is one global aggregate."""
+    plan = _plan(spark, "q_spearman")
+    # rank windows must be bucket-partitioned, never over all rows
+    assert "windowspecdefinition(_vb" in plan or "windowspecdefinition(vb" in plan, (
+        "rank windows must partition by the value bucket:\n" + plan
+    )
+    # the only SinglePartition exchanges allowed are the 1-row
+    # aggregates (range/moments) — never one feeding a Window
+    import re
+
+    assert not re.search(r"Window .{0,400}?Exchange SinglePartition", plan, re.S), plan
+
+
+def test_psi_drift_no_windows_bin_grain_joins(spark):
+    """PSI is counts + a bin-grain grid: no window functions at all,
+    and the grid/total sides arrive broadcast — the fact table
+    shuffles only for the (group, bin) and (bin) counts."""
+    plan = _plan(spark, "q_psi_drift")
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
