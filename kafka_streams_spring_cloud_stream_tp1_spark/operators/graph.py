@@ -241,3 +241,71 @@ def common_neighbor_scores(
         )
     )
     return scored.orderBy(F.desc("common"), "doc_a", "doc_b").limit(top_k)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    assume_unique_oriented: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """k-core decomposition by ``rounds`` unrolled peeling supersteps
+    (Seidman 1983; the distributed peel of Montresor et al. 2013):
+    repeatedly drop nodes of degree < k together with their edges;
+    the fixpoint is the exact k-core. A FIXED round count keeps the
+    computation oracle-replayable as chained SQL CTEs (the same
+    contract as `pagerank`'s unrolled iterations); `converged` on
+    every output row reports whether the LAST round removed nothing —
+    when true the result IS the exact k-core, when false it is a
+    sound over-approximation (only non-members were removed; callers
+    add rounds). Tests pin convergence at the fixture scales.
+
+    ``assume_unique_oriented=True`` is the caller-asserted contract
+    of `pagerank`'s bipartite flag, generalized: the input pairs are
+    unique AND strictly oriented (a < b, or disjoint src/dst
+    namespaces), so symmetrization needs no dedup shuffle.
+
+    Returns (node, deg, converged): surviving nodes with their
+    within-core degree.
+
+    Scale shape per round: one groupBy of the live edge list for
+    degrees, then one semi-join per endpoint against the surviving-
+    node set — no node ever sees more than its own edges, and the
+    edge frame only shrinks. The live edge list is localCheckpoint'd
+    each round to cut the exponentially nesting lineage (same
+    discipline as `pagerank` / dedup pointer-jumping); on a cluster
+    this is the shrinking edge list pinned in executor storage."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    )
+    if not assume_unique_oriented:
+        e = e.distinct()
+
+    def _cut(df):
+        # checkpoint=False keeps the full lineage visible — the plan
+        # tests read the semi-join structure that localCheckpoint
+        # truncates to an ExistingRDD scan in the executed plan.
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    e = _cut(e)
+    removed_any_last = None
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        live = deg.filter(F.col("deg") >= k).select("src")
+        removed_any_last = deg.agg(
+            F.sum(F.when(F.col("deg") < k, 1).otherwise(0)).alias("n_removed")
+        )
+        e = _cut(
+            e.join(live, "src", "left_semi").join(
+                live.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+        )
+    final_deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    return final_deg.crossJoin(F.broadcast(removed_any_last)).select(
+        F.col("src").alias("node"),
+        "deg",
+        (F.coalesce(F.col("n_removed"), F.lit(0)) == 0).alias("converged"),
+    )

@@ -446,6 +446,224 @@ def spearman_rho(units: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
     )
 
 
+def chi_square_independence(
+    df: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the "are these two labels
+    related at all" gate run before any segmented metric is trusted
+    (e.g. event type × value regime, language × source).
+
+    Plan: ONE fact-sized (a, b) cell count; margins and the full
+    r×c grid (INCLUDING zero cells — an observed 0 still contributes
+    its expected mass) are grid-grain derivations of that cell table;
+    one scalar aggregate ends the query. No windows, no fact-sized
+    joins — at 100 TB the only data-volume shuffle is the first
+    groupBy, which map-side combines down to r·c rows.
+
+    Floats: cell counts and margins are exact BIGINTs; the χ² terms
+    (o−e)²/e are the only floats and are summed over the r·c grid
+    (tens of cells), absorbed by round(4) with the -0.0 normalization
+    the harness guard enforces. Cramér's V = sqrt(χ²/(n·(min(r,c)−1)))
+    (Cramér 1946)."""
+    cells = df.groupBy(F.col(a).alias("g1"), F.col(b).alias("g2")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ra = cells.groupBy("g1").agg(F.sum("c").cast("long").alias("ra"))
+    cb = cells.groupBy("g2").agg(F.sum("c").cast("long").alias("cb"))
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.countDistinct("g1").cast("long").alias("r"),
+        F.countDistinct("g2").cast("long").alias("k"),
+    )
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(cells, ["g1", "g2"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    term = (F.col("c") - e) * (F.col("c") - e) / e
+    chi2 = F.sum(term)
+    return (
+        grid.groupBy("n", "r", "k")
+        .agg((F.round(chi2, 4) + F.lit(0.0)).alias("chi2"))
+        .select(
+            "n",
+            ((F.col("r") - 1) * (F.col("k") - 1)).alias("dof"),
+            "chi2",
+            (
+                F.round(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (F.col("n") * (F.least("r", "k") - F.lit(1)).cast("double"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
+    """Kruskal-Wallis H rank test across k groups (with exact midrank
+    tie handling and the tie correction) — the >2-group extension of
+    `q_mann_whitney`: "did ANY variant move the metric", distribution-
+    free, before pairwise drill-down (Kruskal & Wallis 1952).
+
+    Exactness: doubled midranks keep every data-sized sum an exact
+    BIGINT — per-group doubled rank sums r2_g = Σ c_gv·(2·below+c+1)
+    = 2·R_g; H = 3/(N(N+1))·Σ r2_g²/n_g − 3(N+1) divided by the tie
+    correction 1 − Σ(c³−c)/(N³−N). r2_g² can exceed 2⁶³ (r2_g ≤ 2N²)
+    so the square is taken in DOUBLE; the k-term float sum is absorbed
+    by round(4).
+
+    Plan: one fact-sized (group, value) count; value-grain global
+    ranks via `bucketed_cumsum` (no single-partition window); a
+    value-keyed join of the (g,v) cells against the rank table; one
+    k-row aggregate then one scalar row. Output one row:
+    (n, k, h, dof, tie_corr)."""
+    gv = df.groupBy(F.col(group).alias("g"), F.col(value).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_gv")
+    )
+    vc = gv.groupBy("v").agg(F.sum("c_gv").cast("long").alias("c"))
+    cum = bucketed_cumsum(vc, "v", ["c"])
+    dr = cum.select(
+        "v",
+        (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("dr"),
+        F.col("c"),
+    )
+    per_g = (
+        gv.join(dr.select("v", "dr"), "v")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("c_gv") * F.col("dr")).cast("long").alias("r2"),
+            F.sum("c_gv").cast("long").alias("n_g"),
+        )
+    )
+    ties = dr.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("t"),
+        F.sum("c").cast("long").alias("n"),
+    )
+    agg = per_g.crossJoin(F.broadcast(ties)).groupBy("n", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("r2").cast("double") * F.col("r2") / F.col("n_g")
+        ).alias("sr2"),
+    )
+    n = F.col("n").cast("double")
+    h_unc = F.lit(3.0) / (n * (n + 1)) * F.col("sr2") - 3 * (n + 1)
+    corr = F.lit(1.0) - F.col("t") / (n * n * n - n)
+    return agg.select(
+        "n",
+        "k",
+        (F.col("k") - 1).alias("dof"),
+        (F.round(h_unc / corr, 4) + F.lit(0.0)).alias("h"),
+        (F.round(corr, 4) + F.lit(0.0)).alias("tie_corr"),
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value: str,
+    group: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization audit: the rank-based (discrete,
+    interpolation-free) lo/hi clip bounds, how many rows each side
+    would clip, and the winsorized mean — the outlier-robust location
+    readout pipelines use before trusting a per-segment average.
+
+    Bound definition (deterministic cross-engine, no float
+    interpolation): lo = the value holding rank max(1, ceil(lo_q·n_g)),
+    hi = the value holding rank ceil(hi_q·n_g), ranks 1-based in value
+    order within the group.
+
+    Plan: one fact-sized (group, value) cell count, then a KEYED
+    variant of the `bucketed_cumsum` construction — windows partition
+    by (group, bucket) and bucket offsets join within the group — so
+    no group ever sorts on one partition even when a single group is
+    a large fraction of the corpus (the exact skew that kills a naive
+    per-key global window at 100 TB). The winsorized mean's float sum
+    spans distinct-value cells; round(4) absorbs summation order."""
+    B = 256
+    gv = df.groupBy(F.col(group).alias("g"), F.col(value).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rng = df.agg(F.min(value).alias("_vmin"), F.max(value).alias("_vmax"))
+    span = F.col("_vmax") - F.col("_vmin")
+    vb = (
+        F.when(
+            span > 0,
+            F.least(F.lit(B - 1), F.floor((F.col("v") - F.col("_vmin")) / span * B)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    v = gv.crossJoin(F.broadcast(rng)).withColumn("_vb", vb).drop("_vmin", "_vmax")
+    wloc = (
+        Window.partitionBy("g", "_vb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = v.withColumn("_lcum", F.sum("c").over(wloc).cast("long"))
+    sizes = v.groupBy("g", "_vb").agg(F.sum("c").cast("long").alias("_bc"))
+    prev = sizes.select(
+        F.col("g").alias("_pg"), F.col("_vb").alias("_pvb"), F.col("_bc").alias("_pc")
+    )
+    offs = (
+        sizes.join(
+            prev, (F.col("_pg") == F.col("g")) & (F.col("_pvb") < F.col("_vb")), "left"
+        )
+        .groupBy("g", "_vb")
+        .agg(F.coalesce(F.sum("_pc"), F.lit(0)).cast("long").alias("_off"))
+    )
+    cum = (
+        v.join(F.broadcast(offs), ["g", "_vb"])
+        .withColumn("cum", F.col("_off") + F.col("_lcum"))
+        .select("g", "v", "c", "cum")
+    )
+    ng = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
+    lo_rank = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(lo_q) * F.col("n_g")))
+    hi_rank = F.ceil(F.lit(hi_q) * F.col("n_g"))
+    ranked = cum.join(F.broadcast(ng), "g").withColumn(
+        "_lo_r", lo_rank
+    ).withColumn("_hi_r", hi_rank)
+    bounds = ranked.groupBy("g", "n_g").agg(
+        F.min(F.when(F.col("cum") >= F.col("_lo_r"), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= F.col("_hi_r"), F.col("v"))).alias("hi"),
+    )
+    cells = cum.join(F.broadcast(bounds), "g")
+    clipped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v")))
+    return (
+        cells.groupBy("g", "n_g", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("lo"), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.sum(F.when(F.col("v") > F.col("hi"), F.col("c")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_clip_hi"),
+            (
+                F.round(F.sum(clipped * F.col("c")) / F.col("n_g"), 4) + F.lit(0.0)
+            ).alias("wmean"),
+        )
+        .select(
+            F.col("g").alias(group),
+            "n_g",
+            "lo",
+            "hi",
+            "n_clip_lo",
+            "n_clip_hi",
+            "wmean",
+        )
+    )
+
+
 def psi_drift(
     df: DataFrame,
     value_col: str,

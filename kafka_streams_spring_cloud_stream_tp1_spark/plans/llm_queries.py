@@ -3784,3 +3784,158 @@ def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k1=_BM25_K1,
         b=_BM25_B,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6: privacy/governance and vocabulary-free featurization
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Round-6: privacy/governance
+# ---------------------------------------------------------------------------
+
+
+_KANON_K = 5
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    SELECT lang, source, n_chars // 100 AS len_bucket,
+           CAST(count(*) AS BIGINT) AS class_size,
+           count(*) < {_KANON_K} AS at_risk
+    FROM documents GROUP BY lang, source, len_bucket
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple
+    (lang, source, length bucket): one row per equivalence class with
+    its size and an at-risk flag (size < k) — the re-identification
+    gate (Sweeney 2002) a release pipeline reads to decide which
+    cells need generalization or suppression before data leaves the
+    enclave.
+
+    Plan: ONE map-side-combined groupBy whose output is QID-domain-
+    sized, not corpus-sized — scale-flat
+    (operators/privacy.py::k_anonymity_profile)."""
+    from ..operators.privacy import k_anonymity_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return k_anonymity_profile(
+        docs,
+        [F.col("lang"), F.col("source"), F.floor(F.col("n_chars") / 100).cast("long")],
+        ["lang", "source", "len_bucket"],
+        k=_KANON_K,
+    )
+
+
+_KCORE_K, _KCORE_R = 2, 3
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling rounds as chained MATERIALIZED CTEs (without
+    the hint DuckDB inlines each e{i} into its three consumers and
+    the chain re-plans the pair join once per reference)."""
+    ctes = [
+        f"pairs AS MATERIALIZED ({_JACCARD_PAIRS_SQL})",
+        "e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT src, count(*) AS deg"
+            f" FROM e{i} GROUP BY src)"
+        )
+        ctes.append(f"l{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE deg >= {k})")
+        if i == rounds - 1:
+            ctes.append(
+                f"rlast AS (SELECT count(*) FILTER (WHERE deg < {k})"
+                f" AS n_removed FROM d{i})"
+            )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e"
+            f" WHERE e.src IN (SELECT src FROM l{i})"
+            f" AND e.dst IN (SELECT src FROM l{i}))"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg,
+           (SELECT n_removed FROM rlast) = 0 AS converged
+    FROM e{rounds} GROUP BY src
+    """
+    )
+
+
+@query("q_kcore", oracle=_kcore_oracle_sql(_KCORE_K, _KCORE_R))
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the verified near-dup pair graph (Seidman 1983,
+    distributed peel à la Montresor et al. 2013): iteratively strip
+    docs with fewer than 2 dup partners; what survives are the
+    DENSELY duplicated families — template/boilerplate cores worth a
+    rewrite rule — while pair-only incidental matches fall away.
+    Complements `q_dedup_clusters` (membership) and
+    `q_dup_cluster_profile` (shape): the core is the subset worth
+    human eyes. Fixed unrolled rounds keep it oracle-replayable
+    (`pagerank`'s contract); every row carries `converged` — true
+    means the peel hit its fixpoint and the result IS the exact
+    k-core (pinned true at fixture scales in tests). Per round: one
+    degree aggregate + two semi-joins of the shrinking edge list,
+    localCheckpoint'd to cut lineage
+    (operators/graph.py::kcore_peel)."""
+    from ..operators.graph import kcore_peel
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return kcore_peel(
+        pairs,
+        k=_KCORE_K,
+        rounds=_KCORE_R,
+        src="doc_a",
+        dst="doc_b",
+        assume_unique_oriented=True,
+    ).withColumnRenamed("node", "doc_id")
+
+
+_PQ_M, _PQ_K, _PQ_DIM = 8, 16, 64
+
+
+@query(
+    "q_pq_quantize",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id::INT AS code, v AS cv FROM e
+           WHERE vec_id < {_PQ_K}),
+    cell AS (SELECT e.vec_id, cb.code, ss.s,
+                    round(list_sum(list_transform(range(1, {_PQ_DIM // _PQ_M + 1}),
+                        j -> (v[ss.s * {_PQ_DIM // _PQ_M} + j]
+                              - cv[ss.s * {_PQ_DIM // _PQ_M} + j])
+                             * (v[ss.s * {_PQ_DIM // _PQ_M} + j]
+                                - cv[ss.s * {_PQ_DIM // _PQ_M} + j]))), 4)
+                        AS dist
+             FROM e CROSS JOIN cb
+             CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS s) ss),
+    best AS (SELECT vec_id, s, dist, code FROM (
+                 SELECT cell.*, row_number() OVER (PARTITION BY vec_id, s
+                     ORDER BY dist, code) AS rn FROM cell)
+             WHERE rn = 1)
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY s), ',') AS codes,
+           round(sum(dist), 4) AS qerr
+    FROM best GROUP BY vec_id
+    """,
+)
+def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the embedding corpus: 8
+    subspaces × 16 codewords compress each 64-d vector to 8 code
+    bytes, with the total squared quantization error per vector as
+    the fidelity audit — the memory-side half of FAISS-style IVF-PQ
+    ANN serving (`q_ann_ivf` is the routing half). Anchor-row
+    codebook for oracle replay; production swaps in per-subspace
+    k-means, plan unchanged. All-JVM array math, corpus ×
+    broadcast(16) with bounded per-key reductions
+    (operators/similarity.py::pq_encode; Jégou et al. 2011)."""
+    return S.pq_encode(
+        load_table(spark, sf_dir, "embeddings"),
+        n_subspaces=_PQ_M,
+        n_codes=_PQ_K,
+        dim=_PQ_DIM,
+    )

@@ -126,6 +126,12 @@ _FRONT = [
     "q_rerank_topk",
     "q_spearman",
     "q_psi_drift",
+    "q_chi_square",
+    "q_kruskal_wallis",
+    "q_winsorize",
+    "q_k_anonymity",
+    "q_kcore",
+    "q_pq_quantize",
     "q_dedup_minhash_lsh",
     "q_text_stats",
     "q_lang_id",

@@ -5013,3 +5013,152 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return psi_drift(docs, value_col="n_chars", group_col="source", buckets=_PSI_B)
+
+
+# ---------------------------------------------------------------------------
+# Round-6: categorical association, k-group rank test, robust location,
+# SCD2 dimension build, MERGE upsert
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_chi_square",
+    oracle="""
+    WITH ev AS (SELECT event_type AS g1,
+                       CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS g2
+                FROM events),
+    cells AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS c
+              FROM ev GROUP BY g1, g2),
+    ra AS (SELECT g1, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY g1),
+    cb AS (SELECT g2, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY g2),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(count(DISTINCT g1) AS BIGINT) AS r,
+                   CAST(count(DISTINCT g2) AS BIGINT) AS k
+            FROM cells),
+    grid AS (SELECT ra.g1, cb.g2, ra.ra, cb.cb,
+                    coalesce(cells.c, 0) AS c, n, r, k
+             FROM ra CROSS JOIN cb
+             LEFT JOIN cells ON cells.g1 = ra.g1 AND cells.g2 = cb.g2
+             CROSS JOIN tot),
+    agg AS (SELECT n, r, k,
+                   round(sum((c - CAST(ra AS DOUBLE) * cb / n)
+                             * (c - CAST(ra AS DOUBLE) * cb / n)
+                             / (CAST(ra AS DOUBLE) * cb / n)), 4) + 0.0
+                       AS chi2
+            FROM grid GROUP BY n, r, k)
+    SELECT n, (r - 1) * (k - 1) AS dof, chi2,
+           round(sqrt(chi2 / (n * CAST(least(r, k) - 1 AS DOUBLE))), 4) + 0.0
+               AS cramers_v
+    FROM agg
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (+ Cramér's V effect size)
+    between event type and the high/low value regime — the "is this
+    segmentation real" gate before any per-segment metric is trusted.
+    Extends `q_chisq_independence` (lang × source drift alarm) in the
+    ways a test readout needs: the grid INCLUDES observed-zero cells
+    (which still contribute their expected mass — dropping them
+    understates χ²), and it reports degrees of freedom plus the
+    Cramér's V effect size so "significant" and "big" are separate
+    answers. Exact BIGINT cell counts and margins; the only floats
+    are the r·c grid terms, absorbed by round(4) with -0.0
+    normalization (operators/stats.py::chi_square_independence;
+    Cramér 1946). One fact-sized groupBy that map-side combines to
+    r·c rows — no windows, no fact-sized joins, scale-flat."""
+    from ..operators.stats import chi_square_independence
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") >= 50.0, F.lit("high")).otherwise(F.lit("low")).alias(
+            "regime"
+        ),
+    )
+    return chi_square_independence(ev, a="event_type", b="regime")
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH gv AS (SELECT event_type AS g, value AS v,
+                       CAST(count(*) AS BIGINT) AS c_gv
+                FROM events GROUP BY g, v),
+    vc AS (SELECT v, CAST(sum(c_gv) AS BIGINT) AS c FROM gv GROUP BY v),
+    dr AS (SELECT v, c,
+                  2 * (CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1
+                      AS dr
+           FROM vc),
+    per_g AS (SELECT g, CAST(sum(c_gv * dr.dr) AS BIGINT) AS r2,
+                     CAST(sum(c_gv) AS BIGINT) AS n_g
+              FROM gv JOIN dr ON gv.v = dr.v GROUP BY g),
+    ties AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t,
+                    CAST(sum(c) AS BIGINT) AS n
+             FROM dr),
+    agg AS (SELECT n, t, CAST(count(*) AS BIGINT) AS k,
+                   sum(CAST(r2 AS DOUBLE) * r2 / n_g) AS sr2
+            FROM per_g CROSS JOIN ties GROUP BY n, t)
+    SELECT n, k, k - 1 AS dof,
+           round((3.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr2
+                  - 3 * (CAST(n AS DOUBLE) + 1))
+                 / (1.0 - t / (CAST(n AS DOUBLE) * n * n - n)), 4) + 0.0 AS h,
+           round(1.0 - t / (CAST(n AS DOUBLE) * n * n - n), 4) + 0.0
+               AS tie_corr
+    FROM agg
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: did ANY event type shift the value
+    distribution — the k-group, distribution-free extension of
+    `q_mann_whitney`, run before pairwise drill-downs (Kruskal &
+    Wallis 1952). Doubled midranks keep all data-sized sums exact
+    BIGINTs; global ranks come from `bucketed_cumsum` (no single-
+    partition window); the k-term float reduction is absorbed by
+    round(4) (operators/stats.py::kruskal_wallis)."""
+    from ..operators.stats import kruskal_wallis
+
+    ev = load_table(spark, sf_dir, "events")
+    return kruskal_wallis(ev, value="value", group="event_type")
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH gv AS (SELECT event_type AS g, value AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY g, v),
+    cum AS (SELECT g, v, c,
+                   CAST(sum(c) OVER (PARTITION BY g ORDER BY v)
+                        AS BIGINT) AS cum
+            FROM gv),
+    ng AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM gv GROUP BY g),
+    ranked AS (SELECT cum.*, n_g,
+                      greatest(1, CAST(ceil(0.05 * n_g) AS BIGINT)) AS lo_r,
+                      CAST(ceil(0.95 * n_g) AS BIGINT) AS hi_r
+               FROM cum JOIN ng USING (g)),
+    bounds AS (SELECT g, n_g,
+                      min(CASE WHEN cum >= lo_r THEN v END) AS lo,
+                      min(CASE WHEN cum >= hi_r THEN v END) AS hi
+               FROM ranked GROUP BY g, n_g)
+    SELECT cum.g AS event_type, n_g, lo, hi,
+           CAST(sum(CASE WHEN v < lo THEN c ELSE 0 END) AS BIGINT)
+               AS n_clip_lo,
+           CAST(sum(CASE WHEN v > hi THEN c ELSE 0 END) AS BIGINT)
+               AS n_clip_hi,
+           round(sum(greatest(lo, least(hi, v)) * c) / n_g, 4) + 0.0 AS wmean
+    FROM cum JOIN bounds USING (g)
+    GROUP BY cum.g, n_g, lo, hi
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization audit: rank-based (discrete, no
+    float interpolation) p05/p95 clip bounds, rows clipped each side,
+    and the winsorized mean — the outlier-robust per-segment location
+    readout. The Spark side uses a GROUP-KEYED variant of the value-
+    bucket rank machinery (windows partition by (group, bucket)), so
+    a group holding most of the corpus still ranks in parallel — the
+    oracle's per-group window is the semantic spec, not the plan
+    (operators/stats.py::winsorized_stats)."""
+    from ..operators.stats import winsorized_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return winsorized_stats(ev, value="value", group="event_type")

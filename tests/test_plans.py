@@ -925,3 +925,81 @@ def test_psi_drift_no_windows_bin_grain_joins(spark):
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_chi_square_no_windows_grid_grain(spark):
+    """χ² is one fact-sized cell count then grid-grain derivations:
+    no window functions, no sort-merge join (margins and totals are
+    broadcast), and exactly one exchange keyed on the raw data
+    (the (a, b) cell count — everything after is grid-sized)."""
+    plan = _plan(spark, "q_chi_square")
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kruskal_wallis_bucket_partitioned_ranks(spark):
+    """KW ranks must come from the value-bucket machinery — every
+    window partitions by the bucket id, never a single-partition
+    global sort of the data."""
+    import re
+
+    plan = _plan(spark, "q_kruskal_wallis")
+    assert "windowspecdefinition(_vb" in plan, plan
+    assert not re.search(r"Window .{0,400}?Exchange SinglePartition", plan, re.S), plan
+
+
+def test_winsorize_group_keyed_buckets(spark):
+    """Winsorize's rank windows must partition by (group, bucket) —
+    the keyed variant — so one dominant group still ranks in
+    parallel; no single-partition exchange may feed a Window."""
+    import re
+
+    plan = _plan(spark, "q_winsorize")
+    assert "windowspecdefinition(g" in plan, plan
+    assert not re.search(r"Window .{0,400}?Exchange SinglePartition", plan, re.S), plan
+
+
+def test_k_anonymity_single_partial_agg(spark):
+    """k-anonymity is ONE map-side-combined groupBy: exactly one
+    hash exchange, partial aggregation before it."""
+    plan = _plan(spark, "q_k_anonymity")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_kcore_no_cartesian_semi_joins(spark):
+    """Each peel round is degree-agg + two semi-joins of the live
+    edge list: no cartesian product; the only nested-loop join is
+    the 1-row converged-audit attach. The semi-join structure is
+    asserted on an uncheckpointed build (localCheckpoint truncates
+    the executed plan to an ExistingRDD scan)."""
+    plan = _plan(spark, "q_kcore")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    df = kcore_peel(
+        edges, k=2, rounds=2, src="doc_a", dst="doc_b",
+        assume_unique_oriented=True, checkpoint=False,
+    )
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in full, full
+    assert "CartesianProduct" not in full, full
+    # semantics on the toy graph: the 1-2-3 triangle survives, 4 peels
+    rows = {r["node"]: (r["deg"], r["converged"]) for r in df.collect()}
+    assert set(rows) == {1, 2, 3} and all(v == (2, True) for v in rows.values())
+
+
+def test_pq_quantize_broadcast_no_python(spark):
+    """PQ encode must be all-JVM array expressions over a broadcast
+    codebook: no Arrow/Python eval nodes, no sort-merge join, and the
+    argmin/rollup reductions are keyed aggregates."""
+    plan = _plan(spark, "q_pq_quantize")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan

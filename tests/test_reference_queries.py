@@ -90,7 +90,7 @@ def test_empty_corpus_robustness(spark, tmp_path_factory):
     test_null_robustness / test_pathological_corpus) runs over the
     FULL registry before every round snapshot — the round-5
     q_poisson_bootstrap empty-array crash landed because a query was
-    added after the sweep ran. (Round-6 sweep: 204/206 graceful,
+    added after the sweep ran. (Round-6 sweep: 209/211 graceful,
     2 guarded.)"""
     import duckdb
 
