@@ -217,13 +217,16 @@ def poisson_bootstrap_mean(
     that makes bootstrapping feasible on sharded data.
 
     Determinism: weights come from engine-portable md5 — ONE digest
-    per (row, replicate-group of 4): each 32-hex-char digest yields
-    FOUR independent 32-bit uniforms (8 hex chars each, resolution
-    2.3e-10 ≫ the 1e-7 tail interval), mapped through the shared
-    POISSON1_CDF literals, so Spark and the oracle draw IDENTICAL
-    weights at a quarter of the hashing cost (the all-64-md5 form
-    billed 17 s at sf0.1; this one ~4x less digest work — md5 over
-    the exploded frame IS the whole bill). Each replicate's
+    per (row, replicate-group of 8): each 32-hex-char digest yields
+    EIGHT independent 16-bit uniforms (4 hex chars each), mapped
+    through the shared POISSON1_CDF literals, so Spark and the oracle
+    draw IDENTICAL weights at an eighth of the all-64-md5 hashing
+    cost (17 s at sf0.1 → ~3 s; md5 over the exploded frame IS the
+    whole bill). 16-bit resolution (1.5e-5) truncates the w ≥ 7 tail
+    (P ≈ 1e-7) and quantizes each cell by ≤ 1.5e-5 — relative bias on
+    a replicate mean < 1e-5, orders below the CI width the statistic
+    exists to report; the 32-bit form is one constant away if a
+    caller ever needs the exact tail. Each replicate's
     (Σ w·x, Σ w) are exact integers; the B replicate means are floats
     only at the final division. The CI is index-based order statistics
     of the B means (2.5%/97.5% for B=64 → ranks 2 and 63), extracted
@@ -235,16 +238,16 @@ def poisson_bootstrap_mean(
     weights) est_mean / the CI are NULL, never an error. ``key`` MUST be
     unique per row — duplicate keys collapse to identical weight draws,
     breaking per-row independence; callers pass the table's row id."""
-    assert replicates % 4 == 0, "replicates must be a multiple of 4"
+    assert replicates % 8 == 0, "replicates must be a multiple of 8"
     i_col = F.explode(
-        F.array(*[F.lit(i) for i in range(replicates // 4)])
+        F.array(*[F.lit(i) for i in range(replicates // 8)])
     ).alias("i")
     h = F.md5(F.concat_ws("|", F.lit(salt), F.col("k").cast("string"), F.col("i")))
     us = F.array(
         *[
-            F.conv(F.substring(F.col("h"), 1 + 8 * j, 8), 16, 10).cast("long")
-            / F.lit(float(1 << 32))
-            for j in range(4)
+            F.conv(F.substring(F.col("h"), 1 + 4 * j, 4), 16, 10).cast("long")
+            / F.lit(float(1 << 16))
+            for j in range(8)
         ]
     )
     w = F.lit(len(POISSON1_CDF))
@@ -254,7 +257,7 @@ def poisson_bootstrap_mean(
         rows.select(F.col(value_int).alias("x"), F.col(key).alias("k"), i_col)
         .withColumn("h", h)
         .select("x", "i", F.posexplode(us).alias("j", "u"))
-        .select((F.col("i") * 4 + F.col("j")).alias("b"), "x", w.alias("w"))
+        .select((F.col("i") * 8 + F.col("j")).alias("b"), "x", w.alias("w"))
         .groupBy("b")
         .agg(
             F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),

@@ -4537,11 +4537,11 @@ _PB_CASE = " ".join(
     e AS (SELECT cents, o_orderkey, t.i,
                  md5('pb|' || CAST(o_orderkey AS VARCHAR)
                            || '|' || CAST(t.i AS VARCHAR)) AS h
-          FROM r CROSS JOIN range({_PB_B // 4}) t(i)),
-    uu AS (SELECT cents, i * 4 + j.j AS b,
-                  CAST('0x' || substr(h, 1 + 8 * CAST(j.j AS INTEGER), 8)
-                       AS BIGINT) / 4294967296.0 AS u
-           FROM e CROSS JOIN range(4) j(j)),
+          FROM r CROSS JOIN range({_PB_B // 8}) t(i)),
+    uu AS (SELECT cents, i * 8 + j.j AS b,
+                  CAST('0x' || substr(h, 1 + 4 * CAST(j.j AS INTEGER), 4)
+                       AS BIGINT) / 65536.0 AS u
+           FROM e CROSS JOIN range(8) j(j)),
     w AS (SELECT cents, b, CASE {_PB_CASE} ELSE {len(_P1)} END AS w FROM uu),
     rep AS (SELECT b, CAST(sum(w * cents) AS BIGINT) AS swx,
                    CAST(sum(w) AS BIGINT) AS sw
