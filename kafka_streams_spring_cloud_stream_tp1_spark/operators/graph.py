@@ -309,3 +309,76 @@ def kcore_peel(
         "deg",
         (F.coalesce(F.col("n_removed"), F.lit(0)) == 0).alias("converged"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    assume_unique_oriented: bool = False,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007): every node starts as its own label; each round it
+    adopts the most frequent label among its neighbors, ties broken
+    to the SMALLEST label — the deterministic variant of LPA's random
+    tie-break, so a fixed round count is exactly replayable as
+    chained SQL CTEs (the `pagerank`/`kcore_peel` contract).
+
+    Where connected components answer "touching at all" and the
+    k-core answers "how densely attached", LPA splits a component
+    into its internally-dense communities: a chain of two cliques
+    sharing one bridge doc keeps two labels.
+
+    Returns (node, community, stable): `stable` is true when the last
+    round changed NO label — synchronous LPA can two-cycle on
+    bipartite-ish structure, so the fixpoint flag is per-run honesty,
+    not an afterthought (tests pin it true at fixture scales).
+
+    Scale shape per round: one edge ⋈ label join (label frame is
+    node-grain) + one (dst, label) map-side-combined count + one
+    node-grain argmin — per-node state bounded by its degree's
+    distinct labels. Same checkpoint discipline as the other
+    iterative operators."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
+        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    )
+    if not assume_unique_oriented:
+        e = e.distinct()
+
+    def _cut(df):
+        return df.localCheckpoint(eager=False) if checkpoint else df
+
+    e = _cut(e)
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    prev = labels
+    for i in range(rounds):
+        prev = labels
+        counted = (
+            e.join(labels, F.col("src") == F.col("node"))
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        labels = _cut(
+            counted.groupBy("dst")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab"))).alias("m"))
+            .select(F.col("dst").alias("node"), F.col("m.lab").alias("lab"))
+        )
+    changed = (
+        labels.join(
+            prev.select(F.col("node"), F.col("lab").alias("plab")), "node"
+        )
+        .agg(
+            F.sum(F.when(F.col("lab") != F.col("plab"), 1).otherwise(0)).alias(
+                "n_changed"
+            )
+        )
+    )
+    return labels.crossJoin(F.broadcast(changed)).select(
+        "node",
+        F.col("lab").alias("community"),
+        (F.coalesce(F.col("n_changed"), F.lit(0)) == 0).alias("stable"),
+    )

@@ -3939,3 +3939,215 @@ def q_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_codes=_PQ_K,
         dim=_PQ_DIM,
     )
+
+
+@query(
+    "q_char_entropy",
+    oracle="""
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents),
+    cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+           FROM ch GROUP BY doc_id, c),
+    n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars_t,
+                 CAST(count(*) AS BIGINT) AS n_distinct_chars
+          FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id, n_chars_t, n_distinct_chars,
+           round(-sum((k / CAST(n_chars_t AS DOUBLE))
+                      * ln(k / CAST(n_chars_t AS DOUBLE))), 4) + 0.0
+               AS entropy
+    FROM cc JOIN n ON cc.doc_id = n.doc_id
+    GROUP BY cc.doc_id, n_chars_t, n_distinct_chars
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (plus char count
+    and alphabet size) — the CCNet-family redundancy signal that
+    flags key-mash, template spam, and encoding damage without any
+    language model: natural text sits in a narrow entropy band,
+    low-entropy docs are repetitive garbage, abnormally high ones are
+    binary-in-text. Complements `q_compression_ratio` (zlib measures
+    LONG-range redundancy, char entropy the 0th-order kind) with a
+    fully SQL-expressible, oracle-checked statistic.
+
+    Plan: one char explode that map-side combines to (doc, char)
+    grain — ≤ |alphabet| cells per doc reach the shuffle, never the
+    raw character stream — then a doc-keyed rollup. The ≤-alphabet
+    float term sum is absorbed by round(4) with -0.0 normalization."""
+    # Empty-text guard: Java split("", "") yields [""] where DuckDB's
+    # string_split('', '') yields [] — drop the phantom empty char so
+    # a zero-length doc produces no rows on either engine.
+    ch = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    n = cc.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_chars_t"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
+    p = F.col("k") / F.col("n_chars_t").cast("double")
+    return (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id", "n_chars_t", "n_distinct_chars")
+        .agg((F.round(-F.sum(p * F.log(p)), 4) + F.lit(0.0)).alias("entropy"))
+    )
+
+
+_LPA_R = 3
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """Unrolled synchronous LPA rounds as MATERIALIZED CTEs; the
+    argmax-with-min-tie-break is replayed with a (count DESC, label)
+    row_number — same deterministic pick as the Spark struct-argmin."""
+    ctes = [
+        f"pairs AS MATERIALIZED ({_JACCARD_PAIRS_SQL})",
+        "e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "lbl0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e0)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"lbl{i + 1} AS MATERIALIZED (SELECT node, lab FROM ("
+            f" SELECT e.dst AS node, l.lab, count(*) AS c,"
+            f" row_number() OVER (PARTITION BY e.dst"
+            f" ORDER BY count(*) DESC, l.lab) AS rn"
+            f" FROM e0 e JOIN lbl{i} l ON e.src = l.node"
+            f" GROUP BY e.dst, l.lab) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    , chg AS (SELECT count(*) FILTER (
+                  WHERE a.lab <> b.lab) AS n_changed
+              FROM lbl{rounds} a JOIN lbl{rounds - 1} b ON a.node = b.node)
+    SELECT node AS doc_id, lab AS community,
+           (SELECT n_changed FROM chg) = 0 AS stable
+    FROM lbl{rounds}
+    """
+    )
+
+
+@query("q_label_propagation", oracle=_lpa_oracle_sql(_LPA_R))
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the verified near-dup pair
+    graph (Raghavan et al. 2007, deterministic min-label tie-break):
+    where `q_dedup_clusters` answers "touching at all" and `q_kcore`
+    "how densely attached", LPA splits a component into its
+    internally-dense communities — two template families bridged by
+    one hybrid doc keep separate labels, so a rewrite rule targets
+    each family, not their union. Fixed unrolled rounds for oracle
+    replay; every row carries `stable` (true = the last round moved
+    no label — synchronous LPA can two-cycle, so the fixpoint is
+    reported, not assumed). Per round: one node-grain label join +
+    one (node, label) map-side-combined count + one bounded argmin
+    (operators/graph.py::label_propagation)."""
+    from ..operators.graph import label_propagation
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+    return label_propagation(
+        pairs,
+        rounds=_LPA_R,
+        src="doc_a",
+        dst="doc_b",
+        assume_unique_oriented=True,
+    ).withColumnRenamed("node", "doc_id")
+
+
+_FW_A0, _FW_TOP = 100.0, 5
+
+
+@query(
+    "q_distinctive_terms",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c_sw
+            FROM tok GROUP BY source, tok),
+    tw AS (SELECT tok, CAST(sum(c_sw) AS BIGINT) AS c_w FROM cnt GROUP BY tok),
+    ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s
+           FROM cnt GROUP BY source),
+    tot AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n FROM cnt),
+    g AS (SELECT cnt.source, cnt.tok, c_sw, c_w - c_sw AS y_r, n_s,
+                 n - n_s AS n_r, {_FW_A0} * c_w / CAST(n AS DOUBLE) AS aw
+          FROM cnt JOIN tw USING (tok) JOIN ns USING (source) CROSS JOIN tot),
+    z AS (SELECT source, tok, c_sw,
+                 round((ln((c_sw + aw) / (n_s + {_FW_A0} - c_sw - aw))
+                        - ln((y_r + aw) / (n_r + {_FW_A0} - y_r - aw)))
+                       / sqrt(1.0 / (c_sw + aw) + 1.0 / (y_r + aw)), 4)
+                     + 0.0 AS z
+          FROM g)
+    SELECT source, tok AS token, c_sw AS n_uses, z,
+           CAST(rnk AS INT) AS rank
+    FROM (SELECT z.*, row_number() OVER (PARTITION BY source
+              ORDER BY z DESC, tok) AS rnk FROM z)
+    WHERE rnk <= {_FW_TOP}
+    """,
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: top-5 tokens by the Monroe
+    et al. 2008 "Fightin' Words" log-odds z-score against an
+    informative Dirichlet prior (α_w ∝ corpus frequency, total mass
+    100) — the statistically-grounded "what makes this crawl/source
+    different" readout that raw TF-IDF overstates for rare typos and
+    understates for moderately-frequent slant terms; the prior
+    shrinks low-evidence tokens toward zero so the top list is
+    stable. Ranking uses the ROUNDED z with a token tie-break on
+    BOTH engines, so libm's last ulp cannot flip an order.
+
+    Plan: one token explode that map-side combines to (source, token)
+    grain, token-keyed and source-keyed marginal joins (vocab- and
+    |sources|-sized), a 1-row total broadcast, then a per-source
+    WindowGroupLimit top-5 over vocab-bounded partitions — no
+    corpus-sized shuffle after the first count."""
+    from ..operators.text import tokens
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens("text")).alias("tok")
+    )
+    cnt = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sw")
+    )
+    tw = cnt.groupBy("tok").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    ns = cnt.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))
+    tot = cnt.agg(F.sum("c_sw").cast("long").alias("n"))
+    g = (
+        cnt.join(tw, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            "c_sw",
+            (F.col("c_w") - F.col("c_sw")).alias("y_r"),
+            "n_s",
+            (F.col("n") - F.col("n_s")).alias("n_r"),
+            (F.lit(_FW_A0) * F.col("c_w") / F.col("n").cast("double")).alias("aw"),
+        )
+    )
+    a0 = F.lit(_FW_A0)
+    delta = F.log(
+        (F.col("c_sw") + F.col("aw")) / (F.col("n_s") + a0 - F.col("c_sw") - F.col("aw"))
+    ) - F.log(
+        (F.col("y_r") + F.col("aw")) / (F.col("n_r") + a0 - F.col("y_r") - F.col("aw"))
+    )
+    sigma = F.sqrt(
+        F.lit(1.0) / (F.col("c_sw") + F.col("aw"))
+        + F.lit(1.0) / (F.col("y_r") + F.col("aw"))
+    )
+    from pyspark.sql import Window
+    z = g.select(
+        "source",
+        "tok",
+        "c_sw",
+        (F.round(delta / sigma, 4) + F.lit(0.0)).alias("z"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("z").desc(), F.col("tok"))
+    return (
+        z.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _FW_TOP)
+        .select(
+            "source",
+            F.col("tok").alias("token"),
+            F.col("c_sw").alias("n_uses"),
+            "z",
+            F.col("rnk").cast("int").alias("rank"),
+        )
+    )

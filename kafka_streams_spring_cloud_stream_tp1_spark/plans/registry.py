@@ -132,6 +132,9 @@ _FRONT = [
     "q_k_anonymity",
     "q_kcore",
     "q_pq_quantize",
+    "q_char_entropy",
+    "q_label_propagation",
+    "q_distinctive_terms",
     "q_dedup_minhash_lsh",
     "q_text_stats",
     "q_lang_id",

@@ -1003,3 +1003,48 @@ def test_pq_quantize_broadcast_no_python(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_char_entropy_combines_before_shuffle(spark):
+    """The char explode must map-side combine to (doc, char) grain —
+    partial aggregation below the exchange — and the whole query has
+    no windows."""
+    plan = _plan(spark, "q_char_entropy")
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_label_propagation_semantics_and_plan(spark):
+    """Two triangles bridged by one edge must keep TWO communities
+    (the density split connected components cannot make), the run
+    must report stable=true, and the plan has no cartesian product.
+    Toy graph: triangle {1,2,3} — bridge 3-4 — triangle {4,5,6}."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)],
+        "doc_a long, doc_b long",
+    )
+    df = label_propagation(
+        edges, rounds=4, src="doc_a", dst="doc_b",
+        assume_unique_oriented=True, checkpoint=False,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    rows = {r["node"]: (r["community"], r["stable"]) for r in df.collect()}
+    assert all(v[1] for v in rows.values()), rows
+    left = {rows[n][0] for n in (1, 2, 3)}
+    right = {rows[n][0] for n in (5, 6)}
+    assert len(left) == 1 and len(right) == 1 and left != right, rows
+
+
+def test_distinctive_terms_bounded_topk(spark):
+    """The per-source top-5 must run as a rank-limited window over
+    vocab-bounded partitions (WindowGroupLimit pushdown), with the
+    marginal joins on token/source keys — no cartesian, no global
+    sort."""
+    plan = _plan(spark, "q_distinctive_terms")
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
