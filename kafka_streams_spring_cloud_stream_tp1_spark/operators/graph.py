@@ -278,6 +278,7 @@ def kcore_peel(
     each round to cut the exponentially nesting lineage (same
     discipline as `pagerank` / dedup pointer-jumping); on a cluster
     this is the shrinking edge list pinned in executor storage."""
+    assert rounds >= 1, "kcore_peel needs at least one peeling round"
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
         edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     )
@@ -350,6 +351,7 @@ def label_propagation(
     def _cut(df):
         return df.localCheckpoint(eager=False) if checkpoint else df
 
+    assert rounds >= 1, "label_propagation needs at least one round"
     e = _cut(e)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lab")

@@ -41,6 +41,7 @@ def bucketed_cumsum(
     sum_cols: list[str],
     buckets: int = 256,
     float_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact inclusive cumulative sums of ``sum_cols`` in ``value_col``
     order, with NO single-partition window.
@@ -53,10 +54,20 @@ def bucketed_cumsum(
     jobs; offsets come from a B²-element self-join prefix-sum (tiny,
     no empty-partition window, no collect).
 
+    ``partition_cols`` makes the cumulative PER GROUP: windows
+    partition by (group, bucket) and bucket offsets join within the
+    group — one distinct value per (group, value) row — so a group
+    holding most of the corpus still ranks in parallel (the keyed
+    variant `winsorized_stats` needs; the offset join grows to
+    |groups|·B² rows, still grid-grain). Bucket boundaries stay
+    GLOBAL (one broadcast min/max), which keeps the bucket id a pure
+    value function and costs nothing in exactness.
+
     ``float_cols`` get the same treatment WITHOUT the long cast —
     exactness weakens to "within-bucket order is deterministic, the
     ≤B-element offset sum is not": callers must round downstream
     (the survival-curve ln-term accumulation is the intended user)."""
+    pc = list(partition_cols or [])
     rng = df.agg(F.min(value_col).alias("_vmin"), F.max(value_col).alias("_vmax"))
     span = F.col("_vmax") - F.col("_vmin")
     vb = (
@@ -78,22 +89,26 @@ def bucketed_cumsum(
 
     v = df.crossJoin(F.broadcast(rng)).withColumn("_vb", vb).drop("_vmin", "_vmax")
     wloc = (
-        Window.partitionBy("_vb")
+        Window.partitionBy(*pc, "_vb")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in allc:
         v = v.withColumn(f"_lcum_{c}", _cast(F.sum(c).over(wloc), c))
-    sizes = v.groupBy("_vb").agg(
+    sizes = v.groupBy(*pc, "_vb").agg(
         *[_cast(F.sum(c), c).alias(f"_b_{c}") for c in allc]
     )
     prev = sizes.select(
+        *[F.col(g).alias(f"_pg_{g}") for g in pc],
         F.col("_vb").alias("_pvb"),
         *[F.col(f"_b_{c}").alias(f"_p_{c}") for c in allc],
     )
+    cond = F.col("_pvb") < F.col("_vb")
+    for g in pc:
+        cond = cond & (F.col(f"_pg_{g}") == F.col(g))
     offs = (
-        sizes.join(prev, F.col("_pvb") < F.col("_vb"), "left")
-        .groupBy("_vb")
+        sizes.join(prev, cond, "left")
+        .groupBy(*pc, "_vb")
         .agg(
             *[
                 _cast(F.coalesce(F.sum(f"_p_{c}"), F.lit(0)), c).alias(f"_off_{c}")
@@ -101,7 +116,7 @@ def bucketed_cumsum(
             ]
         )
     )
-    out = v.join(F.broadcast(offs), "_vb")
+    out = v.join(F.broadcast(offs), [*pc, "_vb"])
     for c in allc:
         out = out.withColumn(f"cum_{c}", F.col(f"_off_{c}") + F.col(f"_lcum_{c}"))
         out = out.drop(f"_off_{c}", f"_lcum_{c}")
@@ -221,12 +236,15 @@ def poisson_bootstrap_mean(
     EIGHT independent 16-bit uniforms (4 hex chars each), mapped
     through the shared POISSON1_CDF literals, so Spark and the oracle
     draw IDENTICAL weights at an eighth of the all-64-md5 hashing
-    cost (17 s at sf0.1 → ~3 s; md5 over the exploded frame IS the
-    whole bill). 16-bit resolution (1.5e-5) truncates the w ≥ 7 tail
-    (P ≈ 1e-7) and quantizes each cell by ≤ 1.5e-5 — relative bias on
-    a replicate mean < 1e-5, orders below the CI width the statistic
-    exists to report; the 32-bit form is one constant away if a
-    caller ever needs the exact tail. Each replicate's
+    cost (md5 over the exploded frame is most of the bill; measured
+    5.6 s → 4.5 s at sf0.1, the remainder being the row×replicate
+    fan-out itself). 16-bit resolution (1/65536 ≈ 1.5e-5): w = 7
+    stays reachable (CDF[6] = 0.9999168 < max uniform 0.9999847) but
+    w ≥ 8 is truncated — P(w ≥ 8) ≈ 1.02e-5 of mass lands on w = 7 —
+    and each CDF threshold quantizes by ≤ 1.5e-5. Relative bias on a
+    replicate mean is bounded by those ~1e-5 mass shifts, orders
+    below the CI width the statistic exists to report; the 32-bit
+    form is one constant away if a caller ever needs the exact tail. Each replicate's
     (Σ w·x, Σ w) are exact integers; the B replicate means are floats
     only at the final division. The CI is index-based order statistics
     of the B means (2.5%/97.5% for B=64 → ranks 2 and 63), extracted
@@ -401,11 +419,15 @@ def spearman_rho(units: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
     Exactness: a value with ``cb`` units below it and ``c`` tied units
     has midrank (2·cb + c + 1)/2, so DOUBLED ranks are integers;
     Pearson is scale-invariant, so the statistic is computed on the
-    doubled ranks and every data-sized sum (Σa, Σa², Σab) is an exact
-    BIGINT — the only floats are the one final closed-form expression,
+    doubled ranks and every data-sized sum (Σa, Σa², Σab) is exact —
+    the only floats are the one final closed-form expression,
     bit-identical cross-engine with NO rounding. Doubled ranks are
-    ≤ 2n, so Σa² ≤ 4n³: past ~10⁶ units switch the moment
-    accumulators to DECIMAL (same bound family as `rank_sum_auc`).
+    ≤ 2n, so Σa² ≤ 4n³ and the closed-form products n·Σab / Σa·Σb
+    reach 4n⁴ — past int64 at a mere ~39k units — so the moments and
+    products are carried in exact 128-bit integers (Spark
+    DECIMAL(38,0) ↔ DuckDB HUGEINT, both exact and both converting to
+    the same nearest double at the final division), good to ~10⁹
+    units before 4n⁴ nears 10³⁸.
 
     Plan: two per-distinct-value count aggregates (domain-bounded) →
     `bucketed_cumsum` global ranks with no single-partition window →
@@ -424,19 +446,22 @@ def spearman_rho(units: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
         )
 
     ranked = units.join(_dranks(x), x).join(_dranks(y), y)
+    DEC = "decimal(38,0)"
+    da, db = F.col(f"dr_{x}").cast(DEC), F.col(f"dr_{y}").cast(DEC)
     agg = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(f"dr_{x}").cast("long").alias("sa"),
-        F.sum(f"dr_{y}").cast("long").alias("sb"),
-        F.sum(F.col(f"dr_{x}") * F.col(f"dr_{x}")).cast("long").alias("saa"),
-        F.sum(F.col(f"dr_{y}") * F.col(f"dr_{y}")).cast("long").alias("sbb"),
-        F.sum(F.col(f"dr_{x}") * F.col(f"dr_{y}")).cast("long").alias("sab"),
+        F.sum(da).alias("sa"),
+        F.sum(db).alias("sb"),
+        F.sum(da * da).alias("saa"),
+        F.sum(db * db).alias("sbb"),
+        F.sum(da * db).alias("sab"),
     )
     n = F.col("n")
-    num = (n * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+    nd = n.cast(DEC)
+    num = (nd * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
     den = F.sqrt(
-        (n * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
-        * (n * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+        (nd * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+        * (nd * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
     )
     rho = num / den
     return agg.select(
@@ -474,14 +499,26 @@ def chi_square_independence(
     )
     ra = cells.groupBy("g1").agg(F.sum("c").cast("long").alias("ra"))
     cb = cells.groupBy("g2").agg(F.sum("c").cast("long").alias("cb"))
+    # struct-wrapped distinct counts and a null-safe grid join: a NULL
+    # category is a legitimate level — count(DISTINCT g) would drop it
+    # from r/k and an equi-join would zero its observed cell while its
+    # expected mass stayed positive, silently inflating chi2.
     tot = cells.agg(
         F.sum("c").cast("long").alias("n"),
-        F.countDistinct("g1").cast("long").alias("r"),
-        F.countDistinct("g2").cast("long").alias("k"),
+        F.countDistinct(F.struct("g1")).cast("long").alias("r"),
+        F.countDistinct(F.struct("g2")).cast("long").alias("k"),
+    )
+    cell2 = cells.select(
+        F.col("g1").alias("c1"), F.col("g2").alias("c2"), "c"
     )
     grid = (
         ra.crossJoin(F.broadcast(cb))
-        .join(cells, ["g1", "g2"], "left")
+        .join(
+            cell2,
+            F.col("g1").eqNullSafe(F.col("c1"))
+            & F.col("g2").eqNullSafe(F.col("c2")),
+            "left",
+        )
         .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
     )
@@ -519,8 +556,12 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
     BIGINT — per-group doubled rank sums r2_g = Σ c_gv·(2·below+c+1)
     = 2·R_g; H = 3/(N(N+1))·Σ r2_g²/n_g − 3(N+1) divided by the tie
     correction 1 − Σ(c³−c)/(N³−N). r2_g² can exceed 2⁶³ (r2_g ≤ 2N²)
-    so the square is taken in DOUBLE; the k-term float sum is absorbed
-    by round(4).
+    so the square is taken in DOUBLE; the tie term c³ passes 2⁶³ once
+    one value repeats ~2.1M times (routine for quantized columns at
+    corpus scale), so it is carried exact in 128-bit integers (Spark
+    DECIMAL(38,0) ↔ DuckDB HUGEINT) and cast to double only inside
+    the final correction; the k-term float sum is absorbed by
+    round(4).
 
     Plan: one fact-sized (group, value) count; value-grain global
     ranks via `bucketed_cumsum` (no single-partition window); a
@@ -545,10 +586,9 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
             F.sum("c_gv").cast("long").alias("n_g"),
         )
     )
+    cdec = F.col("c").cast("decimal(38,0)")
     ties = dr.agg(
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
-        .cast("long")
-        .alias("t"),
+        F.sum(cdec * cdec * cdec - cdec).alias("t"),
         F.sum("c").cast("long").alias("n"),
     )
     agg = per_g.crossJoin(F.broadcast(ties)).groupBy("n", "t").agg(
@@ -559,7 +599,7 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     h_unc = F.lit(3.0) / (n * (n + 1)) * F.col("sr2") - 3 * (n + 1)
-    corr = F.lit(1.0) - F.col("t") / (n * n * n - n)
+    corr = F.lit(1.0) - F.col("t").cast("double") / (n * n * n - n)
     return agg.select(
         "n",
         "k",
@@ -586,49 +626,18 @@ def winsorized_stats(
     hi = the value holding rank ceil(hi_q·n_g), ranks 1-based in value
     order within the group.
 
-    Plan: one fact-sized (group, value) cell count, then a KEYED
-    variant of the `bucketed_cumsum` construction — windows partition
+    Plan: one fact-sized (group, value) cell count, then the KEYED
+    mode of `bucketed_cumsum` (partition_cols) — windows partition
     by (group, bucket) and bucket offsets join within the group — so
     no group ever sorts on one partition even when a single group is
     a large fraction of the corpus (the exact skew that kills a naive
     per-key global window at 100 TB). The winsorized mean's float sum
     spans distinct-value cells; round(4) absorbs summation order."""
-    B = 256
     gv = df.groupBy(F.col(group).alias("g"), F.col(value).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    rng = df.agg(F.min(value).alias("_vmin"), F.max(value).alias("_vmax"))
-    span = F.col("_vmax") - F.col("_vmin")
-    vb = (
-        F.when(
-            span > 0,
-            F.least(F.lit(B - 1), F.floor((F.col("v") - F.col("_vmin")) / span * B)),
-        )
-        .otherwise(F.lit(0))
-        .cast("int")
-    )
-    v = gv.crossJoin(F.broadcast(rng)).withColumn("_vb", vb).drop("_vmin", "_vmax")
-    wloc = (
-        Window.partitionBy("g", "_vb")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    v = v.withColumn("_lcum", F.sum("c").over(wloc).cast("long"))
-    sizes = v.groupBy("g", "_vb").agg(F.sum("c").cast("long").alias("_bc"))
-    prev = sizes.select(
-        F.col("g").alias("_pg"), F.col("_vb").alias("_pvb"), F.col("_bc").alias("_pc")
-    )
-    offs = (
-        sizes.join(
-            prev, (F.col("_pg") == F.col("g")) & (F.col("_pvb") < F.col("_vb")), "left"
-        )
-        .groupBy("g", "_vb")
-        .agg(F.coalesce(F.sum("_pc"), F.lit(0)).cast("long").alias("_off"))
-    )
-    cum = (
-        v.join(F.broadcast(offs), ["g", "_vb"])
-        .withColumn("cum", F.col("_off") + F.col("_lcum"))
-        .select("g", "v", "c", "cum")
+    cum = bucketed_cumsum(gv, "v", ["c"], partition_cols=["g"]).select(
+        "g", "v", "c", F.col("cum_c").alias("cum")
     )
     ng = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
     lo_rank = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(lo_q) * F.col("n_g")))
@@ -710,9 +719,13 @@ def psi_drift(
         F.col(group_col).alias("g"), bin_.alias("b")
     )
     gb = binned.groupBy("g", "b").agg(F.count(F.lit(1)).cast("long").alias("c_gb"))
-    bc = binned.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c_b"))
-    ng = binned.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
-    tot = binned.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Margins re-aggregate the (group, bin) CELL frame, not the corpus:
+    # all three branches then share gb's exchange subtree, which the
+    # physical planner deduplicates (ReusedExchange) — one fact scan
+    # total, where aggregating `binned` directly planned four.
+    bc = gb.groupBy("b").agg(F.sum("c_gb").cast("long").alias("c_b"))
+    ng = gb.groupBy("g").agg(F.sum("c_gb").cast("long").alias("n_g"))
+    tot = gb.agg(F.sum("c_gb").cast("long").alias("n"))
     grid = (
         bc.crossJoin(F.broadcast(ng))
         .join(gb, ["g", "b"], "left")

@@ -3716,6 +3716,13 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RR_C, _RR_TOP = 50, 20
+# earliness arms generated from the SAME term tuple the Spark side
+# iterates — growing/shrinking _BM25_TERMS changes both engines
+# together instead of silently desynchronizing the oracle
+_RR_POS_ARMS = ",\n                       ".join(
+    f"coalesce(nullif(list_position(toks, '{t}'), 0), 999999)"
+    for t in _BM25_TERMS
+)
 
 
 @query(
@@ -3751,9 +3758,7 @@ _RR_C, _RR_TOP = 50, 20
                               t IN {_BM25_TERMS!r}))
                           / CAST(len(toks) AS DOUBLE))
                  + 0.1 / CAST(least(
-                       coalesce(nullif(list_position(toks, '{_BM25_TERMS[0]}'), 0), 999999),
-                       coalesce(nullif(list_position(toks, '{_BM25_TERMS[1]}'), 0), 999999),
-                       coalesce(nullif(list_position(toks, '{_BM25_TERMS[2]}'), 0), 999999)
+                       {_RR_POS_ARMS}
                    ) AS DOUBLE), 6) AS rerank_score
         FROM cand c JOIN (SELECT doc_id, {_TOKS} AS toks FROM documents) d
           ON c.doc_id = d.doc_id)

@@ -4916,28 +4916,21 @@ def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (SELECT rxc.dr AS da, ryc.dr AS db
           FROM u JOIN rxc ON u.x = rxc.v JOIN ryc ON u.y = ryc.v),
     agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(da) AS BIGINT) AS sa,
-                   CAST(sum(db) AS BIGINT) AS sb,
-                   CAST(sum(da * da) AS BIGINT) AS saa,
-                   CAST(sum(db * db) AS BIGINT) AS sbb,
-                   CAST(sum(da * db) AS BIGINT) AS sab
-            FROM r)
-    SELECT n AS n_units,
-           CAST(n * sab - sa * sb AS DOUBLE)
-             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-                    * CAST(n * sbb - sb * sb AS DOUBLE)) AS rho,
-           (CAST(n * sab - sa * sb AS DOUBLE)
-             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-                    * CAST(n * sbb - sb * sb AS DOUBLE)))
-           * sqrt(CAST(n - 2 AS DOUBLE)
-                  / (1.0 - (CAST(n * sab - sa * sb AS DOUBLE)
-                            / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-                                   * CAST(n * sbb - sb * sb AS DOUBLE)))
-                         * (CAST(n * sab - sa * sb AS DOUBLE)
-                            / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-                                   * CAST(n * sbb - sb * sb AS DOUBLE)))))
-               AS t_stat
-    FROM agg
+                   CAST(sum(CAST(da AS HUGEINT)) AS HUGEINT) AS sa,
+                   CAST(sum(CAST(db AS HUGEINT)) AS HUGEINT) AS sb,
+                   CAST(sum(CAST(da AS HUGEINT) * da) AS HUGEINT) AS saa,
+                   CAST(sum(CAST(db AS HUGEINT) * db) AS HUGEINT) AS sbb,
+                   CAST(sum(CAST(da AS HUGEINT) * db) AS HUGEINT) AS sab
+            FROM r),
+    rh AS (SELECT n,
+                  CAST(CAST(n AS HUGEINT) * sab - sa * sb AS DOUBLE)
+                  / sqrt(CAST(CAST(n AS HUGEINT) * saa - sa * sa AS DOUBLE)
+                         * CAST(CAST(n AS HUGEINT) * sbb - sb * sb AS DOUBLE))
+                      AS rho
+           FROM agg)
+    SELECT n AS n_units, rho,
+           rho * sqrt(CAST(n - 2 AS DOUBLE) / (1.0 - rho * rho)) AS t_stat
+    FROM rh
     """,
 )
 def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5032,13 +5025,14 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra AS (SELECT g1, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY g1),
     cb AS (SELECT g2, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY g2),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
-                   CAST(count(DISTINCT g1) AS BIGINT) AS r,
-                   CAST(count(DISTINCT g2) AS BIGINT) AS k
+                   CAST(count(DISTINCT ROW(g1)) AS BIGINT) AS r,
+                   CAST(count(DISTINCT ROW(g2)) AS BIGINT) AS k
             FROM cells),
     grid AS (SELECT ra.g1, cb.g2, ra.ra, cb.cb,
                     coalesce(cells.c, 0) AS c, n, r, k
              FROM ra CROSS JOIN cb
-             LEFT JOIN cells ON cells.g1 = ra.g1 AND cells.g2 = cb.g2
+             LEFT JOIN cells ON cells.g1 IS NOT DISTINCT FROM ra.g1
+                            AND cells.g2 IS NOT DISTINCT FROM cb.g2
              CROSS JOIN tot),
     agg AS (SELECT n, r, k,
                    round(sum((c - CAST(ra AS DOUBLE) * cb / n)
@@ -5091,7 +5085,8 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_g AS (SELECT g, CAST(sum(c_gv * dr.dr) AS BIGINT) AS r2,
                      CAST(sum(c_gv) AS BIGINT) AS n_g
               FROM gv JOIN dr ON gv.v = dr.v GROUP BY g),
-    ties AS (SELECT CAST(sum(c * c * c - c) AS BIGINT) AS t,
+    ties AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT)
+                        AS t,
                     CAST(sum(c) AS BIGINT) AS n
              FROM dr),
     agg AS (SELECT n, t, CAST(count(*) AS BIGINT) AS k,
