@@ -4036,7 +4036,7 @@ _MW_BUCKETS = 256
                    CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c AS cb
             FROM vc),
     agg AS (SELECT CAST(sum(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1t,
-                   CAST(sum(c * c * c - c) AS BIGINT) AS t
+                   CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS t
             FROM cum),
     ns AS (SELECT CAST(sum(g) AS BIGINT) AS n1,
                   CAST(count(*) - sum(g) AS BIGINT) AS n2
@@ -4067,8 +4067,9 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     B²-row self-join prefix-sum supplies bucket offsets, and the
     rank-sum reduces to ONE integer aggregate Σ c1·(2·below + c + 1)
     = 2·R1 — every statistic is then a deterministic float expression
-    over exact BIGINTs (n1·n2 and the tie term Σc³ bound the integer
-    range; at corpus scales past 2^31 rows switch these to DECIMAL).
+    over exact integers (the tie term Σc³ rides 128-bit exactly —
+    DECIMAL(38,0) ↔ HUGEINT — since c³ passes int64 at ~2.1M repeats
+    of one value; n1·n2 remains the int64 bound, ~3·10⁹ per arm).
     """
     ev = (
         load_table(spark, sf_dir, "events")
@@ -4116,9 +4117,12 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = vc.join(F.broadcast(offs), "vb").withColumn(
         "cb", F.col("off") + F.col("lcum") - F.col("c")
     )
+    # the tie term c^3 passes 2^63 once one value repeats ~2.1M times —
+    # exact 128-bit like q_kruskal_wallis (DECIMAL(38,0) <-> HUGEINT)
+    _cd = F.col("c").cast("decimal(38,0)")
     agg = cum.agg(
         F.sum(F.col("c1") * (2 * F.col("cb") + F.col("c") + 1)).cast("long").alias("r1t"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).cast("long").alias("t"),
+        F.sum(_cd * _cd * _cd - _cd).alias("t"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
     u1 = (F.col("r1t") - n1 * (n1 + 1)) / F.lit(2.0)
@@ -4126,7 +4130,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1 * n2 / F.lit(12.0)
         * (
             (n1 + n2 + 1)
-            - F.col("t") / ((n1 + n2) * (n1 + n2 - 1)).cast("double")
+            - F.col("t").cast("double") / ((n1 + n2) * (n1 + n2 - 1)).cast("double")
         )
     )
     return (
