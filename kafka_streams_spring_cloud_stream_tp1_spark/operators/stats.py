@@ -168,11 +168,15 @@ def welch_ttest(
 
     All moments are exact integer sums (n, Σx, Σx² per group); mean,
     sample variance, t, and df are fixed float expressions over them
-    — deterministic cross-engine regardless of partitioning."""
+    — deterministic cross-engine regardless of partitioning. Σx² and
+    the variance products n·Σx² − (Σx)² ride exact 128-bit integers
+    (Spark DECIMAL(38,0) ↔ DuckDB HUGEINT): a day with > 3·10⁹ events
+    would overflow an int64 x², and the product form squares that."""
+    xd = F.col(x).cast("decimal(38,0)")
     m = series.groupBy(F.col(group).alias("g")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x).cast("long").alias("sx"),
-        F.sum(F.col(x) * F.col(x)).cast("long").alias("sxx"),
+        F.sum(xd * xd).alias("sxx"),
     )
     a = m.filter(F.col("g") == 1).select(
         F.col("n").alias("n1"), F.col("sx").alias("sx1"), F.col("sxx").alias("sxx1")
@@ -184,12 +188,15 @@ def welch_ttest(
     m1 = F.col("sx1").cast("double") / F.col("n1")
     m2 = F.col("sx2").cast("double") / F.col("n2")
     # sample variance via the exact-moment identity (n·Σx² − (Σx)²)/(n(n−1))
-    v1 = (F.col("n1") * F.col("sxx1") - F.col("sx1") * F.col("sx1")).cast("double") / (
-        F.col("n1") * (F.col("n1") - 1)
-    )
-    v2 = (F.col("n2") * F.col("sxx2") - F.col("sx2") * F.col("sx2")).cast("double") / (
-        F.col("n2") * (F.col("n2") - 1)
-    )
+    DEC = "decimal(38,0)"
+    v1 = (
+        F.col("n1").cast(DEC) * F.col("sxx1")
+        - F.col("sx1").cast(DEC) * F.col("sx1")
+    ).cast("double") / (F.col("n1") * (F.col("n1") - 1))
+    v2 = (
+        F.col("n2").cast(DEC) * F.col("sxx2")
+        - F.col("sx2").cast(DEC) * F.col("sx2")
+    ).cast("double") / (F.col("n2") * (F.col("n2") - 1))
     se1, se2 = v1 / F.col("n1"), v2 / F.col("n2")
     t = (m1 - m2) / F.sqrt(se1 + se2)
     df_ = (se1 + se2) * (se1 + se2) / (

@@ -2845,7 +2845,8 @@ _ZSCORE_T = 2.0
         FROM events GROUP BY 1, 2),
     stats AS (
         SELECT event_type,
-               count(*) AS n_days, sum(cnt) AS s, sum(cnt * cnt) AS ss
+               count(*) AS n_days, sum(cnt) AS s,
+               sum(CAST(cnt AS HUGEINT) * cnt) AS ss
         FROM daily GROUP BY event_type)
     SELECT d.event_type, d.day, d.cnt,
            (d.cnt - s / CAST(n_days AS DOUBLE)) /
@@ -2874,7 +2875,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("cnt").alias("s"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("ss"),
+        F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("ss"),
     )
     mean = F.col("s") / F.col("n_days").cast("double")
     var = (F.col("ss") - F.col("s") * mean) / (F.col("n_days") - 1)
@@ -4156,10 +4157,10 @@ _ACF_MAX_LAG = 7
     WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
                FROM events GROUP BY CAST(ts AS DATE)),
     s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-                 CAST(sum(x * x) AS BIGINT) AS sxx
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
           FROM d),
     p AS (SELECT CAST(t.k AS INTEGER) AS lag, CAST(count(*) AS BIGINT) AS m,
-                 CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+                 CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
                  CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(b.x) AS BIGINT) AS sb
           FROM range(1, {_ACF_MAX_LAG + 1}) t(k)
           JOIN d a ON true
@@ -4194,10 +4195,11 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
         .localCheckpoint(eager=False)
     )
+    xd = F.col("x").cast("decimal(38,0)")
     s = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(xd * xd).alias("sxx"),
     )
     lags = d.select(
         "day",
@@ -4211,7 +4213,7 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lag")
         .agg(
             F.count(F.lit(1)).cast("long").alias("m"),
-            F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("sxy"),
             F.sum("xa").cast("long").alias("sa"),
             F.sum("xb").cast("long").alias("sb"),
         )
@@ -4240,7 +4242,8 @@ _CUSUM_H = 3.0
                       CAST(count(*) AS BIGINT) AS x
                FROM events GROUP BY event_type, CAST(ts AS DATE)),
     s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
           FROM d GROUP BY event_type),
     c AS (SELECT event_type, day, x,
                  CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day)
@@ -4286,10 +4289,11 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
         .localCheckpoint(eager=False)
     )
+    xd = F.col("x").cast("decimal(38,0)")
     s = d.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(xd * xd).alias("sxx"),
     )
     wc = (
         Window.partitionBy("event_type")
@@ -4478,25 +4482,25 @@ def q_auc_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events WHERE event_type IN ('purchase', 'click')
                GROUP BY 1, 2),
     m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
-                 CAST(sum(x * x) AS BIGINT) AS sxx
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
           FROM d GROUP BY g),
     a AS (SELECT n AS n1, sx AS sx1, sxx AS sxx1 FROM m WHERE g = 1),
     b AS (SELECT n AS n2, sx AS sx2, sxx AS sxx2 FROM m WHERE g = 0)
     SELECT n1, n2,
            (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2) AS mean_diff,
            (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
-             / sqrt(CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
-                    + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+             / sqrt(CAST(CAST(n1 AS HUGEINT) * sxx1 - CAST(sx1 AS HUGEINT) * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
+                    + CAST(CAST(n2 AS HUGEINT) * sxx2 - CAST(sx2 AS HUGEINT) * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
                AS t_stat,
-           (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
-            + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
-           * (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
-              + CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
-           / ((CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1)
-              * (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1)
+           (CAST(CAST(n1 AS HUGEINT) * sxx1 - CAST(sx1 AS HUGEINT) * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
+            + CAST(CAST(n2 AS HUGEINT) * sxx2 - CAST(sx2 AS HUGEINT) * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+           * (CAST(CAST(n1 AS HUGEINT) * sxx1 - CAST(sx1 AS HUGEINT) * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1
+              + CAST(CAST(n2 AS HUGEINT) * sxx2 - CAST(sx2 AS HUGEINT) * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+           / ((CAST(CAST(n1 AS HUGEINT) * sxx1 - CAST(sx1 AS HUGEINT) * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1)
+              * (CAST(CAST(n1 AS HUGEINT) * sxx1 - CAST(sx1 AS HUGEINT) * sx1 AS DOUBLE) / (n1 * (n1 - 1)) / n1)
               / (n1 - 1)
-              + (CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
-                * (CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+              + (CAST(CAST(n2 AS HUGEINT) * sxx2 - CAST(sx2 AS HUGEINT) * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
+                * (CAST(CAST(n2 AS HUGEINT) * sxx2 - CAST(sx2 AS HUGEINT) * sx2 AS DOUBLE) / (n2 * (n2 - 1)) / n2)
                 / (n2 - 1)) AS df
     FROM a CROSS JOIN b
     """,
