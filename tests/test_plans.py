@@ -767,6 +767,11 @@ def test_degree_distribution_aggregates_only(spark):
         "q_tfidf_topk",
         "q_rrf_fusion",
         "q_kmv_distinct",
+        # round-6 shapes: zero-cell grid + rounded float sum, keyed
+        # bucket ranks + rounded wmean, round-then-rank z-scores
+        "q_chi_square",
+        "q_winsorize",
+        "q_distinctive_terms",
     ],
 )
 def test_partition_count_invariance(spark, name):
