@@ -36,16 +36,24 @@ def baseline_profile(
     """(vmin, vmax, per-bucket mass fractions) of the reference
     distribution — ``buckets`` equal-width cells of the observed
     range, the deterministic binning `q_psi_drift` uses. One
-    aggregate pass; the result is `buckets + 2` floats."""
-    rng = df.agg(
+    aggregate pass; the result is `buckets + 2` floats. NULL metric
+    values carry no distribution mass and are excluded up front; a
+    baseline with zero non-NULL values is unusable and raises rather
+    than seeding NaN fences."""
+    nn = df.filter(F.col(value_col).isNotNull())
+    rng = nn.agg(
         F.min(value_col).alias("vmin"),
         F.max(value_col).alias("vmax"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
+    if int(rng["n"]) == 0:
+        raise ValueError(
+            f"empty baseline: no non-NULL {value_col!r} values to profile"
+        )
     vmin, vmax, n = float(rng["vmin"]), float(rng["vmax"]), int(rng["n"])
     counts = {
         r["b"]: r["c"]
-        for r in df.select(_bucket(value_col, vmin, vmax, buckets).alias("b"))
+        for r in nn.select(_bucket(value_col, vmin, vmax, buckets).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
@@ -73,8 +81,12 @@ def psi_of_batch(
     """One-row (n_rows, psi, n_onesided_bins) PSI score of a batch
     against the baseline fractions. Out-of-range values clamp into
     the edge bins (the production case: drift OUTSIDE the reference
-    range is exactly what must alarm). One bin-grain aggregate."""
-    binned = batch.select(
+    range is exactly what must alarm). NULL metric values are dropped
+    BEFORE binning so they never dilute the batch fractions (batch
+    fractions always sum to 1 over scoreable rows); an all-NULL or
+    empty batch scores (n_rows=0, psi=0.0) with every populated
+    baseline bin counted one-sided. One bin-grain aggregate."""
+    binned = batch.filter(F.col(value_col).isNotNull()).select(
         F.when(F.col(value_col) < vmin, F.lit(0))
         .otherwise(_bucket(value_col, vmin, vmax, buckets))
         .alias("b")
@@ -82,12 +94,17 @@ def psi_of_batch(
     bc = binned.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
     spine = bc.sparkSession.range(buckets).select(F.col("id").cast("int").alias("b"))
     base = F.element_at(F.array(*[F.lit(f) for f in base_frac]), F.col("b") + 1)
-    tot = bc.agg(F.sum("c").cast("long").alias("n"))
+    tot = bc.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n"))
     grid = (
         spine.join(bc, "b", "left")
         .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
-        .withColumn("p", F.col("c") / F.col("n").cast("double"))
+        .withColumn(
+            "p",
+            F.when(F.col("n") > 0, F.col("c") / F.col("n").cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
         .withColumn("q", base)
     )
     both = (F.col("p") > 0) & (F.col("q") > 0)

@@ -54,6 +54,48 @@ def test_out_of_range_values_clamp_into_edge_bins(spark):
     assert row["n_rows"] == 3
 
 
+def test_empty_or_all_null_baseline_raises(spark):
+    """A baseline with no scoreable values must fail loudly, not seed
+    NaN fences (ADVICE r6: float(None) TypeError / ZeroDivisionError)."""
+    import pytest
+
+    empty = spark.createDataFrame([], "value double")
+    with pytest.raises(ValueError, match="empty baseline"):
+        baseline_profile(empty, "value")
+    nulls = spark.createDataFrame([(None,), (None,)], "value double")
+    with pytest.raises(ValueError, match="empty baseline"):
+        baseline_profile(nulls, "value")
+
+
+def test_null_metric_values_do_not_dilute_fractions(spark):
+    """NULLs are dropped before binning: a batch padded with NULLs
+    scores identically to the same batch without them, and n_rows
+    counts only scoreable rows (ADVICE r6: NULL bucket understated
+    PSI because its count still fed the denominator)."""
+    base = _events(spark)
+    vmin, vmax, frac = baseline_profile(base, "value")
+    clean = base.limit(40)
+    padded = clean.unionAll(
+        base.sparkSession.createDataFrame([(None,)] * 60, "value double")
+    )
+    r_clean = psi_of_batch(clean, "value", vmin, vmax, frac).collect()[0]
+    r_padded = psi_of_batch(padded, "value", vmin, vmax, frac).collect()[0]
+    assert r_padded["n_rows"] == r_clean["n_rows"] == 40
+    assert r_padded["psi"] == r_clean["psi"]
+
+
+def test_empty_batch_scores_zero_not_null(spark):
+    """An empty micro-batch yields (n_rows=0, psi=0.0) with every
+    populated baseline bin one-sided — not a NULL n_rows row."""
+    base = _events(spark)
+    vmin, vmax, frac = baseline_profile(base, "value")
+    empty = spark.createDataFrame([], "value double")
+    row = psi_of_batch(empty, "value", vmin, vmax, frac).collect()[0]
+    assert row["n_rows"] == 0
+    assert row["psi"] == 0.0
+    assert row["n_onesided_bins"] == sum(1 for f in frac if f > 0)
+
+
 def test_stream_drift_monitor_end_to_end(spark, tmp_path):
     """The foreachBatch monitor scores a quiet and a shifted file
     batch; the shifted one scores strictly higher."""
