@@ -20,6 +20,17 @@ established:
    CDF thresholds), it is computed ONCE in Python and shared as a
    literal with the oracle SQL — libm is not bit-portable, literals are.
 
+Overflow contract for the 128-bit accumulators (ADVICE r6): products
+of data-sized sums (n·Σx², c³, 4n⁴-class closed forms) ride Spark
+DECIMAL(38,0) ↔ DuckDB HUGEINT. INSIDE the documented bounds (each
+docstring states its n/c ceiling, all ≥ ~10⁹ rows) the two engines are
+bit-identical. BEYOND them the failure modes differ: Spark's default
+non-ANSI mode turns decimal overflow into silent NULL (the statistic
+row comes back NULL, never a wrong number), while DuckDB raises an
+out-of-range error. Running the engine with
+``spark.sql.ansi.enabled=true`` makes Spark raise too; the bounds are
+corpus-size territory (10³⁸ headroom), not realistic inputs.
+
 The reference system (kafka-streams-spring-cloud-stream-tp1) has no
 statistics surface at all (its topology is one windowed count,
 reference: src/main/java/.../PageEventHandler.java:26-60); this module
@@ -30,6 +41,7 @@ data-quality monitoring over the same event/document tables.
 from __future__ import annotations
 
 import math
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -42,6 +54,9 @@ def bucketed_cumsum(
     buckets: int = 256,
     float_cols: list[str] | None = None,
     partition_cols: list[str] | None = None,
+    derive: Callable[[DataFrame], DataFrame] | None = None,
+    then_cols: list[str] | None = None,
+    then_float_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact inclusive cumulative sums of ``sum_cols`` in ``value_col``
     order, with NO single-partition window.
@@ -66,7 +81,17 @@ def bucketed_cumsum(
     ``float_cols`` get the same treatment WITHOUT the long cast —
     exactness weakens to "within-bucket order is deterministic, the
     ≤B-element offset sum is not": callers must round downstream
-    (the survival-curve ln-term accumulation is the intended user)."""
+    (the survival-curve ln-term accumulation is the intended user).
+
+    ``derive`` fuses a SECOND cumulative phase into the same bucketing:
+    after the first ``cum_<c>`` columns exist, ``derive(out)`` computes
+    new per-row columns from them and ``then_cols`` /
+    ``then_float_cols`` are cumulated over the identical (partition,
+    bucket, order) spec — Catalyst sees the distribution and sort
+    already satisfied, so the chained phase adds NO fact-sized shuffle
+    and none of the upstream-plan re-derivation a second
+    `bucketed_cumsum` call would (the Kaplan-Meier at-risk → ln-term
+    chain is the intended user; VERDICT r06 #3)."""
     pc = list(partition_cols or [])
     rng = df.agg(F.min(value_col).alias("_vmin"), F.max(value_col).alias("_vmax"))
     span = F.col("_vmax") - F.col("_vmin")
@@ -81,45 +106,63 @@ def bucketed_cumsum(
         .otherwise(F.lit(0))
         .cast("int")
     )
-    fcols = list(float_cols or [])
-    allc = list(sum_cols) + fcols
-
-    def _cast(col, c):
-        return col.cast("long") if c in sum_cols else col.cast("double")
-
-    v = df.crossJoin(F.broadcast(rng)).withColumn("_vb", vb).drop("_vmin", "_vmax")
     wloc = (
         Window.partitionBy(*pc, "_vb")
         .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in allc:
-        v = v.withColumn(f"_lcum_{c}", _cast(F.sum(c).over(wloc), c))
-    sizes = v.groupBy(*pc, "_vb").agg(
-        *[_cast(F.sum(c), c).alias(f"_b_{c}") for c in allc]
-    )
-    prev = sizes.select(
-        *[F.col(g).alias(f"_pg_{g}") for g in pc],
-        F.col("_vb").alias("_pvb"),
-        *[F.col(f"_b_{c}").alias(f"_p_{c}") for c in allc],
-    )
-    cond = F.col("_pvb") < F.col("_vb")
-    for g in pc:
-        cond = cond & (F.col(f"_pg_{g}") == F.col(g))
-    offs = (
-        sizes.join(prev, cond, "left")
-        .groupBy(*pc, "_vb")
-        .agg(
-            *[
-                _cast(F.coalesce(F.sum(f"_p_{c}"), F.lit(0)), c).alias(f"_off_{c}")
-                for c in allc
-            ]
+
+    def _cumulate(v: DataFrame, icols: list[str], dcols: list[str]) -> DataFrame:
+        # One window pass + B²-grain offset join over a frame that
+        # already carries _vb. Called again by the `derive` phase: the
+        # second call's window/groupBy reuse the (pc, _vb) hash
+        # partitioning and sort the first call established, so fused
+        # two-phase cumulatives cost ONE fact-sized shuffle total.
+        allc = list(icols) + list(dcols)
+
+        def _cast(col, c):
+            return col.cast("long") if c in icols else col.cast("double")
+
+        for c in allc:
+            v = v.withColumn(f"_lcum_{c}", _cast(F.sum(c).over(wloc), c))
+        sizes = v.groupBy(*pc, "_vb").agg(
+            *[_cast(F.sum(c), c).alias(f"_b_{c}") for c in allc]
         )
-    )
-    out = v.join(F.broadcast(offs), [*pc, "_vb"])
-    for c in allc:
-        out = out.withColumn(f"cum_{c}", F.col(f"_off_{c}") + F.col(f"_lcum_{c}"))
-        out = out.drop(f"_off_{c}", f"_lcum_{c}")
+        prev = sizes.select(
+            *[F.col(g).alias(f"_pg_{g}") for g in pc],
+            F.col("_vb").alias("_pvb"),
+            *[F.col(f"_b_{c}").alias(f"_p_{c}") for c in allc],
+        )
+        cond = F.col("_pvb") < F.col("_vb")
+        for g in pc:
+            cond = cond & (F.col(f"_pg_{g}") == F.col(g))
+        offs = (
+            sizes.join(prev, cond, "left")
+            .groupBy(*pc, "_vb")
+            .agg(
+                *[
+                    _cast(F.coalesce(F.sum(f"_p_{c}"), F.lit(0)), c).alias(
+                        f"_off_{c}"
+                    )
+                    for c in allc
+                ]
+            )
+        )
+        out = v.join(F.broadcast(offs), [*pc, "_vb"])
+        for c in allc:
+            out = out.withColumn(f"cum_{c}", F.col(f"_off_{c}") + F.col(f"_lcum_{c}"))
+            out = out.drop(f"_off_{c}", f"_lcum_{c}")
+        return out
+
+    v = df.crossJoin(F.broadcast(rng)).withColumn("_vb", vb).drop("_vmin", "_vmax")
+    out = _cumulate(v, list(sum_cols), list(float_cols or []))
+    if derive is not None:
+        # Fused second phase (VERDICT r06 #3): columns computed FROM the
+        # first cumulatives are themselves cumulated over the same
+        # bucketing — same _vb, same window spec — instead of a second
+        # bucketed_cumsum call whose min/max agg + re-bucket + re-shuffle
+        # re-derives the whole upstream plan (~3× lineage blowup).
+        out = _cumulate(derive(out), list(then_cols or []), list(then_float_cols or []))
     return out.drop("_vb")
 
 
@@ -374,32 +417,49 @@ def kaplan_meier(spans: DataFrame, dur: str = "dur", event: str = "ev") -> DataF
     survival = Π_{u≤t} (1 − d_u/n_u), rounded to 4).
 
     Plan: collapse to per-duration (deaths, total) rows — a
-    calendar-span-bounded frame — then TWO `bucketed_cumsum` passes
-    over it: an integer one for the at-risk counts (n_t = N − cum_<t)
-    and a float one accumulating ln(1 − d/n) so the product becomes
-    exp of an ordered cumulative sum (no integer-overflowing product,
-    no per-item window). The at-risk counts are exact BIGINTs; the
-    survival column is rounded to 4 because the ln/exp pair and the
-    ≤B-bucket offset additions are float ops whose last ulps differ
-    across engines (the `q_source_kl` precedent)."""
+    calendar-span-bounded frame — then ONE fused `bucketed_cumsum`
+    pass over it: the integer phase yields the at-risk counts
+    (n_t = N − cum_<t), the `derive` hook turns them into per-row
+    ln(1 − d/n) terms, and the chained phase cumulates those over the
+    SAME bucketing so the product becomes exp of an ordered cumulative
+    sum (no integer-overflowing product, no per-item window, no
+    second shuffle — the two-pass version re-derived the whole
+    upstream plan 3× and cost a 121-exchange plan, VERDICT r06 #3).
+    The at-risk counts are exact BIGINTs; the survival column is
+    rounded to 4 because the ln/exp pair and the ≤B-bucket offset
+    additions are float ops whose last ulps differ across engines
+    (the `q_source_kl` precedent)."""
     g = spans.groupBy(F.col(dur).alias("t")).agg(
         F.sum(event).cast("long").alias("d"),
         F.count(F.lit(1)).cast("long").alias("tot"),
     )
+    # The offset machinery references this frame several times; without
+    # a lineage cut each reference re-inlines the fact-sized spans
+    # rollup into the plan (the 121-exchange pathology). The frame is
+    # calendar-span-bounded — one row per distinct duration — so a
+    # localCheckpoint is a tiny materialization, same device the
+    # iterative graph operators use.
+    g = g.localCheckpoint(eager=True)
     n = g.agg(F.sum("tot").cast("long").alias("nn"))
-    c = bucketed_cumsum(g, "t", ["tot"]).crossJoin(F.broadcast(n))
-    n_at = F.col("nn") - F.col("cum_tot") + F.col("tot")
-    # d == n_at (everyone remaining dies) sends the product to an
-    # absorbing 0 — ln(0) is an error in DuckDB and a sum-skipped NULL
-    # in Spark, so track the zero crossing as an INTEGER cumulative
-    # flag instead of feeding ±inf into the float pass
-    lt = F.when(
-        (F.col("d") > 0) & (F.col("d") < n_at),
-        F.log((n_at - F.col("d")).cast("double") / n_at),
-    ).otherwise(F.lit(0.0))
-    zf = F.when(F.col("d") >= n_at, 1).otherwise(0).cast("long")
-    z = c.select("t", "d", n_at.alias("n_at"), lt.alias("lt"), zf.alias("zf"))
-    k = bucketed_cumsum(z, "t", ["zf"], float_cols=["lt"])
+
+    def _risk_terms(c: DataFrame) -> DataFrame:
+        n_at = F.col("nn") - F.col("cum_tot") + F.col("tot")
+        # d == n_at (everyone remaining dies) sends the product to an
+        # absorbing 0 — ln(0) is an error in DuckDB and a sum-skipped
+        # NULL in Spark, so track the zero crossing as an INTEGER
+        # cumulative flag instead of feeding ±inf into the float pass
+        lt = F.when(
+            (F.col("d") > 0) & (F.col("d") < n_at),
+            F.log((n_at - F.col("d")).cast("double") / n_at),
+        ).otherwise(F.lit(0.0))
+        zf = F.when(F.col("d") >= n_at, 1).otherwise(0).cast("long")
+        return c.crossJoin(F.broadcast(n)).select(
+            "t", "_vb", "d", n_at.alias("n_at"), lt.alias("lt"), zf.alias("zf")
+        )
+
+    k = bucketed_cumsum(
+        g, "t", ["tot"], derive=_risk_terms, then_cols=["zf"], then_float_cols=["lt"]
+    )
     return (
         k.filter(F.col("d") > 0)
         .select(
@@ -562,12 +622,13 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
     Exactness: doubled midranks keep every data-sized sum an exact
     BIGINT — per-group doubled rank sums r2_g = Σ c_gv·(2·below+c+1)
     = 2·R_g; H = 3/(N(N+1))·Σ r2_g²/n_g − 3(N+1) divided by the tie
-    correction 1 − Σ(c³−c)/(N³−N). r2_g² can exceed 2⁶³ (r2_g ≤ 2N²)
-    so the square is taken in DOUBLE; the tie term c³ passes 2⁶³ once
-    one value repeats ~2.1M times (routine for quantized columns at
-    corpus scale), so it is carried exact in 128-bit integers (Spark
-    DECIMAL(38,0) ↔ DuckDB HUGEINT) and cast to double only inside
-    the final correction; the k-term float sum is absorbed by
+    correction 1 − Σ(c³−c)/(N³−N). r2_g ≤ 2N² wraps an int64 past
+    N ≈ 2.1·10⁹, and the tie term c³ passes 2⁶³ once one value
+    repeats ~2.1M times (routine for quantized columns at corpus
+    scale), so BOTH ride exact 128-bit integers (Spark DECIMAL(38,0)
+    ↔ DuckDB HUGEINT; see the module-docstring overflow contract) and
+    convert to double only in the final fixed expression — r2_g² is
+    squared in DOUBLE there; the k-term float sum is absorbed by
     round(4).
 
     Plan: one fact-sized (group, value) count; value-grain global
@@ -589,7 +650,9 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
         gv.join(dr.select("v", "dr"), "v")
         .groupBy("g")
         .agg(
-            F.sum(F.col("c_gv") * F.col("dr")).cast("long").alias("r2"),
+            # r2 = 2·R_g ≤ 2N² wraps an int64 past N ≈ 2.1·10⁹ rows, so
+            # the doubled rank-sum rides 128-bit too (ADVICE r6)
+            F.sum(F.col("c_gv").cast("decimal(38,0)") * F.col("dr")).alias("r2"),
             F.sum("c_gv").cast("long").alias("n_g"),
         )
     )
@@ -601,7 +664,7 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
     agg = per_g.crossJoin(F.broadcast(ties)).groupBy("n", "t").agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum(
-            F.col("r2").cast("double") * F.col("r2") / F.col("n_g")
+            F.col("r2").cast("double") * F.col("r2").cast("double") / F.col("n_g")
         ).alias("sr2"),
     )
     n = F.col("n").cast("double")

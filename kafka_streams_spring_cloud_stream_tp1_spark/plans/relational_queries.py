@@ -5090,7 +5090,8 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                   2 * (CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1
                       AS dr
            FROM vc),
-    per_g AS (SELECT g, CAST(sum(c_gv * dr.dr) AS BIGINT) AS r2,
+    per_g AS (SELECT g, CAST(sum(CAST(c_gv AS HUGEINT) * dr.dr) AS HUGEINT)
+                            AS r2,
                      CAST(sum(c_gv) AS BIGINT) AS n_g
               FROM gv JOIN dr ON gv.v = dr.v GROUP BY g),
     ties AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT)
@@ -5098,7 +5099,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
                     CAST(sum(c) AS BIGINT) AS n
              FROM dr),
     agg AS (SELECT n, t, CAST(count(*) AS BIGINT) AS k,
-                   sum(CAST(r2 AS DOUBLE) * r2 / n_g) AS sr2
+                   sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / n_g) AS sr2
             FROM per_g CROSS JOIN ties GROUP BY n, t)
     SELECT n, k, k - 1 AS dof,
            round((3.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr2
