@@ -947,3 +947,80 @@ def exact_substring_dedup(
             ).alias("shared_frac"),
         )
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    gram_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated character spans per document — the CUT step
+    of ExactSubstr dedup (Lee et al. 2021 remove every substring of
+    length ≥ gram_len that occurs more than once in the corpus; their
+    single-node tool builds a suffix array, this is the distributed
+    re-expression). `exact_substring_dedup` SCORES documents; this
+    returns the actual [start, end] char ranges a rewrite would drop.
+
+    Construction: every length-``gram_len`` stride-1 window whose hash
+    occurs ≥2 times ANYWHERE in the corpus (cross-doc or a within-doc
+    repeat, exactly the suffix-array criterion) marks the interval
+    [p, p+gram_len-1] as duplicated; overlapping/adjacent marked
+    intervals merge into maximal spans by gaps-and-islands — all
+    intervals have equal length, so a new island starts exactly when
+    p − lag(p) > gram_len, and the island id is a running sum of
+    those breaks over a PER-DOCUMENT window (doc-grain parallelism,
+    no global sort).
+
+    Plan: O(total chars) window rows (no per-doc distinct — positions
+    matter), one gram-keyed count to build the duplicated-hash index
+    (carries counts, never doc lists), one hash-keyed semi join back,
+    one doc-keyed window + aggregate. Output: (doc_id, span_start,
+    span_end, span_len) per maximal span, 1-indexed inclusive."""
+    from pyspark.sql import Window
+
+    t = F.col("t")
+    n_wins = F.greatest(F.length(t) - gram_len + 1, F.lit(0))
+    wins = (
+        fan_out(df, key=id_col)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        .filter(F.length(t) >= gram_len)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), n_wins)).alias("p"),
+            t.alias("t"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            xhash(F.col("t").substr(F.col("p"), F.lit(gram_len))).alias("h"),
+        )
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("h")
+    )
+    marked = wins.join(dup, "h", "left_semi").select("doc_id", "p")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    islands = marked.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(w) > gram_len, 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("p").cast("long").alias("span_start"),
+            (F.max("p") + gram_len - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

@@ -524,3 +524,79 @@ def crossencoder_rerank(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top)
     )
+
+
+def crossencoder_rerank_udf(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    scorer=None,
+    candidates: int = 50,
+    top: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`crossencoder_rerank` with a REAL model hook (VERDICT r06 #7b):
+    stage 2 runs ``scorer`` as an Arrow-batched pandas UDF over the
+    bounded C-row candidate frame instead of the SQL feature blend.
+
+    ``scorer(query: str, texts: pd.Series) -> pd.Series[float]`` is
+    the cross-encoder forward pass: it receives the ONE query string
+    and an Arrow batch of candidate texts, and returns one score per
+    text. Plug in a sentence-transformers CrossEncoder's
+    ``predict([(q, t) for t in texts])`` unchanged; the default is a
+    deterministic lexical stand-in (query-term hit rate + inverse
+    first-hit position) so the plumbing is testable in this container
+    (no model libs baked in).
+
+    The plan shape is the contract, identical to the SQL variant:
+    BM25 → TakeOrderedAndProject top-C → broadcast join of C ids back
+    to the docs scan → ArrowEvalPython over ≤C rows → one ≤C-row
+    window. The Python worker sees C rows TOTAL regardless of corpus
+    size — the scorer can afford a 100 ms/row model because the frame
+    is bounded, and the corpus never crosses the Arrow boundary."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    qt = [t for t in query_terms if t]
+    q_str = " ".join(qt)
+
+    if scorer is None:
+
+        def scorer(query: str, texts: "pd.Series") -> "pd.Series":
+            terms = query.split()
+
+            def _s(t: str) -> float:
+                toks = t.lower().split()
+                hits = [i for i, w in enumerate(toks) if w in terms]
+                if not hits:
+                    return 0.0
+                hit_terms = len({toks[i] for i in hits})
+                return round(
+                    0.7 * hit_terms / len(terms) + 0.3 / (hits[0] + 1), 6
+                )
+
+            return texts.map(_s)
+
+    def _score_fn(texts):
+        return scorer(q_str, texts).astype("float64")
+
+    # positional form: with `from __future__ import annotations` the
+    # decorator's type-hint sniffing sees strings and rejects them
+    _score = pandas_udf(_score_fn, "double")
+
+    first = (
+        bm25(df, qt, k1=k1, b=b, text_col=text_col, id_col=id_col)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(candidates)
+        .select("doc_id", F.col("score").alias("bm25"))
+    )
+    cand = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t")).join(
+        F.broadcast(first), "doc_id"
+    )
+    scored = cand.select("doc_id", "bm25", _score(F.col("t")).alias("rerank_score"))
+    w = Window.orderBy(F.desc("rerank_score"), F.desc("bm25"), "doc_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top
+    )

@@ -4156,3 +4156,82 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "q_exact_substring_spans",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text AS t FROM documents
+               WHERE length(text) >= {_XS_L}),
+    wins AS (SELECT doc_id, p,
+                    CAST('0x' || substr(md5(substr(t, p::INT, {_XS_L})), 1, 15)
+                         AS BIGINT) AS h
+             FROM (SELECT doc_id, t,
+                          unnest(range(1, length(t) - {_XS_L} + 2)) AS p
+                   FROM d)),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    marked AS (SELECT doc_id, p FROM wins
+               WHERE h IN (SELECT h FROM dup)),
+    brk AS (SELECT doc_id, p,
+                   CASE WHEN p - lag(p) OVER
+                                 (PARTITION BY doc_id ORDER BY p)
+                             > {_XS_L} THEN 1 ELSE 0 END AS b
+            FROM marked),
+    isl AS (SELECT doc_id, p,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk)
+    SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + {_XS_L} - 1 AS BIGINT) AS span_end,
+           CAST(max(p) + {_XS_L} - min(p) AS BIGINT) AS span_len
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr CUT ranges (Lee et al. 2021): the maximal character
+    spans of each document covered by 40-char windows that occur ≥2
+    times anywhere in the corpus — what a rewrite pass would remove,
+    where `q_exact_substring_dedup` only scores. Equal-length marked
+    intervals merge by gaps-and-islands over a per-document window
+    (new span exactly when the gap between marked positions exceeds
+    the window length), so the merge is doc-grain parallel with no
+    global sort; the duplicated-hash index carries counts, never doc
+    lists (operators/dedup.py::exact_substring_spans)."""
+    return D.exact_substring_spans(
+        load_table(spark, sf_dir, "documents"), gram_len=_XS_L
+    )
+
+
+_DP_EPS, _DP_SALT = 1.0, "dp-v1"
+
+
+@query(
+    "q_dp_counts",
+    oracle=f"""
+    WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type),
+    u AS (SELECT event_type, n,
+                 {xhash_sql("event_type || '|" + _DP_SALT + "'")}
+                     / 1152921504606846976.0 - 0.5 AS uu
+          FROM g)
+    SELECT event_type,
+           round(n + (-1.0 / {_DP_EPS}) * sign(uu)
+                     * ln(greatest(1.0 - 2 * abs(uu), power(2.0, -60))),
+                 4) + 0.0 AS noisy_count,
+           CAST({_DP_EPS} AS DOUBLE) AS epsilon
+    FROM u
+    """,
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP noisy count release (Dwork et al. 2006, ε=1): per
+    event-type counts with Laplace(1/ε) noise drawn by inverse CDF
+    from a salted deterministic hash-uniform — the reproducible twin
+    of the release mechanism a governance gate runs before aggregate
+    stats leave the enclave (sibling of `q_k_anonymity`: that audits
+    re-identifiability, this releases safely). One map-side-combined
+    domain-sized groupBy plus a codegen'd noise expression — scale-
+    flat (operators/privacy.py::dp_noisy_counts)."""
+    from ..operators.privacy import dp_noisy_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, "event_type", epsilon=_DP_EPS, salt=_DP_SALT)

@@ -984,3 +984,51 @@ def test_ranking_metrics_bruteforce(spark):
         assert abs(out[qid].mrr - mrr) < 1e-12, qid
         assert abs(out[qid].ndcg - ndcg) < 1e-6, qid
         assert out[qid].query_label == ql
+
+
+def test_crossencoder_rerank_udf_hook(spark):
+    """The Arrow-batched cross-encoder hook: the custom scorer runs as
+    a pandas UDF over the BOUNDED candidate frame only (ArrowEvalPython
+    in-plan, corpus never crosses the Arrow boundary), an injected
+    scorer fully controls the final order, and the default stand-in
+    produces the same top-1 as the SQL feature-blend variant on the
+    fixture corpus."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.retrieval import (
+        crossencoder_rerank,
+        crossencoder_rerank_udf,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    qt = ["spark", "stream"]
+
+    out = crossencoder_rerank_udf(docs, qt, candidates=20, top=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    rows = out.collect()
+    assert len(rows) == 5
+    assert [r["rank"] for r in rows] == sorted(r["rank"] for r in rows)
+
+    # injected scorer: rank purely by text length -> longest wins
+    def by_len(query, texts):
+        return texts.str.len().astype("float64")
+
+    inj = crossencoder_rerank_udf(docs, qt, scorer=by_len, candidates=20, top=5)
+    got = inj.orderBy("rank").collect()
+    lens = {
+        r["doc_id"]: len(r["text"])
+        for r in docs.join(
+            inj.select("doc_id"), "doc_id"
+        ).select("doc_id", "text").collect()
+    }
+    want = sorted(lens, key=lambda d: (-lens[d], d))[:5]
+    assert [r["doc_id"] for r in got] == want
+
+    # default stand-in agrees with the SQL blend on the obvious winner
+    sql_top = crossencoder_rerank(docs, qt, candidates=20, top=1).collect()[0]
+    udf_top = sorted(rows, key=lambda r: r["rank"])[0]
+    assert udf_top["doc_id"] == sql_top["doc_id"]

@@ -1053,3 +1053,75 @@ def test_distinctive_terms_bounded_topk(spark):
     plan = _plan(spark, "q_distinctive_terms")
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_exact_substring_spans_plan_and_merge_semantics(spark):
+    """The ExactSubstr cut step: one semi join of the O(chars) window
+    frame against the count-only duplicated-hash index (no pair
+    explosion, no cartesian), islands merged over a PER-DOCUMENT
+    window (no single-partition global sort). Behavioral pin on a
+    crafted corpus: two docs sharing one 45-char passage produce ONE
+    maximal span each covering the full shared run, and a doc with no
+    repeats produces none."""
+    plan = _plan(spark, "q_exact_substring_spans")
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    # islands window partitions by doc_id — never an empty partitionBy
+    assert "SortExchange" not in plan
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 49 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " unique tail one padding padding"),
+            (2, "completely different head text " + shared + " ZZZ"),
+            (3, "no duplicated content here at all " + "x" * 40),
+        ],
+        "doc_id long, text string",
+    )
+    rows = exact_substring_spans(docs, gram_len=40).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_len"])
+        )
+    assert 3 not in by_doc, by_doc
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1, by_doc
+    # the true maximal shared run includes the flanking spaces both
+    # docs carry: " " + shared + " " = 51 chars; every 40-char window
+    # inside it is duplicated, so the merged span covers it exactly
+    assert by_doc[1][0][2] == len(shared) + 2, by_doc
+    assert by_doc[2][0][2] == len(shared) + 2, by_doc
+    s1 = docs.collect()[0]["text"].index(" " + shared) + 1
+    assert by_doc[1][0][0] == s1, by_doc
+
+
+def test_dp_counts_scale_flat_plan(spark):
+    """The DP release is one map-side-combined domain-sized groupBy
+    plus a codegen'd noise projection: no join, no window, no second
+    shuffle; noise must be reproducible (two builds collect equal)
+    and bounded-in-probability sanity: |noisy - exact| within 20/ε
+    for every group on the smoke fixture."""
+    plan = _plan(spark, "q_dp_counts")
+    assert "CartesianProduct" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    a = sorted(map(tuple, queries_map()["q_dp_counts"](spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, queries_map()["q_dp_counts"](spark, SF_SMOKE).collect()))
+    assert a == b
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for etype, noisy, eps in a:
+        assert abs(noisy - exact[etype]) <= 20.0 / eps, (etype, noisy, exact[etype])

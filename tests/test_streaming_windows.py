@@ -99,3 +99,40 @@ def test_streaming_session_window_merge_and_close(spark, stream_dir):
         assert (1, 8, 3) in rows, rows  # merged session of 3 events, end = last+gap
     finally:
         q.stop()
+
+
+def test_session_live_trigger_lane(spark, stream_dir):
+    """The live-trigger session lane (processingTime=0.3 s, real
+    wall-clock triggers — NOT processAllAvailable): three events
+    within the 5 s gap merge into one session that is emitted in
+    append mode only after a later batch advances the watermark past
+    its close. Polls the sink with a deadline instead of draining, so
+    the assertion exercises the trigger cadence itself."""
+    import time as _time
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming.pipeline import (
+        start_session_stream,
+    )
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).json(stream_dir)
+    q = start_session_stream(
+        events, table="sess_live", trigger_seconds=0.3, watermark="10 seconds"
+    )
+    try:
+        _write_batch(stream_dir, "b1", [_event(0, 1.0), _event(1, 2.0), _event(2, 3.0)])
+        # watermark pushers: a far-future event closes the first session
+        _write_batch(stream_dir, "b2", [_event(3, 30.0)])
+        _write_batch(stream_dir, "b3", [_event(4, 60.0)])
+        deadline = _time.monotonic() + 30
+        rows = set()
+        while _time.monotonic() < deadline:
+            rows = {
+                (r["session_start"].second, r["session_end"].second, r["cnt"])
+                for r in spark.table("sess_live").collect()
+            }
+            if (1, 8, 3) in rows:
+                break
+            _time.sleep(0.3)
+        assert (1, 8, 3) in rows, rows
+    finally:
+        q.stop()
