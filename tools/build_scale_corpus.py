@@ -1,12 +1,48 @@
-"""Build the id-offset N-x scale corpus used by BASELINE.md's scale-up
-tables: N copies of every base table with all entity-key columns
-shifted by copy*OFFSET so joins stay consistent and every copy is a
-disjoint key universe. Text/embedding payloads repeat verbatim — the
-ADVERSARIAL case for dedup/df operators (every shingle/vector's
-frequency multiplies by N, stressing bucket caps and df pruning).
+"""Build the N-x scale corpora used by BASELINE.md's scale-up tables.
 
-Usage: python tools/build_scale_corpus.py [N] [base_dir] [out_dir]
-Defaults: 5 /root/testdata/sf0.1 /tmp/sf0.1x5
+Two modes:
+
+**copy** (default, rounds 3-6): N copies of every base table with all
+entity-key columns shifted by copy*OFFSET so joins stay consistent and
+every copy is a disjoint key universe. Text/embedding payloads repeat
+verbatim — the ADVERSARIAL case for dedup/df operators (every
+shingle/vector's frequency multiplies by N, stressing bucket caps and
+df pruning) but an UNDERSTATEMENT of unique-data growth for everything
+else.
+
+**generate** (round 7, VERDICT r06 #2): the real-growth lane. Keys
+shift exactly as in copy mode (join topology and fact-table growth are
+identical), but the payloads that drive dedup / similarity / text
+analytics are REGENERATED deterministically per copy instead of
+repeated:
+
+- ``documents.text``: copy 0 is the base corpus verbatim; copy i>0
+  re-draws each document's words from ITS OWN base document's word
+  multiset (80%) blended with the global unigram vocabulary (20%),
+  with a seeded per-copy RNG, preserving per-document length, the
+  global unigram weights, AND per-document topical identity. Each
+  base doc therefore seeds a bounded ~N-member bag-of-words family
+  (the constant near-dup rate of real corpus growth) instead of
+  either pathology: verbatim copies (every fingerprint ×N) or
+  global-vocab resampling (a single-topic corpus where every doc
+  pair is SimHash-near — measured round 7: that variant made the
+  near-dup graph a 50k-clique and q_triangle_count 43x). Word order
+  is freshly random, so sequence-shingle detectors (n-gram Jaccard /
+  MinHash) correctly see these as DISTINCT texts while bag-of-words
+  detectors (SimHash) see bounded families — different detectors,
+  different structure, all real.
+- ``embeddings.embedding``: copy i>0 perturbs the base vector with
+  seeded N(0, 0.15) noise — new unique points that keep the label
+  cluster geometry, so kNN/ANN recall stays meaningful while no
+  vector is a verbatim duplicate.
+
+Everything else (tpch tables, events) is identical between modes:
+their queried columns are keys/amounts/dates whose verbatim repetition
+under a shifted key universe IS real growth (more orders with the same
+price distribution).
+
+Usage: python tools/build_scale_corpus.py [N] [base_dir] [out_dir] [--generate]
+Defaults: 5 /root/testdata/sf0.1 /tmp/<base>x<N>[u]
 """
 
 from __future__ import annotations
@@ -33,23 +69,85 @@ KEYS = {
 }
 
 
+def _copy_table(con, t: str, keys: list[str], n: int, base: str, out: str) -> None:
+    parts = []
+    cols = con.sql(f"SELECT * FROM '{base}/{t}.parquet' LIMIT 0").columns
+    for i in range(n):
+        proj = ", ".join(
+            f"{c} + {i * OFFSET} AS {c}" if c in keys else c for c in cols
+        )
+        parts.append(f"SELECT {proj} FROM '{base}/{t}.parquet'")
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+    )
+
+
+def _generate_documents(n: int, base: str, out: str) -> None:
+    import numpy as np
+    import pandas as pd
+
+    df = pd.read_parquet(f"{base}/documents.parquet")
+    words = pd.Series(" ".join(df["text"]).split())
+    vocab = words.value_counts()
+    toks, weights = vocab.index.to_numpy(), (vocab / vocab.sum()).to_numpy()
+    own = [np.asarray(t.split()) for t in df["text"]]
+    frames = [df]
+    for i in range(1, n):
+        rng = np.random.default_rng(42_000 + i)
+        texts = []
+        for ws in own:
+            ln = len(ws)
+            draw = ws[rng.integers(0, ln, size=ln)]
+            swap = rng.random(ln) < 0.2
+            if swap.any():
+                draw = draw.copy()
+                draw[swap] = rng.choice(toks, size=int(swap.sum()), p=weights)
+            texts.append(" ".join(draw))
+        c = df.copy()
+        c["doc_id"] = c["doc_id"] + i * OFFSET
+        c["text"] = texts
+        c["n_chars"] = [len(t) for t in texts]
+        frames.append(c)
+    pd.concat(frames, ignore_index=True).to_parquet(
+        f"{out}/documents.parquet", index=False
+    )
+
+
+def _generate_embeddings(n: int, base: str, out: str) -> None:
+    import numpy as np
+    import pandas as pd
+
+    df = pd.read_parquet(f"{base}/embeddings.parquet")
+    mat = np.stack(df["embedding"].to_numpy()).astype("float32")
+    frames = [df]
+    for i in range(1, n):
+        rng = np.random.default_rng(7_000 + i)
+        pert = mat + rng.normal(0.0, 0.15, size=mat.shape).astype("float32")
+        c = df.copy()
+        c["vec_id"] = c["vec_id"] + i * OFFSET
+        c["embedding"] = list(pert)
+        frames.append(c)
+    pd.concat(frames, ignore_index=True).to_parquet(
+        f"{out}/embeddings.parquet", index=False
+    )
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    base = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/{os.path.basename(base)}x{n}"
+    args = [a for a in sys.argv[1:] if a != "--generate"]
+    generate = "--generate" in sys.argv[1:]
+    n = int(args[0]) if len(args) > 0 else 5
+    base = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    suffix = "u" if generate else ""
+    out = args[2] if len(args) > 2 else f"/tmp/{os.path.basename(base)}x{n}{suffix}"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     for t, keys in KEYS.items():
-        parts = []
-        cols = con.sql(f"SELECT * FROM '{base}/{t}.parquet' LIMIT 0").columns
-        for i in range(n):
-            proj = ", ".join(
-                f"{c} + {i * OFFSET} AS {c}" if c in keys else c for c in cols
-            )
-            parts.append(f"SELECT {proj} FROM '{base}/{t}.parquet'")
-        con.execute(
-            f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
-        )
+        if generate and t == "documents":
+            _generate_documents(n, base, out)
+        elif generate and t == "embeddings":
+            _generate_embeddings(n, base, out)
+        else:
+            _copy_table(con, t, keys, n, base, out)
         rows = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {rows} rows -> {out}/{t}.parquet", flush=True)
 
