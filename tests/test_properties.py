@@ -303,3 +303,58 @@ def test_cdc_chunk_count_matches_python_reference(spark, texts):
     got = {r["doc_id"]: r["n_chunks"] for r in cdc_chunk_stats(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == ref_n_chunks(t), (i, repr(t), got[i], ref_n_chunks(t))
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    gram=st.integers(3, 6),
+)
+@_SETTINGS
+def test_exact_substring_spans_match_python_reference(spark, docs, gram):
+    """exact_substring_spans ≡ a brute-force reference on arbitrary
+    small corpora: mark every position whose length-g window occurs
+    ≥2 times anywhere (incl. within the same doc), merge overlapping/
+    adjacent equal-length intervals, compare the exact span sets.
+    (Tiny alphabet forces plenty of repeats and collisions of the
+    interesting kind — within-doc, cross-doc, full-doc runs.)"""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        exact_substring_spans,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in exact_substring_spans(df, gram_len=gram).collect()
+    }
+
+    from collections import Counter
+
+    wins = Counter()
+    for t in docs:
+        for p in range(len(t) - gram + 1):
+            wins[t[p : p + gram]] += 1
+    expect = set()
+    for i, t in enumerate(docs):
+        marked = [
+            p for p in range(len(t) - gram + 1) if wins[t[p : p + gram]] >= 2
+        ]
+        spans, cur = [], None
+        for p in marked:
+            if cur is not None and p - cur[1] <= gram:
+                cur = (cur[0], p)
+            else:
+                if cur is not None:
+                    spans.append(cur)
+                cur = (p, p)
+        if cur is not None:
+            spans.append(cur)
+        for a, b in spans:
+            # operator positions are 1-indexed inclusive
+            expect.add((i, a + 1, b + gram, b + gram - a))
+    assert got == expect, (docs, gram, got ^ expect)
