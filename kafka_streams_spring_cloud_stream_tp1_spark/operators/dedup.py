@@ -1024,3 +1024,66 @@ def exact_substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def exact_substring_rewrite(
+    df: DataFrame,
+    gram_len: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the ExactSubstr cut (Lee et al. 2021): re-emit every
+    document with its `exact_substring_spans` ranges REMOVED — the
+    rewrite a training-data pipeline ships, where the spans query is
+    the audit view. (This removes every occurrence of a duplicated
+    run; keep-one-canonical-copy is a policy layered on top via the
+    span table, not a different mechanism.)
+
+    The cut itself is a per-row JVM fold (F.aggregate) over the doc's
+    sorted span array: the accumulator carries (cursor, kept-so-far),
+    each span appends the clean segment before it and advances the
+    cursor past it, and the finisher appends the tail — no Python,
+    no explode of the text. Maximal spans are non-adjacent by
+    construction (islands merge any gap ≤ gram_len), so kept
+    segments are well-defined; docs with no spans pass through
+    verbatim via the left join's empty array.
+
+    Plan: `exact_substring_spans` (O(chars) window frame) → per-doc
+    span-array collect (span-mass-sized) → ONE broadcast-able left
+    join back to the docs scan → codegen'd fold. Output: (doc_id,
+    n_spans_cut, chars_cut, new_len, new_text)."""
+    spans = exact_substring_spans(df, gram_len, text_col, id_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_cut"),
+        F.sum("span_len").cast("long").alias("chars_cut"),
+    )
+    t = F.col(text_col)
+    folded = F.aggregate(
+        F.coalesce(F.col("spans"), F.array()),
+        F.struct(F.lit(1).cast("long").alias("cur"), F.lit("").alias("acc")),
+        lambda a, s: F.struct(
+            (s["span_end"] + 1).cast("long").alias("cur"),
+            F.concat(
+                a["acc"], t.substr(a["cur"], s["span_start"] - a["cur"])
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], t.substr(a["cur"], F.length(t) - a["cur"] + 1)
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), t.alias(text_col))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans_cut"), F.lit(0)).alias("n_spans_cut"),
+            F.coalesce(F.col("chars_cut"), F.lit(0)).alias("chars_cut"),
+            folded.alias("new_text"),
+        )
+        .withColumn("new_len", F.length("new_text").cast("long"))
+        .select("doc_id", "n_spans_cut", "chars_cut", "new_len", "new_text")
+    )
+

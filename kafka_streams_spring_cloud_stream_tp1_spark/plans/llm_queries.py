@@ -4235,3 +4235,73 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return dp_noisy_counts(ev, "event_type", epsilon=_DP_EPS, salt=_DP_SALT)
+
+
+@query(
+    "q_exact_substring_rewrite",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text AS t FROM documents
+               WHERE length(text) >= {_XS_L}),
+    wins AS (SELECT doc_id, p,
+                    CAST('0x' || substr(md5(substr(t, p::INT, {_XS_L})), 1, 15)
+                         AS BIGINT) AS h
+             FROM (SELECT doc_id, t,
+                          unnest(range(1, length(t) - {_XS_L} + 2)) AS p
+                   FROM d)),
+    dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+    marked AS (SELECT doc_id, p FROM wins
+               WHERE h IN (SELECT h FROM dup)),
+    brk AS (SELECT doc_id, p,
+                   CASE WHEN p - lag(p) OVER
+                                 (PARTITION BY doc_id ORDER BY p)
+                             > {_XS_L} THEN 1 ELSE 0 END AS b
+            FROM marked),
+    isl AS (SELECT doc_id, p,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS island
+            FROM brk),
+    sp AS (SELECT doc_id, min(p) AS s, max(p) + {_XS_L} - 1 AS e,
+                  max(p) + {_XS_L} - min(p) AS slen
+           FROM isl GROUP BY doc_id, island),
+    seg AS (SELECT doc_id, s, e,
+                   coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0)
+                       AS pe
+            FROM sp),
+    agg AS (SELECT seg.doc_id,
+                   string_agg(substr(doc.text, (pe + 1)::INT, (s - pe - 1)::INT),
+                              '' ORDER BY s) AS head,
+                   max(seg.e) AS last_e,
+                   CAST(count(*) AS BIGINT) AS n_spans_cut
+            FROM seg JOIN documents doc ON doc.doc_id = seg.doc_id
+            GROUP BY seg.doc_id),
+    cut AS (SELECT doc_id, CAST(sum(slen) AS BIGINT) AS chars_cut
+            FROM sp GROUP BY doc_id)
+    SELECT doc.doc_id,
+           coalesce(agg.n_spans_cut, 0) AS n_spans_cut,
+           coalesce(cut.chars_cut, 0) AS chars_cut,
+           CAST(length(CASE WHEN agg.doc_id IS NULL THEN doc.text
+                            ELSE coalesce(agg.head, '')
+                                 || substr(doc.text, (agg.last_e + 1)::INT)
+                       END) AS BIGINT) AS new_len,
+           CASE WHEN agg.doc_id IS NULL THEN doc.text
+                ELSE coalesce(agg.head, '')
+                     || substr(doc.text, (agg.last_e + 1)::INT)
+           END AS new_text
+    FROM documents doc
+    LEFT JOIN agg ON agg.doc_id = doc.doc_id
+    LEFT JOIN cut ON cut.doc_id = doc.doc_id
+    """,
+)
+def q_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the ExactSubstr cut (Lee et al. 2021): every document
+    re-emitted with its `q_exact_substring_spans` ranges removed —
+    the rewrite a pipeline ships, where the spans query is the audit.
+    The cut is a per-row JVM fold over the doc's sorted span array
+    (cursor + kept-segments accumulator, codegen'd higher-order
+    function — no Python, no text explode); span-less docs pass
+    through verbatim via the left join
+    (operators/dedup.py::exact_substring_rewrite)."""
+    return D.exact_substring_rewrite(
+        load_table(spark, sf_dir, "documents"), gram_len=_XS_L
+    )
+

@@ -122,6 +122,7 @@ _FRONT = [
     # additions (never driver-checked), the rest of the r03 cohort,
     # then the r05-green cohort
     "q_exact_substring_spans",
+    "q_exact_substring_rewrite",
     "q_dp_counts",
     "q_console_echo",
     "q_distinct",

@@ -1125,3 +1125,36 @@ def test_dp_counts_scale_flat_plan(spark):
     }
     for etype, noisy, eps in a:
         assert abs(noisy - exact[etype]) <= 20.0 / eps, (etype, noisy, exact[etype])
+
+
+def test_exact_substring_rewrite_cut_semantics(spark):
+    """The rewrite applies the span cut exactly: on the crafted corpus
+    from the spans test, both sharing docs lose precisely the shared
+    run (plus its flanking spaces) and the clean doc passes through
+    byte-identical; chars_cut + new_len reconstructs the original
+    length; the plan keeps the fold JVM-side (no Python eval nodes)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        exact_substring_rewrite,
+    )
+
+    plan = _plan(spark, "q_exact_substring_rewrite")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    shared = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " unique tail one padding padding"),
+            (2, "completely different head text " + shared + " ZZZ"),
+            (3, "no duplicated content here at all " + "x" * 40),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_rewrite(docs, gram_len=40).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert out[1]["new_text"] == "AAAunique tail one padding padding"
+    assert out[2]["new_text"] == "completely different head textZZZ"
+    assert out[3]["new_text"] == src[3] and out[3]["n_spans_cut"] == 0
+    for i in (1, 2, 3):
+        assert out[i]["chars_cut"] + out[i]["new_len"] == len(src[i]), out[i]
+
