@@ -1087,3 +1087,121 @@ def exact_substring_rewrite(
         .select("doc_id", "n_spans_cut", "chars_cut", "new_len", "new_text")
     )
 
+
+def suffix_lcp_repeats(
+    df: DataFrame,
+    cap: int = 32,
+    block_chars: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document maximal-repeat profile from a truncated generalized
+    suffix array — the fine-grained complement to `exact_substring_*`
+    (reference parity: the reference has no text ops at all; this is
+    the Lee et al. 2021 suffix-array criterion the 40-gram window-hash
+    family approximates, here EXACT for repeat lengths in
+    [block_chars, cap)). The 40-gram lane cannot see a 12-char
+    template fragment repeated across the corpus; this operator
+    reports, for every suffix position, the length of the longest
+    substring starting there that also occurs elsewhere (any doc, or
+    another position of the same doc), exactly when that length is in
+    [block_chars, cap), clamped to cap above.
+
+    Mechanism — suffix-array neighbor-LCP without building the full
+    array: sort suffixes (truncated to ``cap`` chars) and take each
+    suffix's longest common prefix with its immediate sorted
+    neighbors; in suffix-sorted order the max-LCP partner of any
+    suffix is always adjacent. The sort is NOT global — suffixes
+    hash-partition by their first ``block_chars`` chars and sort
+    within the block (the same blocked trade as `snm_pairs`): every
+    pair with LCP ≥ block_chars shares the block by construction, so
+    block-local neighbors are exact for all reported lengths; LCPs
+    below block_chars would straddle blocks and are clamped to 0.
+    The LCP itself is a codegen'd first-mismatching-character scan
+    over ``sequence(1, cap)`` — no Python anywhere — computed ONCE
+    per row against the lag neighbor; the lead-side LCP is recovered
+    with the standard suffix-array identity rep[i] = max(lcp[i],
+    lcp[i+1]) via a ``lead`` over the already-computed column (same
+    window spec, so the second pass reuses the exchange AND the
+    sort).
+
+    Scale shape: O(total chars) rows, each carrying a ≤cap-char key —
+    linear fan-out like `exact_substring_spans`, one keyed exchange +
+    in-partition sort + two chained window projections + a doc-keyed
+    aggregate; no join until the final broadcast-able left join that
+    restores repeat-free docs. Rows are sorted by ``sfx`` alone —
+    tied suffixes are byte-identical, so every tie-group member's
+    neighbor LCP is the full (clamped) suffix length whatever the tie
+    order, and the result stays deterministic without carrying a
+    position tiebreak through the shuffle. Skew = block-prefix
+    concentration (natural text spreads over |alphabet|^block_chars
+    blocks; lengthen ``block_chars`` for template-heavy corpora — the
+    exactness floor rises with it).
+
+    Output: (doc_id, max_repeat_len, n_repeat_pos) — the doc's longest
+    repeated run (0 if < block_chars, cap if ≥ cap) and how many of
+    its suffix positions sit on a ≥block_chars repeat."""
+    from pyspark.sql import Window
+
+    t = F.col("t")
+    sfx = F.col("sfx")
+
+    def lcp_with(other: F.Column) -> F.Column:
+        # Linear-size expression (ONE lambda evaluated cap times at
+        # runtime) — a binary-search when-tree over a dynamic cursor
+        # re-nests the cursor expression per probe and blows codegen
+        # up exponentially (measured 4x SLOWER than this scan).
+        mism = F.transform(
+            F.sequence(F.lit(1), F.lit(cap)),
+            lambda i: sfx.substr(i, F.lit(1)) != other.substr(i, F.lit(1)),
+        )
+        first_bad = F.array_position(mism, True)
+        full = F.least(F.length(sfx), F.length(other))
+        return F.when(other.isNull(), F.lit(0)).otherwise(
+            F.when(first_bad > 0, first_bad - 1).otherwise(full)
+        )
+
+    pos = (
+        fan_out(df, key=id_col)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+        .filter(F.length(t) >= block_chars)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length(t) - block_chars + 1)
+            ).alias("p"),
+            t.alias("t"),
+        )
+        .select(
+            "doc_id",
+            t.substr(F.col("p"), F.lit(cap)).alias("sfx"),
+            t.substr(F.col("p"), F.lit(block_chars)).alias("blk"),
+        )
+    )
+    w = Window.partitionBy("blk").orderBy("sfx")
+    rep = F.greatest(
+        F.col("lcp"), F.coalesce(F.lead("lcp").over(w), F.lit(0))
+    )
+    per_doc = (
+        pos.select("doc_id", "sfx", "blk", lcp_with(F.lag("sfx").over(w)).alias("lcp"))
+        .select(
+            "doc_id",
+            F.when(rep >= block_chars, rep).otherwise(F.lit(0)).alias("rep"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("rep").cast("long").alias("max_repeat_len"),
+            F.count(F.when(F.col("rep") >= block_chars, 1))
+            .cast("long")
+            .alias("n_repeat_pos"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("max_repeat_len", F.lit(0)).alias("max_repeat_len"),
+            F.coalesce("n_repeat_pos", F.lit(0)).alias("n_repeat_pos"),
+        )
+    )

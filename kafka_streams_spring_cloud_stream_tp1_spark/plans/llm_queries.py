@@ -4305,3 +4305,61 @@ def q_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), gram_len=_XS_L
     )
 
+
+@query(
+    "q_suffix_lcp",
+    oracle="""
+    WITH d AS (SELECT doc_id, text AS t FROM documents),
+    pos AS (SELECT doc_id, p,
+                   substr(t, CAST(p AS INT), 32) AS sfx,
+                   substr(t, CAST(p AS INT), 8) AS blk
+            FROM (SELECT doc_id, t, unnest(range(1, length(t) - 8 + 2)) AS p
+                  FROM d WHERE length(t) >= 8)),
+    nb AS (SELECT doc_id, p, sfx,
+                  lag(sfx)  OVER w AS prv,
+                  lead(sfx) OVER w AS nxt
+           FROM pos WINDOW w AS (PARTITION BY blk ORDER BY sfx, doc_id, p)),
+    l AS (SELECT doc_id,
+                 greatest(
+                   CASE WHEN prv IS NULL THEN 0 ELSE
+                     CASE WHEN list_position(list_transform(range(1, 33),
+                            i -> substr(sfx, CAST(i AS INT), 1)
+                                 <> substr(prv, CAST(i AS INT), 1)), true) > 0
+                          THEN list_position(list_transform(range(1, 33),
+                            i -> substr(sfx, CAST(i AS INT), 1)
+                                 <> substr(prv, CAST(i AS INT), 1)), true) - 1
+                          ELSE least(length(sfx), length(prv)) END END,
+                   CASE WHEN nxt IS NULL THEN 0 ELSE
+                     CASE WHEN list_position(list_transform(range(1, 33),
+                            i -> substr(sfx, CAST(i AS INT), 1)
+                                 <> substr(nxt, CAST(i AS INT), 1)), true) > 0
+                          THEN list_position(list_transform(range(1, 33),
+                            i -> substr(sfx, CAST(i AS INT), 1)
+                                 <> substr(nxt, CAST(i AS INT), 1)), true) - 1
+                          ELSE least(length(sfx), length(nxt)) END END) AS lcp
+          FROM nb),
+    agg AS (SELECT doc_id,
+                   CAST(max(CASE WHEN lcp >= 8 THEN lcp ELSE 0 END) AS BIGINT)
+                       AS max_repeat_len,
+                   CAST(count(*) FILTER (WHERE lcp >= 8) AS BIGINT)
+                       AS n_repeat_pos
+            FROM l GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(agg.max_repeat_len, 0) AS max_repeat_len,
+           coalesce(agg.n_repeat_pos, 0) AS n_repeat_pos
+    FROM d LEFT JOIN agg ON agg.doc_id = d.doc_id
+    """,
+)
+def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-generalized-suffix-array repeat profile: for every
+    document, the exact length of its longest substring that occurs
+    anywhere else in the corpus (exact in [8, 32), clamped at 32) and
+    the number of suffix positions sitting on a >= 8-char repeat — the
+    fine-grained template/boilerplate detector below the 40-gram
+    ExactSubstr radar (a 12-char fragment repeated across the corpus
+    is invisible to `q_exact_substring_spans` but exact here).
+    Suffix-sorted neighbor-LCP with a blocked (non-global) sort, the
+    classic SA-based dedup criterion (Lee et al. 2021) re-expressed
+    as explode -> block-partitioned window -> codegen'd
+    first-mismatch scan (operators/dedup.py::suffix_lcp_repeats)."""
+    return D.suffix_lcp_repeats(load_table(spark, sf_dir, "documents"))

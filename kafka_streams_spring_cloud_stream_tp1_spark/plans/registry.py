@@ -123,6 +123,7 @@ _FRONT = [
     # then the r05-green cohort
     "q_exact_substring_spans",
     "q_exact_substring_rewrite",
+    "q_suffix_lcp",
     "q_dp_counts",
     "q_console_echo",
     "q_distinct",

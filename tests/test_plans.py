@@ -1158,3 +1158,38 @@ def test_exact_substring_rewrite_cut_semantics(spark):
     for i in (1, 2, 3):
         assert out[i]["chars_cut"] + out[i]["new_len"] == len(src[i]), out[i]
 
+
+def test_suffix_lcp_exact_semantics(spark):
+    """Neighbor-LCP over the blocked truncated suffix array reports
+    EXACT maximal repeat lengths in [8, 32): a 12-char fragment shared
+    by two docs yields max 12 with exactly 5 qualifying suffix
+    positions each (12-8+1); a 16-char tandem run yields max 15 (the
+    self-overlap LCP) with 9 positions; a short doc passes through as
+    (0, 0); the plan is join-free until the final restore join and
+    fully JVM-side."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        suffix_lcp_repeats,
+    )
+
+    plan = _plan(spark, "q_suffix_lcp")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    s = "abcdefghijkl"  # 12 chars, unique alphabet
+    docs = spark.createDataFrame(
+        [
+            (1, "UVWXYZ" + s + "MNOPQR"),
+            (2, "GHIJKL" + s + "STUVWX"),
+            (3, "012345" + "z" * 16 + "6789!@"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["max_repeat_len"], r["n_repeat_pos"])
+        for r in suffix_lcp_repeats(docs).collect()
+    }
+    assert out[1] == (12, 5), out
+    assert out[2] == (12, 5), out
+    assert out[3] == (15, 9), out
+    assert out[4] == (0, 0), out
