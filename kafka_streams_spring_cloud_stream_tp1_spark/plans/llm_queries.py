@@ -4057,6 +4057,133 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("node", "doc_id")
 
 
+def _modularity_oracle_sql(rounds: int) -> str:
+    """LPA label replay (same unrolled CTEs as `_lpa_oracle_sql`)
+    followed by the Newman modularity aggregation: per community,
+    internal-edge count, degree sum, and the contribution
+    e_c/m − (d_c/2m)² — all from exact BIGINTs with one fixed-order
+    float expression."""
+    ctes = [
+        f"pairs AS MATERIALIZED ({_JACCARD_PAIRS_SQL})",
+        "e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "lbl0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e0)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"lbl{i + 1} AS MATERIALIZED (SELECT node, lab FROM ("
+            f" SELECT e.dst AS node, l.lab, count(*) AS c,"
+            f" row_number() OVER (PARTITION BY e.dst"
+            f" ORDER BY count(*) DESC, l.lab) AS rn"
+            f" FROM e0 e JOIN lbl{i} l ON e.src = l.node"
+            f" GROUP BY e.dst, l.lab) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    , deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM e0 GROUP BY src),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    ein AS (SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_in
+            FROM pairs p
+            JOIN lbl{rounds} la ON p.doc_a = la.node
+            JOIN lbl{rounds} lb ON p.doc_b = lb.node
+            WHERE la.lab = lb.lab GROUP BY la.lab),
+    dc AS (SELECT l.lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(sum(deg.deg) AS BIGINT) AS d_sum
+           FROM lbl{rounds} l JOIN deg ON deg.node = l.node
+           GROUP BY l.lab)
+    SELECT dc.community, dc.n_nodes, coalesce(ein.e_in, 0) AS e_in,
+           dc.d_sum,
+           round(coalesce(ein.e_in, 0) / CAST(m AS DOUBLE)
+                 - (d_sum / (2.0 * m)) * (d_sum / (2.0 * m)), 4) + 0.0
+               AS q_part
+    FROM dc LEFT JOIN ein USING (community) CROSS JOIN mm
+    """
+    )
+
+
+@query("q_modularity", oracle=_modularity_oracle_sql(_LPA_R))
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity readout of the LPA communities on the
+    verified near-dup pair graph (Newman & Girvan 2004): per
+    community, node count, internal-edge count e_c, degree sum d_c,
+    and the contribution q_part = e_c/m − (d_c/2m)²; Σ q_part is the
+    partition's modularity Q. This is the acceptance test for the
+    community split `q_label_propagation` produces — Q near 0 says
+    the labels carve the graph no better than random (don't build
+    per-family rewrite rules from them), strongly positive Q says the
+    families are real internally-dense blocks. Everything after the
+    shared pair pipeline is community-grain: one degree count on the
+    symmetrized edges, one both-endpoints label join (node-grain),
+    two map-side-combined aggregates, and a broadcast 1-row edge
+    total; the float is ONE fixed-order expression over exact BIGINTs
+    (bit-identical cross-engine), rounded with the +0.0 signed-zero
+    guard."""
+    from ..operators.graph import label_propagation
+
+    # Both frames are referenced 2-3 times below; without a
+    # materialization barrier Catalyst re-expands the whole upstream
+    # pair pipeline per reference (measured: 101 exchanges in one
+    # plan), so cut each once, like the per-round cuts inside LPA.
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        label_propagation(
+            pairs,
+            rounds=_LPA_R,
+            src="doc_a",
+            dst="doc_b",
+            assume_unique_oriented=True,
+        )
+        .select(F.col("node"), F.col("community"))
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.select(F.col("doc_a").alias("src")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    mm = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = labels.select(F.col("node").alias("doc_a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("doc_b"), F.col("community").alias("cb"))
+    ein = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    dc = (
+        labels.join(deg, labels["node"] == deg["src"])
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_sum"),
+        )
+    )
+    half = F.col("d_sum") / (F.lit(2.0) * F.col("m"))
+    return (
+        dc.join(ein, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "d_sum",
+            (
+                F.round(
+                    F.coalesce("e_in", F.lit(0)) / F.col("m").cast("double")
+                    - half * half,
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("q_part"),
+        )
+    )
+
+
 _FW_A0, _FW_TOP = 100.0, 5
 
 

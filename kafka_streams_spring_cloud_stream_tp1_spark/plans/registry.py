@@ -124,6 +124,9 @@ _FRONT = [
     "q_exact_substring_spans",
     "q_exact_substring_rewrite",
     "q_suffix_lcp",
+    "q_stl_decompose",
+    "q_modularity",
+    "q_mann_kendall",
     "q_dp_counts",
     "q_console_echo",
     "q_distinct",

@@ -5166,3 +5166,248 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return winsorized_stats(ev, value="value", group="event_type")
+
+
+_STL_PERIOD = 7  # weekly seasonality over the daily series
+
+
+@query(
+    "q_stl_decompose",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY CAST(ts AS DATE)),
+    t7 AS (SELECT a.day, CAST(count(*) AS BIGINT) AS m,
+                  CAST(sum(b.x) AS BIGINT) AS s7
+           FROM d a
+           JOIN range(-3, 4) o(off)
+             ON true
+           JOIN d b ON b.day = a.day + CAST(o.off AS INTEGER) * INTERVAL 1 DAY
+           GROUP BY a.day),
+    base AS (SELECT d.day, d.x, t7.m, t7.s7,
+                    CAST(dayofweek(d.day) + 1 AS INTEGER) AS dow
+             FROM d JOIN t7 USING (day)),
+    sea AS (SELECT dow, CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(x) AS BIGINT) AS a,
+                   CAST(sum(s7) AS BIGINT) AS bsum
+            FROM base WHERE m = {_STL_PERIOD} GROUP BY dow),
+    j AS (SELECT base.day, base.dow, base.x, base.m, base.s7,
+                 sea.a, sea.bsum, sea.k
+          FROM base LEFT JOIN sea USING (dow))
+    SELECT day, dow, x AS n_events,
+           CASE WHEN m = {_STL_PERIOD}
+                THEN round(s7 / 7.0, 4) END AS trend,
+           round((7.0 * a - bsum) / (7.0 * k), 4) + 0.0 AS seasonal,
+           CASE WHEN m = {_STL_PERIOD}
+                THEN round(x - s7 / 7.0
+                           - (7.0 * a - bsum) / (7.0 * k), 4) + 0.0
+           END AS resid
+    FROM j
+    """,
+)
+def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily event-volume
+    series — trend (centered 7-day moving average), day-of-week
+    seasonal, and residual — the classical-decomposition read
+    (Cleveland's STL shape with MA smoothing in place of loess)
+    behind "is this dip weekday rhythm or a real regression".
+    Complements q_acf (detects the weekly period) and
+    q_seasonal_profile (hour×dow shape): this one splits the actual
+    series into components a forecaster or anomaly monitor consumes.
+
+    Trend uses a date-keyed self-join over offsets −3..+3 (gap-proof
+    where a ROWS window would silently span missing days) and is
+    NULL on edge days without the full 7-day window. The seasonal
+    index per day-of-week is the mean detrended value Σ(x − s7/7)/k,
+    algebraically lifted to exact BIGINT numerators
+    (7·Σx − Σs7)/(7k) so the only float ops are one division and a
+    fixed-order subtract — bit-identical cross-engine (the q_acf
+    trick; exact while 7·Σx < 2^53, i.e. daily volumes through ~1e12
+    at 100 TB). Residual = x − trend − seasonal with the
+    round(..,4)+0.0 signed-zero guard.
+
+    Scale shape: ONE fact-sized day-keyed aggregate; everything after
+    runs on the |days|-sized series with broadcast self-joins — no
+    windows, no global sort. Spark dayofweek() is 1-7 Sunday-first
+    while DuckDB's is 0-6; the oracle adds 1."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    half = _STL_PERIOD // 2
+    offs = d.select(
+        "day",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(-half, half + 1)])
+        ).alias("off"),
+    )
+    b = d.select(F.col("day").alias("bday"), F.col("x").alias("xb"))
+    t7 = (
+        offs.withColumn("bday", F.date_add(F.col("day"), F.col("off")))
+        .join(F.broadcast(b), "bday")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("xb").cast("long").alias("s7"),
+        )
+    )
+    base = d.join(t7, "day").select(
+        "day", "x", "m", "s7", F.dayofweek("day").alias("dow")
+    )
+    sea = (
+        base.filter(F.col("m") == _STL_PERIOD)
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("x").cast("long").alias("a"),
+            F.sum("s7").cast("long").alias("bsum"),
+        )
+        .select(
+            "dow",
+            (
+                (F.lit(7.0) * F.col("a") - F.col("bsum"))
+                / (F.lit(7.0) * F.col("k"))
+            ).alias("seasonal_raw"),
+        )
+    )
+    full = F.col("m") == _STL_PERIOD
+    return base.join(F.broadcast(sea), "dow", "left").select(
+        "day",
+        "dow",
+        F.col("x").alias("n_events"),
+        F.when(full, F.round(F.col("s7") / F.lit(7.0), 4)).alias("trend"),
+        (F.round("seasonal_raw", 4) + F.lit(0.0)).alias("seasonal"),
+        (
+            F.when(
+                full,
+                F.round(
+                    F.col("x")
+                    - F.col("s7") / F.lit(7.0)
+                    - F.col("seasonal_raw"),
+                    4,
+                ),
+            )
+            + F.lit(0.0)
+        ).alias("resid"),
+    )
+
+
+@query(
+    "q_mann_kendall",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY CAST(ts AS DATE)),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    p AS (SELECT CAST(count(*) FILTER (WHERE b.x > a.x) AS BIGINT) AS n_up,
+                 CAST(count(*) FILTER (WHERE b.x < a.x) AS BIGINT) AS n_dn,
+                 CAST(count(*) FILTER (WHERE b.x = a.x) AS BIGINT) AS n_tie
+          FROM d a JOIN d b ON b.day > a.day),
+    t AS (SELECT CAST(coalesce(sum(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)),
+                               0) AS BIGINT) AS tie_term
+          FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x)
+          WHERE c > 1),
+    s AS (SELECT n, n_up, n_dn, n_tie, n_up - n_dn AS s,
+                 (CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie_term)
+                     / 18.0 AS var_s
+          FROM p CROSS JOIN n CROSS JOIN t)
+    SELECT n AS n_days, n_up, n_dn, n_tie, s,
+           round(s / (0.5 * CAST(n AS DOUBLE) * (n - 1)), 4) + 0.0 AS tau,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                      WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 4) + 0.0 AS z
+    FROM s
+    """,
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily event-volume
+    series (Mann 1945, Kendall 1975): S = Σ sign(x_j − x_i) over all
+    i<j day pairs, Kendall's tau = S / (n(n−1)/2), and the
+    continuity-corrected normal z with the tie-corrected variance
+    (n(n−1)(2n+5) − Σ t(t−1)(2t+5)) / 18 — the nonparametric "is
+    volume drifting up or down" readout that needs no distributional
+    assumption, complementing q_cusum_changepoint (abrupt level
+    shift) and q_stl_decompose (which component moved). All pair
+    counts and the tie term are exact integers (the variance
+    numerator is lifted through 128-bit intermediates — DECIMAL(38,0)
+    ↔ HUGEINT, the operators/stats.py overflow contract); tau and z
+    are single fixed-order float expressions, bit-identical
+    cross-engine.
+
+    Scale shape: ONE fact-sized day-keyed aggregate; the i<j pair
+    join runs on the |days|-sized series (broadcast, n² of a tiny
+    frame — 435 pairs for a month), never on the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    b = d.select(F.col("day").alias("bday"), F.col("x").alias("xb"))
+    p = (
+        d.join(F.broadcast(b), F.col("bday") > F.col("day"))
+        .agg(
+            F.count(F.when(F.col("xb") > F.col("x"), 1)).cast("long").alias("n_up"),
+            F.count(F.when(F.col("xb") < F.col("x"), 1)).cast("long").alias("n_dn"),
+            F.count(F.when(F.col("xb") == F.col("x"), 1)).cast("long").alias("n_tie"),
+        )
+    )
+    cd = "decimal(38,0)"
+    t = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c").cast(cd) * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    s_col = (F.col("n_up") - F.col("n_dn")).alias("s")
+    base = (
+        p.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n",
+            "n_up",
+            "n_dn",
+            "n_tie",
+            s_col,
+            (
+                (
+                    F.col("n").cast(cd) * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                ).cast("double")
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    s = F.col("s")
+    return base.select(
+        F.col("n").alias("n_days"),
+        "n_up",
+        "n_dn",
+        "n_tie",
+        "s",
+        (
+            F.round(s / (F.lit(0.5) * F.col("n").cast("double") * (F.col("n") - 1)), 4)
+            + F.lit(0.0)
+        ).alias("tau"),
+        (
+            F.round(
+                F.when(s > 0, (s - 1) / F.sqrt("var_s"))
+                .when(s < 0, (s + 1) / F.sqrt("var_s"))
+                .otherwise(F.lit(0.0)),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )

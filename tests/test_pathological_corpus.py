@@ -52,6 +52,7 @@ QUERIES = [
     "q_winnow_fingerprint",
     "q_redact_pii",
     "q_doc_fingerprint",
+    "q_suffix_lcp",
 ]
 
 

@@ -1193,3 +1193,69 @@ def test_suffix_lcp_exact_semantics(spark):
     assert out[2] == (12, 5), out
     assert out[3] == (15, 9), out
     assert out[4] == (0, 0), out
+
+
+def test_stl_decompose_plan_and_additivity(spark):
+    """The decomposition must run as broadcast equi-joins over the
+    day-keyed series (no Window node, no global sort, no cartesian,
+    no Python), trend must be NULL exactly on the 3 edge days each
+    side of the 30-day fixture, and trend + seasonal + resid must
+    reconstruct the observed count to rounding tolerance on every
+    interior day."""
+    plan = _plan(spark, "q_stl_decompose")
+    assert "Window" not in plan, plan
+    assert ", true, 0" not in plan, plan  # no global Sort
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    rows = sorted(
+        queries_map()["q_stl_decompose"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) == 30
+    for i, r in enumerate(rows):
+        if i < 3 or i >= len(rows) - 3:
+            assert r["trend"] is None and r["resid"] is None, (i, r)
+        else:
+            assert r["trend"] is not None and r["seasonal"] is not None
+            recon = r["trend"] + r["seasonal"] + r["resid"]
+            assert abs(recon - r["n_events"]) < 2e-4, (i, r, recon)
+
+
+def test_modularity_invariants(spark):
+    """Newman identities over the fixture graph: Σ d_sum = 2m (every
+    edge contributes two degree-endpoints), Σ e_in ≤ m, each q_part
+    recomputes from its own integer columns, and Q = Σ q_part lands
+    in the valid [-0.5, 1] range; plan has no cartesian and no
+    Python."""
+    plan = _plan(spark, "q_modularity")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    rows = queries_map()["q_modularity"](spark, SF_SMOKE).collect()
+    m = queries_map()["q_dedup_ngram_jaccard"](spark, SF_SMOKE).count()
+    assert sum(r["d_sum"] for r in rows) == 2 * m, (m, rows)
+    assert sum(r["e_in"] for r in rows) <= m
+    for r in rows:
+        expect = r["e_in"] / m - (r["d_sum"] / (2.0 * m)) ** 2
+        assert abs(r["q_part"] - round(expect, 4)) < 1e-9, r
+    q = sum(r["q_part"] for r in rows)
+    assert -0.5 <= q <= 1.0, q
+
+
+def test_mann_kendall_plan_and_identities(spark):
+    """The i<j pair join must run on the day-grain series via
+    broadcast (no CartesianProduct node, no Python); the pair counts
+    must satisfy n_up + n_dn + n_tie = n(n-1)/2 and tau must
+    recompute from S."""
+    plan = _plan(spark, "q_mann_kendall")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    r = queries_map()["q_mann_kendall"](spark, SF_SMOKE).collect()[0]
+    n = r["n_days"]
+    assert r["n_up"] + r["n_dn"] + r["n_tie"] == n * (n - 1) // 2, r
+    assert r["s"] == r["n_up"] - r["n_dn"]
+    assert abs(r["tau"] - round(r["s"] / (0.5 * n * (n - 1)), 4)) < 1e-9, r
+    assert -1.0 <= r["tau"] <= 1.0
