@@ -1767,7 +1767,9 @@ def _rp_oracle(out_dim: int = 8, in_dim: int = 64) -> str:
             f"{'+' if s > 0 else '-'} CAST(embedding[{i + 1}] AS DOUBLE) "
             for i, s in enumerate(row)
         ).lstrip("+ ")
-        cols.append(f"round(({terms}) * {1.0 / (out_dim ** 0.5)!r}, 4) AS p{j}")
+        cols.append(
+            f"round(({terms}) * {1.0 / (out_dim ** 0.5)!r}, 4) + 0.0 AS p{j}"
+        )
     return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
 
 

@@ -127,6 +127,7 @@ _FRONT = [
     "q_stl_decompose",
     "q_modularity",
     "q_mann_kendall",
+    "q_theil_sen",
     "q_dp_counts",
     "q_console_echo",
     "q_distinct",

@@ -5411,3 +5411,85 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("z"),
     )
+
+
+@query(
+    "q_theil_sen",
+    oracle="""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY CAST(ts AS DATE)),
+    d0 AS (SELECT CAST(min(day) AS DATE) AS day0 FROM d),
+    ix AS (SELECT CAST(datediff('day', day0, day) AS BIGINT) AS t, x
+           FROM d CROSS JOIN d0),
+    sl AS (SELECT (b.x - a.x) / CAST(b.t - a.t AS DOUBLE) AS slope
+           FROM ix a JOIN ix b ON b.t > a.t),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                 median(slope) AS slope FROM sl),
+    ic AS (SELECT median(ix.x - m.slope * ix.t) AS intercept,
+                  CAST(count(*) AS BIGINT) AS n_days
+           FROM ix CROSS JOIN m)
+    SELECT m.n_pairs, ic.n_days,
+           round(m.slope, 4) + 0.0 AS slope,
+           round(ic.intercept, 4) + 0.0 AS intercept
+    FROM m CROSS JOIN ic
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend line of the daily event-volume series
+    (Theil 1950, Sen 1968): slope = median of all pairwise slopes
+    (x_j − x_i)/(t_j − t_i) over i<j day pairs, intercept =
+    median(x_i − slope·t_i) — the outlier-immune companion to
+    q_mann_kendall (which answers IS there a trend; this answers how
+    steep, unmoved by up to ~29% corrupted days where least squares
+    is unboundedly wrong). Days are indexed by integer offset from
+    the first day so gaps keep their true spacing.
+
+    Cross-engine determinism: every pairwise slope is one BIGINT
+    difference divided by one BIGINT difference — identical doubles
+    on both engines — and the pair count n(n−1)/2 = 435 for a month
+    is ODD, so the median is an exact element, not an interpolation;
+    the intercept median (n even) averages the same two doubles under
+    the same IEEE rule on both engines. Both wrapped in the
+    round(..,4)+0.0 guard regardless.
+
+    Scale shape: ONE fact-sized day-keyed aggregate; the pair join
+    and medians run on the |days|-sized series (435-row frame), never
+    the fact table — `percentile` on a frame this size is a single
+    partial+final aggregate, not a sort of the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    d0 = d.agg(F.min("day").alias("day0"))
+    ix = d.crossJoin(F.broadcast(d0)).select(
+        F.datediff("day", "day0").cast("long").alias("t"), "x"
+    )
+    a = ix.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    sl = (
+        ix.join(F.broadcast(a), F.col("t") > F.col("ta"))
+        .select(
+            (
+                (F.col("x") - F.col("xa"))
+                / (F.col("t") - F.col("ta")).cast("double")
+            ).alias("slope")
+        )
+    )
+    m = sl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+    )
+    ic = ix.crossJoin(F.broadcast(m)).agg(
+        F.expr("percentile(x - slope * t, 0.5)").alias("intercept"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.first("slope").alias("slope_raw"),
+    )
+    return ic.select(
+        "n_pairs",
+        "n_days",
+        (F.round("slope_raw", 4) + F.lit(0.0)).alias("slope"),
+        (F.round("intercept", 4) + F.lit(0.0)).alias("intercept"),
+    )

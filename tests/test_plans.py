@@ -1259,3 +1259,30 @@ def test_mann_kendall_plan_and_identities(spark):
     assert r["s"] == r["n_up"] - r["n_dn"]
     assert abs(r["tau"] - round(r["s"] / (0.5 * n * (n - 1)), 4)) < 1e-9, r
     assert -1.0 <= r["tau"] <= 1.0
+
+
+def test_theil_sen_plan_and_robustness(spark):
+    """The pair join must be broadcast over the day-grain series (no
+    CartesianProduct, no Python); n_pairs must equal n(n-1)/2; and
+    the estimator must be genuinely robust: on a crafted series with
+    a perfect slope-2 line and 4 wild outliers in 20 points, the
+    median-of-slopes recovers exactly 2.0 where least squares would
+    not."""
+    plan = _plan(spark, "q_theil_sen")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    r = queries_map()["q_theil_sen"](spark, SF_SMOKE).collect()[0]
+    assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2, r
+
+    import itertools
+    import statistics
+
+    ys = [2 * t + 5 for t in range(20)]
+    for t in (3, 7, 11, 16):
+        ys[t] += 500  # 20% gross corruption
+    slopes = [
+        (ys[j] - ys[i]) / (j - i)
+        for i, j in itertools.combinations(range(20), 2)
+    ]
+    assert statistics.median(slopes) == 2.0
