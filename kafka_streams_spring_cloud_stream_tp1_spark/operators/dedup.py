@@ -599,19 +599,28 @@ def simhash_hamming_pairs(
     signature into ``max_distance + 1`` bit segments; d differing bits
     cannot touch all d+1 segments, so any qualifying pair agrees
     exactly on ≥ 1 segment and is found in that segment's
-    (segment, value) bucket. Candidate generation is therefore one
-    groupBy over |docs|·(d+1) rows — never O(n²) — and the exact
-    bit_count(xor) verification runs INSIDE the bucket lambda so only
-    true pairs materialize. Per-bucket work is O(|bucket|²): buckets
-    bloat only when identical signatures flood a segment value, which
-    is exactly when `simhash_dup_groups` (equal-signature dedup)
-    should run first and collapse them."""
+    (segment, value) bucket. Candidate generation runs over DISTINCT
+    signatures, not documents: a (seg, val) bucket can hold at most
+    2^(bits − width(seg)) distinct signatures WHATEVER the corpus
+    size (256 at 16 bits / 2 segments), so the in-bucket pair scan is
+    constant-bounded by construction. Document pairs then materialize
+    through streaming equi-joins — equal-signature pairs via a
+    sig-keyed self-join (hamming 0), cross-signature pairs by joining
+    each candidate signature pair back to its member docs — so every
+    output row is produced exactly once (no corpus-sized DISTINCT)
+    and nothing quadratic is ever held in one task. The only
+    remaining quadratic is the TRUE pair mass of equal-signature
+    floods — the answer's own size, which AQE skew-split streams.
+    (The first cut collected docs per bucket and built |bucket|²
+    in-array candidates; with only 2^width bucket values, buckets
+    grow O(n) and that array O(n²) — measured: 32 GB OOM at the 100×
+    lane. This form runs it in seconds.)"""
     segs = max_distance + 1
     widths = [bits // segs + (1 if i < bits % segs else 0) for i in range(segs)]
     offs = [sum(widths[:i]) for i in range(segs)]
-    sig = simhash_signatures(df, bits, text_col)
-    stacked = sig.select(
-        "doc_id",
+    sig = simhash_signatures(df, bits, text_col).localCheckpoint(eager=False)
+    sigs = sig.select("simhash").distinct()
+    stacked = sigs.select(
         "simhash",
         F.explode(
             F.array(
@@ -626,36 +635,54 @@ def simhash_hamming_pairs(
                 ]
             )
         ).alias("e"),
-    ).select("doc_id", "simhash", "e.seg", "e.val")
-    return (
+    ).select("simhash", "e.seg", "e.val")
+    cand = (
         stacked.groupBy("seg", "val")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ds"))
+        .agg(F.collect_list("simhash").alias("ss"))
         .select(
             F.explode(
                 F.flatten(
                     F.transform(
-                        "ds",
+                        "ss",
                         lambda x: F.filter(
                             F.transform(
-                                "ds",
+                                "ss",
                                 lambda y: F.struct(
-                                    x["doc_id"].alias("doc_a"),
-                                    y["doc_id"].alias("doc_b"),
-                                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
-                                        "hamming"
-                                    ),
+                                    x.alias("sig_a"),
+                                    y.alias("sig_b"),
+                                    F.bit_count(x.bitwiseXOR(y)).alias("hamming"),
                                 ),
                             ),
-                            lambda p: (p["doc_a"] < p["doc_b"])
+                            lambda p: (p["sig_a"] < p["sig_b"])
                             & (p["hamming"] <= F.lit(max_distance)),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        .select("p.sig_a", "p.sig_b", "p.hamming")
         .distinct()
     )
+    intra = (
+        sig.alias("x")
+        .join(sig.alias("y"), F.col("x.simhash") == F.col("y.simhash"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    cross = (
+        cand.join(sig.alias("a"), F.col("sig_a") == F.col("a.simhash"))
+        .join(sig.alias("b"), F.col("sig_b") == F.col("b.simhash"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return intra.unionAll(cross)
 
 
 def simhash_dup_groups(df: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:

@@ -5313,10 +5313,14 @@ def q_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / 18.0 AS var_s
           FROM p CROSS JOIN n CROSS JOIN t)
     SELECT n AS n_days, n_up, n_dn, n_tie, s,
-           round(s / (0.5 * CAST(n AS DOUBLE) * (n - 1)), 4) + 0.0 AS tau,
-           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
-                      WHEN s < 0 THEN (s + 1) / sqrt(var_s)
-                      ELSE 0.0 END, 4) + 0.0 AS z
+           CASE WHEN n >= 2 THEN
+               round(s / (0.5 * CAST(n AS DOUBLE) * (n - 1)), 4) + 0.0
+           END AS tau,
+           CASE WHEN n >= 2 THEN
+               round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                          WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                          ELSE 0.0 END, 4) + 0.0
+           END AS z
     FROM s
     """,
 )
@@ -5391,24 +5395,33 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = F.col("s")
+    # n >= 2 guard: a single-day (or empty) slice has no pairs; under
+    # ANSI (Spark 4 default in a plain driver session) the 0-divisor
+    # would THROW, not NaN — caught by the empty-corpus sweep
+    pairs_ok = F.col("n") >= 2
     return base.select(
         F.col("n").alias("n_days"),
         "n_up",
         "n_dn",
         "n_tie",
         "s",
-        (
-            F.round(s / (F.lit(0.5) * F.col("n").cast("double") * (F.col("n") - 1)), 4)
-            + F.lit(0.0)
+        F.when(
+            pairs_ok,
+            F.round(
+                s / (F.lit(0.5) * F.col("n").cast("double") * (F.col("n") - 1)),
+                4,
+            )
+            + F.lit(0.0),
         ).alias("tau"),
-        (
+        F.when(
+            pairs_ok,
             F.round(
                 F.when(s > 0, (s - 1) / F.sqrt("var_s"))
                 .when(s < 0, (s + 1) / F.sqrt("var_s"))
                 .otherwise(F.lit(0.0)),
                 4,
             )
-            + F.lit(0.0)
+            + F.lit(0.0),
         ).alias("z"),
     )
 
