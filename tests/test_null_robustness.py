@@ -33,6 +33,7 @@ REGRESSION = [
     "q_dedup_exact",
     "q_lang_id",
     "q_token_count",
+    "q_suffix_lcp",
 ]
 
 
