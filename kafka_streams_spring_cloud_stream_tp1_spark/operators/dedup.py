@@ -1232,3 +1232,84 @@ def suffix_lcp_repeats(
             F.coalesce("n_repeat_pos", F.lit(0)).alias("n_repeat_pos"),
         )
     )
+
+
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs with df-capped candidate
+    generation — the production escape hatch for vocabulary-saturated
+    corpora where exact PPJoin's prefix filter loses its lever (no
+    rare shingles left; see BASELINE.md's 100x boundary note:
+    candidate mass Σdf² grew ×8 950 on ×100 data there, while this
+    cap holds it ~flat by construction).
+
+    Semantics: the JACCARD SCORE is exact (full distinct-shingle
+    sets), but a pair is DISCOVERABLE only if it shares ≥ 1 shingle
+    with document frequency in [2, max_df] — the same recall contract
+    as `containment_pairs`/`minhash` banding caps. Pairs all of whose
+    shared shingles are hotter than max_df are missed; on natural
+    text those are boilerplate-only overlaps (the pairs a dedup
+    pipeline deliberately ignores), and the cap is the knob.
+
+    Scale shape: per-bucket work ≤ max_df² BY CONSTRUCTION whatever
+    the corpus size; candidate mass is Σ_{df≤max_df} df² ≤
+    max_df · (capped instances) — flat on the saturated 100× lane
+    where the uncapped exact operator runs > 40 min. Verification
+    joins the (tiny) candidate pair set back to the full shingle
+    arrays — exact, output-bound."""
+    sh = shingle_sets(df, n, text_col).localCheckpoint(eager=False)
+    ex = (
+        sh.select("doc_id", F.explode_outer("shingles").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    cand = (
+        ex.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ds",
+                        lambda x: F.filter(
+                            F.transform(
+                                "ds",
+                                lambda y: F.struct(
+                                    x.alias("doc_a"), y.alias("doc_b")
+                                ),
+                            ),
+                            lambda p: p["doc_a"] < p["doc_b"],
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("doc_a", "doc_b")
+    )
+    return (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

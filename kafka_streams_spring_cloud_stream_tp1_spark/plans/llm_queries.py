@@ -297,6 +297,56 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCAP_DF = 64
+
+
+@query(
+    "q_dedup_jaccard_capped",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_ngrams_sql('toks', _JACCARD_N)} AS s FROM t),
+    sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    f AS (SELECT g, count(*) AS c FROM ex GROUP BY g),
+    keyg AS (SELECT g FROM f WHERE c BETWEEN 2 AND {_JACCAP_DF}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ex a JOIN keyg USING (g)
+             JOIN ex b ON b.g = a.g AND a.doc_id < b.doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_inter
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4)
+               AS jaccard
+    FROM cand c
+    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4)
+          >= {_JACCARD_T}
+    """,
+)
+def q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard near-dup pairs with df-capped candidate
+    generation (shared shingle must have df in [2, 64]) — the
+    production path where exact PPJoin's prefix filter loses its
+    lever on vocabulary-saturated corpora (BASELINE.md's 100× lane:
+    uncapped candidate mass Σdf² ×8 950 on ×100 data, >40 min; this
+    cap holds per-bucket work ≤ 64² by construction and the lane
+    completes). Scores are exact full-set Jaccard; recall excludes
+    pairs whose EVERY shared shingle is hotter than the cap — the
+    boilerplate-only overlaps a dedup pipeline deliberately ignores
+    (same contract as the containment/MinHash caps).
+    operators/dedup.py::ngram_jaccard_pairs_capped."""
+    return D.ngram_jaccard_pairs_capped(
+        load_table(spark, sf_dir, "documents"),
+        n=_JACCARD_N,
+        threshold=_JACCARD_T,
+        max_df=_JACCAP_DF,
+    )
+
+
 # Decontamination probe set: every 20th doc plays the "benchmark";
 # 4-grams are the discriminative setting on this 31-word-vocab corpus
 # (5-grams only catch the planted near-dups, 3-grams flag everything)

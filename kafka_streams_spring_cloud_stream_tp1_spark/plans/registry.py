@@ -128,6 +128,7 @@ _FRONT = [
     "q_modularity",
     "q_mann_kendall",
     "q_theil_sen",
+    "q_dedup_jaccard_capped",
     "q_dp_counts",
     "q_console_echo",
     "q_distinct",

@@ -1286,3 +1286,26 @@ def test_theil_sen_plan_and_robustness(spark):
         for i, j in itertools.combinations(range(20), 2)
     ]
     assert statistics.median(slopes) == 2.0
+
+
+def test_jaccard_capped_vs_exact(spark):
+    """The df-capped variant must be a SUBSET of the exact PPJoin pair
+    set with identical scores on shared pairs (the cap only limits
+    DISCOVERY, never the score), and the plan must carry no cartesian
+    and no Python."""
+    plan = _plan(spark, "q_dedup_jaccard_capped")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in queries_map()["q_dedup_jaccard_capped"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in queries_map()["q_dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    }
+    assert set(capped) <= set(exact), set(capped) - set(exact)
+    for k, v in capped.items():
+        assert v == exact[k], (k, v, exact[k])
+    assert capped, "cap pruned every pair at smoke scale"
