@@ -85,3 +85,61 @@ def dp_noisy_counts(
             F.lit(float(epsilon)).alias("epsilon"),
         )
     )
+
+
+def l_diversity_profile(
+    df: DataFrame,
+    qid_cols: list[Column],
+    names: list[str],
+    sensitive: Column,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) — the attack
+    k-anonymity misses: a class can be large (k-safe) yet give the
+    sensitive attribute away because every member SHARES it
+    (homogeneity attack). One row per QID equivalence class with its
+    size, the number of DISTINCT sensitive values, the sensitive
+    Shannon entropy (the entropy-l-diversity criterion: a class can
+    hold l distinct values but 99% one of them), and an `at_risk`
+    flag (distinct < l).
+
+    Two map-side-combined aggregates — (QID, sensitive) counts, then
+    QID rollup — both bounded by the QID×sensitive domain product,
+    never corpus-sized. The entropy divides exact BIGINT counts
+    inside one fixed-order float expression (bit-identical
+    cross-engine), with the round(..,4)+0.0 signed-zero guard."""
+    qs = (
+        df.groupBy(*[c.alias(n) for c, n in zip(qid_cols, names)], sensitive.alias("_s"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    p = F.col("c") / F.col("class_size").cast("double")
+    return (
+        qs.groupBy(*names)
+        .agg(
+            F.sum("c").cast("long").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            # sorted fold: collect_list order is partition-arrival
+            # nondeterministic; sorting pins the float summation order
+            # so the oracle's identical sorted fold matches bit-for-bit
+            F.array_sort(F.collect_list(F.struct("c"))).alias("_cs"),
+        )
+        .select(
+            *names,
+            "class_size",
+            "l_distinct",
+            (
+                F.round(
+                    -F.aggregate(
+                        "_cs",
+                        F.lit(0.0),
+                        lambda acc, x: acc
+                        + (x["c"] / F.col("class_size").cast("double"))
+                        * F.log(x["c"] / F.col("class_size").cast("double")),
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("sens_entropy"),
+            (F.col("l_distinct") < l).alias("at_risk"),
+        )
+    )

@@ -3853,6 +3853,50 @@ def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KANON_K = 5
+_LDIV_L = 3
+
+
+@query(
+    "q_l_diversity",
+    oracle=f"""
+    WITH qs AS (SELECT lang, n_chars // 100 AS len_bucket, source AS _s,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY lang, len_bucket, source),
+    cls AS (SELECT lang, len_bucket,
+                   CAST(sum(c) AS BIGINT) AS class_size,
+                   CAST(count(*) AS BIGINT) AS l_distinct,
+                   list_sort(list(c)) AS cs
+            FROM qs GROUP BY lang, len_bucket)
+    SELECT lang, len_bucket, class_size, l_distinct,
+           round(-list_reduce(
+                     list_prepend(0.0, list_transform(cs,
+                         c -> (c / CAST(class_size AS DOUBLE))
+                              * ln(c / CAST(class_size AS DOUBLE)))),
+                     (acc, x) -> acc + x), 4) + 0.0 AS sens_entropy,
+           l_distinct < {_LDIV_L} AS at_risk
+    FROM cls
+    """,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007) over QID (lang,
+    length bucket) with `source` as the sensitive attribute — the
+    homogeneity attack k-anonymity misses: a class can be k-safe yet
+    leak because every member shares one sensitive value. Per class:
+    size, distinct sensitive values, sensitive Shannon entropy (the
+    entropy-l criterion), at_risk = distinct < l. Two domain-bounded
+    map-side-combined aggregates, entropy as a sorted deterministic
+    fold over exact BIGINT counts
+    (operators/privacy.py::l_diversity_profile)."""
+    from ..operators.privacy import l_diversity_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return l_diversity_profile(
+        docs,
+        [F.col("lang"), F.floor(F.col("n_chars") / 100).cast("long")],
+        ["lang", "len_bucket"],
+        F.col("source"),
+        l=_LDIV_L,
+    )
 
 
 @query(

@@ -129,6 +129,7 @@ _FRONT = [
     "q_mann_kendall",
     "q_theil_sen",
     "q_dedup_jaccard_capped",
+    "q_l_diversity",
     "q_dp_counts",
     "q_console_echo",
     "q_distinct",

@@ -1309,3 +1309,34 @@ def test_jaccard_capped_vs_exact(spark):
     for k, v in capped.items():
         assert v == exact[k], (k, v, exact[k])
     assert capped, "cap pruned every pair at smoke scale"
+
+
+def test_l_diversity_semantics(spark):
+    """On a crafted table, a class with one shared sensitive value
+    must flag at_risk with entropy 0 even when k-large; a balanced
+    class must report l_distinct = 3 with entropy ln(3); sizes must
+    recount."""
+    import math
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.privacy import (
+        l_diversity_profile,
+    )
+
+    plan = _plan(spark, "q_l_diversity")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    rows = [(i, "en", "s0") for i in range(9)]  # homogeneous, k-large
+    rows += [(100 + i, "de", f"s{i % 3}") for i in range(9)]  # balanced 3-way
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = {
+        r["lang"]: r
+        for r in l_diversity_profile(
+            df, [__import__("pyspark").sql.functions.col("lang")], ["lang"],
+            __import__("pyspark").sql.functions.col("source"), l=3,
+        ).collect()
+    }
+    assert out["en"]["class_size"] == 9 and out["en"]["l_distinct"] == 1
+    assert out["en"]["at_risk"] and out["en"]["sens_entropy"] == 0.0
+    assert out["de"]["l_distinct"] == 3 and not out["de"]["at_risk"]
+    assert abs(out["de"]["sens_entropy"] - round(math.log(3), 4)) < 1e-9
