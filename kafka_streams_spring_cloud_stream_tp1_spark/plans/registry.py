@@ -57,70 +57,14 @@ def _ensure_loaded() -> None:
 #      wherever they sit, so they don't occupy checked slots EXCEPT
 #      the one round that records their first-ever rows-only row.
 _FRONT = [
-    # ---- ROUND-7 WINDOW (executes VERDICT r06 #1): slots 1-14 are
-    # the round-6 additions — the only oracle-backed queries that
-    # have never had a driver CORRECTNESS row (the r6 judge re-ran
-    # the driver protocol on all 14 at sf0.01 and they passed, so a
-    # red here signals protocol drift, not code). Slots 15-19 drain
-    # the last five r02-stale re-greens; slots 20-50 rotate the head
-    # of the r03-green cohort (longest-deferred — no driver row in
-    # three rounds). After this round every oracle-backed query has
-    # a driver-green row: cumulative coverage 209/209.
-    "q_bloom_dedup_gate",
-    "q_exact_substring_dedup",
-    "q_rerank_topk",
-    "q_spearman",
-    "q_psi_drift",
-    "q_chi_square",
-    "q_kruskal_wallis",
-    "q_winsorize",
-    "q_k_anonymity",
-    "q_kcore",
-    "q_pq_quantize",
-    "q_char_entropy",
-    "q_label_propagation",
-    "q_distinctive_terms",
-    # last r02-stale re-greens
-    "q_dedup_minhash_lsh",
-    "q_text_stats",
-    "q_lang_id",
-    "q_token_count",
-    "q_doc_fingerprint",
-    # r03-green cohort, head (longest-deferred rotation)
-    "q_quantize_embeddings",
-    "q_label_centroids",
-    "q_inverted_index",
-    "q_winnow_fingerprint",
-    "q_array_map_funcs",
-    "q_math_funcs",
-    "q_kmeans",
-    "q_semdedup",
-    "q_bigram_logprob",
-    "q_containment_dedup",
-    "q_idf_rarity",
-    "q_dedup_simhash",
-    "q_dedup_simhash_hamming",
-    "q_dedup_embedding_cosine",
-    "q_knn_cosine",
-    "q_multimodal_features",
-    "q_frame_sample",
-    "q_readability_udf",
-    "q_weighted_mean_udaf",
-    "q_chunk_documents_udtf",
-    "q_redact_pii",
-    "q_windowed_count",
-    "q_windowed_count_keyed",
-    "q_store_range_fetch",
-    "q_agg_pricing_summary",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_left_outer",
-    "q_join_range",
-    "q_filter",
-    "q_project_rekey",
-    # ---- slot 51+: past the window; round-8 queue head = the round-7
-    # additions (never driver-checked), the rest of the r03 cohort,
-    # then the r05-green cohort
+    # ---- ROUND-8 WINDOW (executes VERDICT r07 #1): slots 1-10 are
+    # the round-7 additions — the only oracle-backed queries with no
+    # driver CORRECTNESS row (the r7 judge re-ran the driver protocol
+    # on all 10 at sf0.01 and they passed, so a red here signals
+    # protocol drift, not code). Slots 11-50 drain the head of the
+    # r03/r05 rotation queue (q_console_echo onward — no driver row
+    # since round 3/5). After this round cumulative driver coverage
+    # is 219/219 oracle-backed.
     "q_exact_substring_spans",
     "q_exact_substring_rewrite",
     "q_suffix_lcp",
@@ -131,6 +75,7 @@ _FRONT = [
     "q_dedup_jaccard_capped",
     "q_l_diversity",
     "q_dp_counts",
+    # r03/r05 rotation queue head (slots 11-50)
     "q_console_echo",
     "q_distinct",
     "q_sort_multi_col",
@@ -199,6 +144,58 @@ _FRONT = [
     "q_asof_join",
     "q_subqueries",
     "q_session_window",
+    # ---- the round-7 driver window (all green in CORRECTNESS_r07) —
+    # freshest rows, rotates back in last among _FRONT
+    "q_bloom_dedup_gate",
+    "q_exact_substring_dedup",
+    "q_rerank_topk",
+    "q_spearman",
+    "q_psi_drift",
+    "q_chi_square",
+    "q_kruskal_wallis",
+    "q_winsorize",
+    "q_k_anonymity",
+    "q_kcore",
+    "q_pq_quantize",
+    "q_char_entropy",
+    "q_label_propagation",
+    "q_distinctive_terms",
+    "q_dedup_minhash_lsh",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_quantize_embeddings",
+    "q_label_centroids",
+    "q_inverted_index",
+    "q_winnow_fingerprint",
+    "q_array_map_funcs",
+    "q_math_funcs",
+    "q_kmeans",
+    "q_semdedup",
+    "q_bigram_logprob",
+    "q_containment_dedup",
+    "q_idf_rarity",
+    "q_dedup_simhash",
+    "q_dedup_simhash_hamming",
+    "q_dedup_embedding_cosine",
+    "q_knn_cosine",
+    "q_multimodal_features",
+    "q_frame_sample",
+    "q_readability_udf",
+    "q_weighted_mean_udaf",
+    "q_chunk_documents_udtf",
+    "q_redact_pii",
+    "q_windowed_count",
+    "q_windowed_count_keyed",
+    "q_store_range_fetch",
+    "q_agg_pricing_summary",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_left_outer",
+    "q_join_range",
+    "q_filter",
+    "q_project_rekey",
 ]
 _DEFERRED = [
     # r04-green cohort (CORRECTNESS_r04 window)
