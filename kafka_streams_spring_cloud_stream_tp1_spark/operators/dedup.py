@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .buckets import bounded_id_buckets, intra_bucket_pairs
 from .hashing import fan_out, perm_masks, xhash
 from .text import tokens, word_ngrams
 
@@ -317,12 +318,10 @@ def minhash_signatures(df: DataFrame, k: int = 12, n: int = 2, text_col: str = "
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 3) -> DataFrame:
-    """LSH banding over a MinHash signature: hash each band of `rows`
-    consecutive signature components; docs sharing any (band, hash)
-    bucket become a candidate pair. Probability a pair with Jaccard j
-    becomes a candidate: 1 − (1 − j^rows)^bands (≈0.94 at j=0.8 with
-    4×3, ≈0.004 at j=0.1) — the S-curve that makes this near-linear."""
+def _lsh_band_rows(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """Unpivot a MinHash signature frame to (doc_id, band, bh) rows —
+    one row per (doc, band), band hash = md5 over that band's `rows`
+    consecutive signature components."""
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)])).alias(
             f"band_{b}"
@@ -330,39 +329,56 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 4, rows: int = 3) -> DataFr
         for b in range(bands)
     ]
     banded = sig.select("doc_id", *band_cols)
-    # unpivot to (doc_id, band_idx, band_hash), then pair docs per
-    # bucket by grouping instead of self-joining: the signature plan
-    # (shingle explode + k-way min agg) runs once, there is ONE
-    # shuffle, and pairs are emitted from each bucket's sorted doc
-    # array. Bucket size is the skew knob: a bucket of b docs emits
-    # b·(b-1)/2 pairs — huge buckets mean huge true duplicate groups,
-    # where exact dedup should run first anyway.
-    stacked = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh")) for b in range(bands)])
         ).alias("e"),
     ).select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = 4, rows: int = 3, max_bucket: int | None = 64
+) -> DataFrame:
+    """LSH banding over a MinHash signature: hash each band of `rows`
+    consecutive signature components; docs sharing any (band, hash)
+    bucket become a candidate pair. Probability a pair with Jaccard j
+    becomes a candidate: 1 − (1 − j^rows)^bands (≈0.94 at j=0.8 with
+    4×3, ≈0.004 at j=0.1) — the S-curve that makes this near-linear.
+
+    Pairs are emitted per bucket by grouping, never by self-joining
+    band rows: the signature plan (shingle explode + k-way min agg)
+    runs once and pairs come out of each bucket's sorted doc array.
+    ``max_bucket`` bounds the one skew hazard left — a bucket of b
+    docs is b·(b−1)/2 pairs, and a mega dup-family (or an adversarial
+    band collision) makes b corpus-scale. Buckets larger than
+    ``max_bucket`` are dropped BEFORE their doc arrays materialize
+    (count-first eligibility, `buckets.bounded_id_buckets`): per-bucket
+    work ≤ max_bucket² by construction, and the family itself is
+    still fully recoverable — a dup family of size f occupies f/b
+    surviving sub-buckets across `bands` bands with near-certainty,
+    and exact dedup should collapse byte-identical members first
+    anyway. Dropped buckets are observable via
+    ``lsh_overloaded_buckets`` (same inputs). ``None`` disables the
+    cap (small-corpus / audit use)."""
+    stacked = _lsh_band_rows(sig, bands, rows)
+    buckets = bounded_id_buckets(stacked, ["band", "bh"], min_df=2, max_df=max_bucket)
+    return intra_bucket_pairs(buckets).distinct()
+
+
+def lsh_overloaded_buckets(
+    sig: DataFrame, bands: int = 4, rows: int = 3, max_bucket: int = 64
+) -> DataFrame:
+    """(band, bh, bucket_size) for the band buckets that
+    `lsh_candidate_pairs` drops under the same ``max_bucket`` cap —
+    the audit report a pipeline logs next to the pairs (sum of
+    b·(b−1)/2 here = suppressed candidate count). Count-only: never
+    materializes the bucket membership."""
     return (
-        stacked.groupBy("band", "bh")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ds",
-                        lambda x: F.filter(
-                            F.transform(
-                                "ds", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
-                            ),
-                            lambda p: p["doc_a"] < p["doc_b"],
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        _lsh_band_rows(sig, bands, rows)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 
@@ -1257,7 +1273,11 @@ def ngram_jaccard_pairs_capped(
     pipeline deliberately ignores), and the cap is the knob.
 
     Scale shape: per-bucket work ≤ max_df² BY CONSTRUCTION whatever
-    the corpus size; candidate mass is Σ_{df≤max_df} df² ≤
+    the corpus size — eligibility is decided on a count-only
+    aggregation BEFORE any doc array materializes
+    (`buckets.bounded_id_buckets`), so a df≈10⁹ boilerplate shingle
+    costs one counter row, never a corpus-sized aggregation row on
+    one reducer. Candidate mass is Σ_{df≤max_df} df² ≤
     max_df · (capped instances) — flat on the saturated 100× lane
     where the uncapped exact operator runs > 40 min. Verification
     joins the (tiny) candidate pair set back to the full shingle
@@ -1268,28 +1288,8 @@ def ngram_jaccard_pairs_capped(
         .filter(F.col("g").isNotNull())
     )
     cand = (
-        ex.groupBy("g")
-        .agg(F.collect_list("doc_id").alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ds",
-                        lambda x: F.filter(
-                            F.transform(
-                                "ds",
-                                lambda y: F.struct(
-                                    x.alias("doc_a"), y.alias("doc_b")
-                                ),
-                            ),
-                            lambda p: p["doc_a"] < p["doc_b"],
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .groupBy("p.doc_a", "p.doc_b")
+        intra_bucket_pairs(bounded_id_buckets(ex, ["g"], min_df=2, max_df=max_df))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("_n"))
         .select("doc_a", "doc_b")
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .buckets import bounded_id_buckets, intra_bucket_pairs
 from .hashing import fan_out, xhash
 
 # Tiny stopword inventories for the ratio/language heuristics. Kept
@@ -346,36 +347,19 @@ def winnow_overlap_pairs(
     emission (standard MOSS practice — a value present in thousands
     of documents is boilerplate, not evidence of copying, and its b²
     pair blow-up is exactly the super-linear term the r02 5× scale
-    check caught). The cap bounds per-bucket work at b·(b−1)/2 ≤
-    max_bucket² regardless of corpus size; dropped values are
-    observable via ``winnow_overloaded_values`` (same inputs) so
-    pipelines can report the drop count. ``None`` disables the cap.
+    check caught). Eligibility is decided on a count-only
+    aggregation BEFORE any doc array materializes
+    (`buckets.bounded_id_buckets`), so per-bucket work is ≤
+    max_bucket² by construction and a corpus-saturated value costs
+    one counter row, never an unbounded aggregation row. Dropped
+    values are observable via ``winnow_overloaded_values`` (same
+    inputs) so pipelines can report the drop count. ``None``
+    disables the upper cap (singleton values are still pruned
+    count-first).
     """
     fp = winnow_fingerprints(df, k=k, w=w, text_col=text_col)
     u = fp.select("doc_id", F.explode("fp_winnow").alias("v"))
-    buckets = u.groupBy("v").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ds") <= max_bucket)
-    pairs = (
-        buckets
-        .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ds",
-                        lambda x: F.filter(
-                            F.transform(
-                                "ds",
-                                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                            ),
-                            lambda p: p["doc_a"] < p["doc_b"],
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-    )
+    pairs = intra_bucket_pairs(bounded_id_buckets(u, ["v"], min_df=2, max_df=max_bucket))
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
