@@ -42,18 +42,25 @@ def dp_noisy_counts(
     group_col: str,
     epsilon: float = 1.0,
     sensitivity: float = 1.0,
-    salt: str = "dp-v1",
+    salt: str | None = None,
 ) -> DataFrame:
     """ε-differentially-private count release (Dwork et al. 2006):
     per-group counts with Laplace(sensitivity/ε) noise, the mechanism
     a governance gate applies before aggregate statistics leave the
-    enclave. Noise is drawn by inverse-CDF from a DETERMINISTIC
-    uniform — the salted 60-bit `xhash` of the group key scaled to
-    [0, 1) — so the release is reproducible across engines and runs
-    for the oracle harness; swap ``salt`` per release epoch to
-    re-draw (a production deployment would use a real RNG per
-    release — determinism here is the oracle-parity device, the
-    mechanism is unchanged).
+    enclave.
+
+    By default (``salt=None``) noise comes from a REAL random source
+    — `F.rand()` with a fresh unrecorded seed, one uniform per group
+    row — and the release carries the DP guarantee its ``epsilon``
+    column advertises.
+
+    Passing ``salt`` switches to the REPLAYABLE-TESTING mode: the
+    uniform is the salted 60-bit `xhash` of the group key scaled to
+    [0, 1), bit-reproducible across engines and runs so the DuckDB
+    oracle can verify the mechanism. That mode is NOT a DP release —
+    anyone holding the code and the salt can subtract the noise
+    (ADVICE r07) — so it must never leave a test/oracle harness;
+    production callers leave ``salt`` unset.
 
     Inverse CDF: U = u01 − ½ ∈ (−½, ½),
     noise = −(s/ε)·sgn(U)·ln(1 − 2|U|), with the log argument
@@ -67,9 +74,14 @@ def dp_noisy_counts(
     from .hashing import xhash
 
     b = sensitivity / epsilon
-    u01 = xhash(F.concat(F.col(group_col), F.lit("|" + salt))) / F.lit(
-        float(1 << 60)
-    )
+    if salt is None:
+        # real randomness: evaluated on the domain-sized aggregate,
+        # one draw per group, seed never surfaced
+        u01 = F.rand()
+    else:
+        u01 = xhash(F.concat(F.col(group_col), F.lit("|" + salt))) / F.lit(
+            float(1 << 60)
+        )
     u = u01 - F.lit(0.5)
     noise = (
         F.lit(-b)

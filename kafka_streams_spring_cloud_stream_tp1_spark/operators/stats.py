@@ -91,7 +91,15 @@ def bucketed_cumsum(
     already satisfied, so the chained phase adds NO fact-sized shuffle
     and none of the upstream-plan re-derivation a second
     `bucketed_cumsum` call would (the Kaplan-Meier at-risk → ln-term
-    chain is the intended user; VERDICT r06 #3)."""
+    chain is the intended user; VERDICT r06 #3).
+
+    CONTRACT (ADVICE r07): ``derive`` must PASS THROUGH the bucketing
+    columns — ``_vb``, ``value_col``, and every ``partition_cols``
+    entry — because the second cumulative phase windows/joins on them
+    (add columns with ``withColumn``/``select("*", ...)`` rather than
+    re-projecting). A derive that drops any of them raises ValueError
+    here, naming the missing columns, instead of an opaque
+    AnalysisException inside the second window pass."""
     pc = list(partition_cols or [])
     rng = df.agg(F.min(value_col).alias("_vmin"), F.max(value_col).alias("_vmax"))
     span = F.col("_vmax") - F.col("_vmin")
@@ -162,7 +170,15 @@ def bucketed_cumsum(
         # bucketing — same _vb, same window spec — instead of a second
         # bucketed_cumsum call whose min/max agg + re-bucket + re-shuffle
         # re-derives the whole upstream plan (~3× lineage blowup).
-        out = _cumulate(derive(out), list(then_cols or []), list(then_float_cols or []))
+        derived = derive(out)
+        required = ["_vb", value_col, *pc]
+        missing = [c for c in required if c not in derived.columns]
+        if missing:
+            raise ValueError(
+                f"bucketed_cumsum derive() must pass through {required}; "
+                f"its output is missing {missing} (see docstring contract)"
+            )
+        out = _cumulate(derived, list(then_cols or []), list(then_float_cols or []))
     return out.drop("_vb")
 
 

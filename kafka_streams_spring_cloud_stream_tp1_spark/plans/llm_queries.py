@@ -312,17 +312,21 @@ _JACCAP_DF = 64
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM ex a JOIN keyg USING (g)
              JOIN ex b ON b.g = a.g AND a.doc_id < b.doc_id),
-    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     count(*) AS n_inter
-              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+    -- intersection counted ONLY for df-capped candidate pairs
+    -- (ADVICE r07): the oracle's pair join is bounded exactly like
+    -- the Spark side's verify join, never the O(Σdf²) all-shingle
+    -- self-join this operator exists to avoid
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN ex a ON a.doc_id = c.doc_a
+              JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
               GROUP BY 1, 2)
-    SELECT c.doc_a, c.doc_b,
+    SELECT i.doc_a, i.doc_b,
            round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4)
                AS jaccard
-    FROM cand c
-    JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    JOIN sizes sa ON sa.doc_id = c.doc_a
-    JOIN sizes sb ON sb.doc_id = c.doc_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
     WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 4)
           >= {_JACCARD_T}
     """,

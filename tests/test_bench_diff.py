@@ -57,6 +57,26 @@ def test_family_sum_growth_not_excused():
     assert rep["n_regressions"] == 1
 
 
+def test_family_sum_uses_intersection_of_rounds():
+    # a family member REMOVED this round must not shrink fam_new and
+    # thereby excuse a real regression in a surviving member
+    fam = sorted(bench_diff.SHARED_SUBPLAN_FAMILY)
+    a, b = fam[0], fam[1]
+    old = {a: 2.0, b: 10.0}
+    new = {a: 6.0}  # b removed; a itself tripled — real regression
+    rep = bench_diff.diff(old, new, steady={})
+    assert not rep["family_sum_stable"]
+    assert rep["n_regressions"] == 1
+    # symmetric: a member ADDED this round must not inflate fam_new
+    # and de-excuse a pure attribution shift between surviving members
+    old2 = {a: 5.0}
+    new2 = {a: 5.2, b: 9.0}  # b is new; a essentially unchanged
+    rep2 = bench_diff.diff(old2, new2, steady={})
+    assert rep2["family_sum_stable"]
+    assert rep2["n_regressions"] == 0
+    assert rep2["new_queries"] == [b]
+
+
 def test_added_and_removed_queries_reported():
     rep = bench_diff.diff({"q_old": 1.0}, {"q_new": 1.0}, steady={})
     assert rep["new_queries"] == ["q_new"]

@@ -1126,6 +1126,21 @@ def test_dp_counts_scale_flat_plan(spark):
     for etype, noisy, eps in a:
         assert abs(noisy - exact[etype]) <= 20.0 / eps, (etype, noisy, exact[etype])
 
+    # default (salt=None) mode draws REAL randomness (ADVICE r07): the
+    # release is not replayable — two independent builds disagree —
+    # yet each draw still honours the same Laplace tail bound
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.privacy import (
+        dp_noisy_counts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    r1 = {r["event_type"]: r["noisy_count"] for r in dp_noisy_counts(ev, "event_type").collect()}
+    r2 = {r["event_type"]: r["noisy_count"] for r in dp_noisy_counts(ev, "event_type").collect()}
+    assert r1 != r2, "salt=None must not be deterministic"
+    # clamp bound: |noise| <= 60·ln2·b ≈ 41.6 at ε=1 — use 42
+    for etype, noisy in r1.items():
+        assert abs(noisy - exact[etype]) <= 42.0, (etype, noisy, exact[etype])
+
 
 def test_exact_substring_rewrite_cut_semantics(spark):
     """The rewrite applies the span cut exactly: on the crafted corpus

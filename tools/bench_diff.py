@@ -90,8 +90,14 @@ def diff(
     old: dict[str, float], new: dict[str, float], steady: dict[str, float]
 ) -> dict:
     pairs = sorted(set(old) & set(new))
-    fam_old = sum(old[q] for q in SHARED_SUBPLAN_FAMILY if q in old)
-    fam_new = sum(new[q] for q in SHARED_SUBPLAN_FAMILY if q in new)
+    # family sums over the INTERSECTION of rounds only (ADVICE r07):
+    # a family member added or removed between rounds would otherwise
+    # skew one sum — removal shrinks fam_new and can excuse a real
+    # regression in a surviving member; addition can de-excuse a
+    # legitimate attribution shift.
+    fam_both = SHARED_SUBPLAN_FAMILY & set(old) & set(new)
+    fam_old = sum(old[q] for q in fam_both)
+    fam_new = sum(new[q] for q in fam_both)
     fam_ok = fam_old > 0 and fam_new / fam_old <= 1.5
     regressions = []
     for q in pairs:

@@ -83,53 +83,59 @@ def _copy_table(con, t: str, keys: list[str], n: int, base: str, out: str) -> No
 
 
 def _generate_documents(n: int, base: str, out: str) -> None:
+    # Each copy is written as its own parquet row group the moment it
+    # is generated (ADVICE r07): peak memory is ONE copy + the base,
+    # not all N concatenated — at the 100x lane the old pd.concat
+    # held ~2.3 GB of frames in the builder itself.
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     df = pd.read_parquet(f"{base}/documents.parquet")
     words = pd.Series(" ".join(df["text"]).split())
     vocab = words.value_counts()
     toks, weights = vocab.index.to_numpy(), (vocab / vocab.sum()).to_numpy()
     own = [np.asarray(t.split()) for t in df["text"]]
-    frames = [df]
-    for i in range(1, n):
-        rng = np.random.default_rng(42_000 + i)
-        texts = []
-        for ws in own:
-            ln = len(ws)
-            draw = ws[rng.integers(0, ln, size=ln)]
-            swap = rng.random(ln) < 0.2
-            if swap.any():
-                draw = draw.copy()
-                draw[swap] = rng.choice(toks, size=int(swap.sum()), p=weights)
-            texts.append(" ".join(draw))
-        c = df.copy()
-        c["doc_id"] = c["doc_id"] + i * OFFSET
-        c["text"] = texts
-        c["n_chars"] = [len(t) for t in texts]
-        frames.append(c)
-    pd.concat(frames, ignore_index=True).to_parquet(
-        f"{out}/documents.parquet", index=False
-    )
+    schema = pa.Table.from_pandas(df, preserve_index=False).schema
+    with pq.ParquetWriter(f"{out}/documents.parquet", schema) as w:
+        w.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False))
+        for i in range(1, n):
+            rng = np.random.default_rng(42_000 + i)
+            texts = []
+            for ws in own:
+                ln = len(ws)
+                draw = ws[rng.integers(0, ln, size=ln)]
+                swap = rng.random(ln) < 0.2
+                if swap.any():
+                    draw = draw.copy()
+                    draw[swap] = rng.choice(toks, size=int(swap.sum()), p=weights)
+                texts.append(" ".join(draw))
+            c = df.copy()
+            c["doc_id"] = c["doc_id"] + i * OFFSET
+            c["text"] = texts
+            c["n_chars"] = [len(t) for t in texts]
+            w.write_table(pa.Table.from_pandas(c, schema=schema, preserve_index=False))
 
 
 def _generate_embeddings(n: int, base: str, out: str) -> None:
     import numpy as np
     import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     df = pd.read_parquet(f"{base}/embeddings.parquet")
     mat = np.stack(df["embedding"].to_numpy()).astype("float32")
-    frames = [df]
-    for i in range(1, n):
-        rng = np.random.default_rng(7_000 + i)
-        pert = mat + rng.normal(0.0, 0.15, size=mat.shape).astype("float32")
-        c = df.copy()
-        c["vec_id"] = c["vec_id"] + i * OFFSET
-        c["embedding"] = list(pert)
-        frames.append(c)
-    pd.concat(frames, ignore_index=True).to_parquet(
-        f"{out}/embeddings.parquet", index=False
-    )
+    schema = pa.Table.from_pandas(df, preserve_index=False).schema
+    with pq.ParquetWriter(f"{out}/embeddings.parquet", schema) as w:
+        w.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False))
+        for i in range(1, n):
+            rng = np.random.default_rng(7_000 + i)
+            pert = mat + rng.normal(0.0, 0.15, size=mat.shape).astype("float32")
+            c = df.copy()
+            c["vec_id"] = c["vec_id"] + i * OFFSET
+            c["embedding"] = list(pert)
+            w.write_table(pa.Table.from_pandas(c, schema=schema, preserve_index=False))
 
 
 def main() -> None:
