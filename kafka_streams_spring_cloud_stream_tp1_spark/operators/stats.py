@@ -512,32 +512,61 @@ def spearman_rho(units: DataFrame, x: str = "x", y: str = "y") -> DataFrame:
     the same nearest double at the final division), good to ~10⁹
     units before 4n⁴ nears 10³⁸.
 
-    Plan: two per-distinct-value count aggregates (domain-bounded) →
-    `bucketed_cumsum` global ranks with no single-partition window →
-    two joins of the unit frame against the value-keyed rank tables →
-    ONE global integer aggregate. Output one row:
-    (n_units, rho, t_stat)."""
-
-    def _dranks(col: str) -> DataFrame:
-        vc = units.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).cast("long").alias("c")
+    Plan (r08 flatten — was the registry's 41-exchange maximum): the
+    unit frame collapses ONCE into the (x, y) contingency cells (the
+    only fact-sized shuffle); per-variable value counts are cell-grain
+    rollups of that table; BOTH variables ride a single stacked
+    `bucketed_cumsum` pass (partitioned by variable tag) instead of
+    two independent rank pipelines; the moments are cell-grain sums
+    Σc·da·db over the cells joined to the two domain-sized rank
+    tables. The cell table is referenced three times, so it takes the
+    same localCheckpoint lineage cut as the KM duration rollup.
+    Output one row: (n_units, rho, t_stat)."""
+    cells = (
+        units.groupBy(F.col(x).alias("_x"), F.col(y).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_cc"))
+        .localCheckpoint(eager=True)
+    )
+    stacked = cells.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("x").alias("var"), F.col("_x").alias("v"), F.col("_cc").alias("c")),
+                F.struct(F.lit("y").alias("var"), F.col("_y").alias("v"), F.col("_cc").alias("c")),
+            )
+        ).alias("e")
+    ).select("e.var", "e.v", "e.c")
+    vc = stacked.groupBy("var", "v").agg(F.sum("c").cast("long").alias("c"))
+    cum = bucketed_cumsum(vc, "v", ["c"], partition_cols=["var"])
+    # referenced twice (one filter per variable); without the cut each
+    # reference re-inlines the whole rank pipeline — the frame is
+    # value-domain-bounded, so the materialization is tiny
+    dr = cum.select(
+        "var", "v", (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("dr")
+    ).localCheckpoint(eager=True)
+    # rank tables are value-domain sized; no broadcast hint — AQE
+    # converts these to broadcast joins at runtime when the domain is
+    # small, and a pathological near-unit-cardinality metric domain
+    # still gets a safe shuffle join
+    ranked = (
+        cells.join(
+            dr.filter(F.col("var") == "x").select(F.col("v").alias("_x"), F.col("dr").alias("dr_x")),
+            "_x",
         )
-        cum = bucketed_cumsum(vc, "v", ["c"])
-        return cum.select(
-            F.col("v").alias(col),
-            (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias(f"dr_{col}"),
+        .join(
+            dr.filter(F.col("var") == "y").select(F.col("v").alias("_y"), F.col("dr").alias("dr_y")),
+            "_y",
         )
-
-    ranked = units.join(_dranks(x), x).join(_dranks(y), y)
+    )
     DEC = "decimal(38,0)"
-    da, db = F.col(f"dr_{x}").cast(DEC), F.col(f"dr_{y}").cast(DEC)
+    cc = F.col("_cc").cast(DEC)
+    da, db = F.col("dr_x").cast(DEC), F.col("dr_y").cast(DEC)
     agg = ranked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(da).alias("sa"),
-        F.sum(db).alias("sb"),
-        F.sum(da * da).alias("saa"),
-        F.sum(db * db).alias("sbb"),
-        F.sum(da * db).alias("sab"),
+        F.sum("_cc").cast("long").alias("n"),
+        F.sum(cc * da).alias("sa"),
+        F.sum(cc * db).alias("sb"),
+        F.sum(cc * da * da).alias("saa"),
+        F.sum(cc * db * db).alias("sbb"),
+        F.sum(cc * da * db).alias("sab"),
     )
     n = F.col("n")
     nd = n.cast(DEC)

@@ -908,18 +908,45 @@ def test_rerank_second_stage_is_broadcast_bounded(spark):
 def test_spearman_no_single_partition_window(spark):
     """Spearman's exact midranks must come from the value-bucket
     machinery: no single-partition Exchange feeding a window (the
-    scale failure mode of naive global rank()), and the final moment
-    reduction is one global aggregate."""
-    plan = _plan(spark, "q_spearman")
-    # rank windows must be bucket-partitioned, never over all rows
-    assert "windowspecdefinition(_vb" in plan or "windowspecdefinition(vb" in plan, (
-        "rank windows must partition by the value bucket:\n" + plan
-    )
-    # the only SinglePartition exchanges allowed are the 1-row
-    # aggregates (range/moments) — never one feeding a Window
+    scale failure mode of naive global rank()). Since the r08 flatten
+    (41 exchanges -> cell-grain moments + ONE stacked rank pass) the
+    rank pipeline sits behind localCheckpoint lineage cuts, so the
+    window spec is asserted on the operator's internal stacked frame
+    and the query-level plan is asserted flat (few exchanges, no
+    single-partition window)."""
     import re
 
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.stats import (
+        bucketed_cumsum,
+    )
+
+    # the stacked rank pass: both variables in ONE bucket-partitioned
+    # window, never a global single-partition rank
+    vc = spark.createDataFrame(
+        [("x", 1, 3), ("x", 2, 2), ("y", 1, 4), ("y", 5, 1)],
+        "var string, v long, c long",
+    )
+    rank_plan = (
+        bucketed_cumsum(vc, "v", ["c"], partition_cols=["var"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(var" in rank_plan and "_vb" in rank_plan, (
+        "rank windows must partition by (var, value bucket):\n" + rank_plan
+    )
+    assert not re.search(
+        r"Window .{0,400}?Exchange SinglePartition", rank_plan, re.S
+    ), rank_plan
+
+    # query-level: the flattened plan is cell-grain — the only
+    # SinglePartition exchange is the final 1-row moment aggregate
+    plan = _plan(spark, "q_spearman")
     assert not re.search(r"Window .{0,400}?Exchange SinglePartition", plan, re.S), plan
+    n_ex = len(re.findall(r"\bExchange ", plan))
+    assert n_ex <= 6, f"flattened spearman regressed to {n_ex} exchanges:\n" + plan
 
 
 def test_psi_drift_no_windows_bin_grain_joins(spark):
