@@ -37,5 +37,12 @@ def shared_df(
     df = _CACHE.get(k)
     if df is None:
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize NOW (VERDICT r07 #6): persist alone is lazy, so a
+        # fresh-JVM consumer whose first action scans the frame twice —
+        # the symmetrizing union in kcore/LPA/triangle reads the pair
+        # table through both branches of one job — would run the whole
+        # PPJoin pipeline once per branch before the cache exists
+        # (measured: q_kcore 14.5 s fresh -> ~6 s with the eager count).
+        df.count()
         _CACHE[k] = df
     return df
