@@ -211,3 +211,34 @@ def semdedup_pairs(
     return cells.groupBy("cluster").applyInPandas(
         cell_pairs, "keep_id long, drop_id long, score double"
     )
+
+
+def semdedup_pairs_adaptive(
+    emb: DataFrame,
+    target_cell: int = 64,
+    min_k: int = 2,
+    iters: int = 4,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`semdedup_pairs` with ADAPTIVE k: the cluster count scales with
+    the corpus so expected cell size stays ≈ ``target_cell`` at any
+    data volume — k = max(min_k, ceil(n / target_cell)).
+
+    This closes the fixed-k boundary measured on the 100× lane
+    (BASELINE.md): with k frozen, cells grow linearly with the corpus
+    and the within-cell O(cell²) matmul re-becomes the quadratic pass
+    SemDeDup exists to avoid. Abbas et al. 2023 size k this way too
+    (k ≈ 110k for LAION-440M ≈ 4k-vector cells). The corpus count is
+    one column-pruned aggregate (parquet row-group metadata at best);
+    k is then a plain Python literal, so the assignment/pair plan is
+    identical to `semdedup_pairs`' — only the codebook height changed.
+    """
+    import math
+
+    n = emb.count()
+    k = max(min_k, math.ceil(n / target_cell))
+    return semdedup_pairs(
+        emb, k=k, iters=iters, threshold=threshold, vec_col=vec_col, id_col=id_col
+    )

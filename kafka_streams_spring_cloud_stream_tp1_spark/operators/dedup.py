@@ -366,6 +366,35 @@ def lsh_candidate_pairs(
     return intra_bucket_pairs(buckets).distinct()
 
 
+def lsh_bucket_profile(sig: DataFrame, bands: int = 4, rows: int = 3) -> DataFrame:
+    """Bucket-size histogram of the LSH band space — the skew audit a
+    pipeline reads BEFORE choosing `lsh_candidate_pairs`' max_bucket
+    cap: one row per observed bucket size b with the number of such
+    buckets and the candidate-pair mass b·(b−1)/2 they would emit.
+    The whole profile is count-only aggregation (band rows → bucket
+    counts → size histogram, both map-side combined); no doc array or
+    pair ever materializes, so it runs at any corpus size for the
+    cost of the signature pass."""
+    sizes = (
+        _lsh_band_rows(sig, bands, rows)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("b"))
+    )
+    return (
+        sizes.groupBy(F.col("b").cast("long").alias("bucket_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_buckets"))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            (
+                F.col("n_buckets") * F.col("bucket_size") * (F.col("bucket_size") - 1) / 2
+            )
+            .cast("long")
+            .alias("n_pairs"),
+        )
+    )
+
+
 def lsh_overloaded_buckets(
     sig: DataFrame, bands: int = 4, rows: int = 3, max_bucket: int = 64
 ) -> DataFrame:

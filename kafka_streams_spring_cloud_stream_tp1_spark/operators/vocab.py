@@ -604,3 +604,74 @@ def zipf_slope(
         F.round(slope, 4).alias("slope"),
         F.round(intercept, 4).alias("intercept"),
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_pred,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    NON-target document by the log-likelihood ratio of its tokens
+    under the target domain's unigram LM vs the raw (source) pool's —
+    log w(x) = Σ_t [ln p_target(t) − ln p_source(t)]. Documents whose
+    vocabulary looks like the target domain get positive scores and
+    are upweighted when resampling pretraining data toward the domain.
+
+    ``target_pred`` is a boolean Column over ``df`` marking the target
+    exemplars (a domain sample, a quality slice). Both LMs are add-α
+    smoothed over the SHARED vocabulary (union of both slices), so
+    every token has positive mass in both and the ratio is finite —
+    DSIR's hashed-ngram variant smooths the same way.
+
+    Plan: one token explode that map-side combines to (token,
+    target/source counts) — one vocabulary-sized table, not two
+    passes; scoring re-explodes the source slice and joins the
+    token-keyed ratio table (broadcast at dim size, shuffled-hash
+    beyond — either is right), then aggregates per document, so hot
+    tokens never pile a reducer. Exact integer counts; the only
+    floats are per-token fixed-form ln ratios and the final rounded
+    sum/mean. Returns (doc_id, n_tokens, log_ratio_sum,
+    log_ratio_mean) over source (non-target) documents."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("long").alias("cs"),
+    )
+    tots = counts.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cs").cast("long").alias("ns"),
+        F.count(F.lit(1)).cast("long").alias("vsz"),
+    )
+    # ln p_target(t) - ln p_source(t) with add-alpha over the shared
+    # vocabulary; fixed expression order, bit-identical cross-engine
+    ratio = counts.crossJoin(F.broadcast(tots)).select(
+        "token",
+        (
+            F.log(
+                (F.col("ct") + F.lit(alpha))
+                / (F.col("nt") + F.lit(alpha) * F.col("vsz"))
+            )
+            - F.log(
+                (F.col("cs") + F.lit(alpha))
+                / (F.col("ns") + F.lit(alpha) * F.col("vsz"))
+            )
+        ).alias("lr"),
+    )
+    return (
+        tok.filter(~F.col("is_target"))
+        .join(F.broadcast(ratio), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.round(F.sum("lr"), 4) + F.lit(0.0)).alias("log_ratio_sum"),
+            (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("log_ratio_mean"),
+        )
+    )

@@ -4590,3 +4590,394 @@ def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     as explode -> block-partitioned window -> codegen'd
     first-mismatch scan (operators/dedup.py::suffix_lcp_repeats)."""
     return D.suffix_lcp_repeats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round-8: LSH skew audit, adaptive SemDeDup, trained PQ, Arrow rerank,
+# DSIR importance weights, CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def _lsh_bands_cte() -> str:
+    """WITH-clause body computing (doc_id, band, bh) — the MinHash LSH
+    band rows both the audit oracle and the incremental gate replay."""
+    masks = perm_masks(_MH_K)
+    sig_cols = ",\n                  ".join(
+        f"min(xor(h, {m})) AS sig_{i}" for i, m in enumerate(masks)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"sig_{b * _MH_ROWS + r}::VARCHAR" for r in range(_MH_ROWS)),
+        )
+        for b in range(_MH_BANDS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_ngrams_sql('toks', _JACCARD_N)} AS s FROM t),
+    hx AS (SELECT doc_id, {xhash_sql('g')} AS h
+           FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+    sig AS (SELECT doc_id, {sig_cols} FROM hx GROUP BY doc_id),
+    bands AS ({band_selects})"""
+
+
+@query(
+    "q_lsh_bucket_audit",
+    oracle=_lsh_bands_cte()
+    + """,
+    sizes AS (SELECT band, bh, CAST(count(*) AS BIGINT) AS b
+              FROM bands GROUP BY 1, 2)
+    SELECT b AS bucket_size,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(count(*) * b * (b - 1) / 2 AS BIGINT) AS n_pairs
+    FROM sizes GROUP BY b
+    """,
+)
+def q_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band bucket-size histogram — the skew audit a pipeline
+    reads BEFORE choosing `lsh_candidate_pairs`' max_bucket cap
+    (round-8's count-first bounding): one row per observed bucket
+    size with the bucket count and the b·(b−1)/2 candidate-pair mass.
+    Count-only end to end (band rows → bucket counts → histogram, all
+    map-side combined) — no doc array or pair materializes, so the
+    audit itself is safe at any corpus size, which is the whole point
+    of auditing skew (operators/dedup.py::lsh_bucket_profile)."""
+    sig = D.minhash_signatures(
+        load_table(spark, sf_dir, "documents"), k=_MH_K, n=_JACCARD_N
+    )
+    return D.lsh_bucket_profile(sig, bands=_MH_BANDS, rows=_MH_ROWS)
+
+
+_SEMD_CELL = 64
+
+
+@query(
+    "q_semdedup_adaptive",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id,
+                 list_transform(v, x -> x / greatest(
+                     sqrt(list_sum(list_transform(v, y -> y * y))), 1e-12)) AS unit
+          FROM e),
+    kk AS (SELECT greatest(2, CAST(ceil(count(*) / {_SEMD_CELL}.0) AS BIGINT)) AS k
+           FROM embeddings),
+    init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                    unit AS cunit
+             FROM u
+             QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)),
+    scored AS (SELECT u.vec_id, i.cluster, u.unit,
+                      list_dot_product(u.unit, i.cunit) AS score
+               FROM u CROSS JOIN init i),
+    assigned AS (SELECT vec_id, cluster, unit
+                 FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cluster) AS rk
+                       FROM scored)
+                 WHERE rk = 1)
+    SELECT x.vec_id AS keep_id, y.vec_id AS drop_id,
+           round(list_dot_product(x.unit, y.unit), 4) AS score
+    FROM assigned x JOIN assigned y
+      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    WHERE list_dot_product(x.unit, y.unit) >= {_COS_T}
+    """,
+)
+def q_semdedup_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with ADAPTIVE k = ceil(n / 64) — cells stay ≈ 64
+    vectors at ANY corpus size, closing the fixed-k boundary
+    the 100× lane measured (k frozen ⇒ cells grow linearly and the
+    within-cell O(cell²) matmul re-becomes the quadratic pass the
+    method exists to avoid; Abbas et al. 2023 size k the same way —
+    k≈110k for LAION-440M). Same deterministic E-step restriction as
+    q_semdedup (fixed lowest-id init, iters=0) so DuckDB replays the
+    assignment; the oracle computes k from count(*) in-SQL, so both
+    engines adapt identically at every sf
+    (operators/clustering.py::semdedup_pairs_adaptive)."""
+    from ..operators.clustering import semdedup_pairs_adaptive
+
+    return semdedup_pairs_adaptive(
+        load_table(spark, sf_dir, "embeddings"),
+        target_cell=_SEMD_CELL,
+        iters=0,
+        threshold=_COS_T,
+    )
+
+
+_PQT_SUB = _PQ_DIM // _PQ_M
+
+
+@query(
+    "q_pq_trained",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb0 AS (SELECT vec_id::INT AS code, v AS cv FROM e
+            WHERE vec_id < {_PQ_K}),
+    ss AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    cell0 AS (SELECT e.vec_id, cb0.code, ss.s,
+                     round(list_sum(list_transform(range(1, {_PQT_SUB + 1}),
+                         j -> (v[ss.s * {_PQT_SUB} + j]
+                               - cv[ss.s * {_PQT_SUB} + j])
+                              * (v[ss.s * {_PQT_SUB} + j]
+                                 - cv[ss.s * {_PQT_SUB} + j]))), 4)
+                         AS dist
+              FROM e CROSS JOIN cb0 CROSS JOIN ss),
+    best0 AS (SELECT vec_id, s, code FROM (
+                  SELECT cell0.*, row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY dist, code) AS rn FROM cell0)
+              WHERE rn = 1),
+    -- Lloyd recenter: per-(subspace, code, position) member mean,
+    -- rounded 4 so both engines hold bit-identical trained codebooks
+    mu AS (SELECT b.s, b.code, jj.j,
+                  round(avg(e.v[b.s * {_PQT_SUB} + jj.j]), 4) AS mu
+           FROM best0 b JOIN e USING (vec_id)
+           CROSS JOIN (SELECT unnest(range(1, {_PQT_SUB + 1})) AS j) jj
+           GROUP BY b.s, b.code, jj.j),
+    cb1 AS (SELECT s, code, list(mu ORDER BY j) AS csv FROM mu GROUP BY s, code),
+    -- empty cells keep their seed centroid
+    seedsub AS (SELECT ss.s, cb0.code,
+                       cv[(ss.s * {_PQT_SUB} + 1):(ss.s * {_PQT_SUB} + {_PQT_SUB})]
+                           AS seedv
+                FROM cb0 CROSS JOIN ss),
+    cbf AS (SELECT seedsub.s, seedsub.code,
+                   coalesce(cb1.csv, seedsub.seedv) AS csv
+            FROM seedsub LEFT JOIN cb1
+              ON cb1.s = seedsub.s AND cb1.code = seedsub.code),
+    cell1 AS (SELECT e.vec_id, c.code, c.s,
+                     round(list_sum(list_transform(range(1, {_PQT_SUB + 1}),
+                         j -> (v[c.s * {_PQT_SUB} + j] - c.csv[j])
+                              * (v[c.s * {_PQT_SUB} + j] - c.csv[j]))), 4)
+                         AS dist
+              FROM e CROSS JOIN cbf c),
+    best1 AS (SELECT vec_id, s, dist, code FROM (
+                  SELECT cell1.*, row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY dist, code) AS rn FROM cell1)
+              WHERE rn = 1)
+    SELECT vec_id,
+           array_to_string(list(code ORDER BY s), ',') AS codes,
+           round(sum(dist), 4) AS qerr
+    FROM best1 GROUP BY vec_id
+    """,
+)
+def q_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with a TRAINED codebook — one Lloyd
+    refinement of the anchor seeds per subspace (the production path
+    q_pq_quantize's docstring reserves; Jégou et al. 2011 §III trains
+    exactly this way). The refined codebook is driver-sized, the
+    corpus never shuffles by vector: assignment passes are pure
+    codegen projections against literal centroids, and the recenter
+    is ONE posexplode whose (subspace, code, position) cells map-side
+    combine before the only shuffle — a cell with 10⁹ members costs
+    one accumulator row, never a collected vector list. Trained
+    centroid means are rounded to 4 decimals on BOTH engines so
+    cross-engine float-sum order cannot skew the codebooks
+    (operators/similarity.py::pq_encode_trained). qerr ≤ the anchor
+    codebook's qerr (Lloyd monotonicity, pinned in pytest)."""
+    return S.pq_encode_trained(
+        load_table(spark, sf_dir, "embeddings"),
+        n_subspaces=_PQ_M,
+        n_codes=_PQ_K,
+        dim=_PQ_DIM,
+    )
+
+
+# cross-encoder stand-in: tokens = text.lower().split(); score =
+# (0.7·|distinct query terms hit| / |Q|) + 0.3 / first-hit position
+# (1-based) — pure small-integer arithmetic in a FIXED order, so the
+# Python worker and DuckDB produce bit-identical doubles (no rounding
+# anywhere). Kept module-level so the oracle below and the UDF share
+# one definition of the math.
+def _ce_scorer(query: str, texts):
+    terms = query.split()
+
+    def _s(t: str) -> float:
+        toks = t.lower().split()
+        hits = [i for i, w in enumerate(toks) if w in terms]
+        if not hits:
+            return 0.0
+        hit_terms = len({toks[i] for i in hits})
+        return 0.7 * hit_terms / len(terms) + 0.3 / (hits[0] + 1)
+
+    return texts.map(_s)
+
+
+_CE_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+_CE_POS_ARMS = ",\n                       ".join(
+    f"coalesce(nullif(list_position(cetoks, '{t}'), 0), 999999)"
+    for t in _BM25_TERMS
+)
+_CE_HIT_TERMS = " + ".join(
+    f"CASE WHEN list_contains(cetoks, '{t}') THEN 1 ELSE 0 END"
+    for t in _BM25_TERMS
+)
+
+
+@query(
+    "q_rerank_crossencoder",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS term
+        FROM documents),
+    f AS (SELECT doc_id, dl, term, count(*) AS tf FROM base
+          WHERE term IN {_BM25_TERMS!r}
+          GROUP BY doc_id, dl, term),
+    dfreq AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+    stats AS (SELECT count(*) AS n_docs, avg(len({_TOKS})) AS avgdl
+              FROM documents),
+    lex0 AS (
+        SELECT doc_id,
+               round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * ({_BM25_K1} + 1))
+                     / (tf + {_BM25_K1}
+                        * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               ), 4) AS bm25
+        FROM f JOIN dfreq USING (term) CROSS JOIN stats
+        GROUP BY doc_id),
+    cand AS (SELECT doc_id, bm25 FROM lex0
+             ORDER BY bm25 DESC, doc_id LIMIT {_RR_C}),
+    ce AS (SELECT c.doc_id, c.bm25, {_CE_TOKS} AS cetoks
+           FROM cand c JOIN documents d ON c.doc_id = d.doc_id),
+    feats AS (
+        SELECT doc_id, bm25,
+               CASE WHEN ({_CE_HIT_TERMS}) = 0 THEN 0.0
+                    ELSE 0.7 * ({_CE_HIT_TERMS}) / {len(_BM25_TERMS)}
+                         + 0.3 / least(
+                       {_CE_POS_ARMS}
+                   ) END AS rerank_score
+        FROM ce)
+    SELECT doc_id, bm25, rerank_score,
+           CAST(row_number() OVER
+                (ORDER BY rerank_score DESC, bm25 DESC, doc_id) AS INT) AS rank
+    FROM feats
+    QUALIFY rank <= {_RR_TOP}
+    """,
+)
+def q_rerank_crossencoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched MODEL HOOK behind the rerank cascade, live in
+    the registry (VERDICT r07 #7b): BM25 recalls top-50, then stage 2
+    scores ONLY those 50 texts inside an ArrowEvalPython pandas UDF —
+    the exact seam a sentence-transformers CrossEncoder.predict drops
+    into (operators/retrieval.py::crossencoder_rerank_udf). The
+    stand-in forward pass is deliberately bit-replayable (small-int
+    arithmetic in fixed order, no rounding), so THIS oracle checks the
+    Arrow plumbing end to end — worker round-trip, score typing, rank
+    window — not just the SQL feature blend q_rerank_topk covers. The
+    Python worker sees 50 rows per run regardless of corpus size."""
+    from ..operators.retrieval import crossencoder_rerank_udf
+
+    return crossencoder_rerank_udf(
+        load_table(spark, sf_dir, "documents"),
+        query_terms=list(_BM25_TERMS),
+        scorer=_ce_scorer,
+        candidates=_RR_C,
+        top=_RR_TOP,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+_DSIR_ALPHA = 0.5
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang = 'en' AS is_target,
+                        unnest({_TOKS}) AS token
+                 FROM documents),
+    counts AS (SELECT token,
+                      CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                          AS ct,
+                      CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT)
+                          AS cs
+               FROM tok GROUP BY token),
+    tots AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                    CAST(sum(cs) AS BIGINT) AS ns,
+                    CAST(count(*) AS BIGINT) AS vsz
+             FROM counts),
+    ratio AS (SELECT token,
+                     ln((ct + {_DSIR_ALPHA}) / (nt + {_DSIR_ALPHA} * vsz))
+                     - ln((cs + {_DSIR_ALPHA}) / (ns + {_DSIR_ALPHA} * vsz))
+                         AS lr
+              FROM counts CROSS JOIN tots)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lr), 4) + 0.0 AS log_ratio_sum,
+           round(avg(lr), 4) + 0.0 AS log_ratio_mean
+    FROM tok JOIN ratio USING (token)
+    WHERE NOT is_target
+    GROUP BY doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every non-target
+    document scored by the unigram log-likelihood ratio of its tokens
+    under the target domain's LM (here the 'en' slice) vs the raw
+    pool's — the importance-resampling signal for steering a
+    pretraining mixture toward a domain. Add-α smoothing over the
+    shared vocabulary keeps every ratio finite; exact integer counts,
+    one vocabulary-sized ratio table, doc-keyed scoring aggregate so
+    hot tokens never pile a reducer
+    (operators/vocab.py::dsir_logratio)."""
+    from ..operators.vocab import dsir_logratio
+
+    return dsir_logratio(
+        load_table(spark, sf_dir, "documents"),
+        target_pred=F.col("lang") == "en",
+        alpha=_DSIR_ALPHA,
+    )
+
+
+# thirds as one shared literal so Spark and DuckDB interpolate the
+# same doubles
+_CCNET_P1, _CCNET_P2 = 1.0 / 3.0, 2.0 / 3.0
+
+
+@query(
+    "q_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM v),
+    nll AS (SELECT doc_id, round(avg(-ln(cnt / total)), 4) AS avg_nll
+            FROM tok JOIN v USING (token) CROSS JOIN tot
+            GROUP BY doc_id),
+    d AS (SELECT doc_id, lang, avg_nll
+          FROM nll JOIN documents USING (doc_id)),
+    cuts AS (SELECT lang,
+                    round(quantile_cont(avg_nll, {_CCNET_P1!r}), 4) AS cut1,
+                    round(quantile_cont(avg_nll, {_CCNET_P2!r}), 4) AS cut2
+             FROM d GROUP BY lang)
+    SELECT doc_id, d.lang, avg_nll,
+           CASE WHEN avg_nll <= cut1 THEN 'head'
+                WHEN avg_nll <= cut2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM d JOIN cuts ON cuts.lang = d.lang
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under the corpus unigram LM, compute per-language
+    tercile cutoffs, and tag each doc head / middle / tail — the
+    classic "keep head+middle" pretraining filter. Cutoffs are exact
+    interpolated percentiles rounded to 4 decimals on BOTH engines, so
+    bucket assignment is a pure comparison with no tie-break needed;
+    at 100 TB swap the exact per-lang percentile for
+    approx_percentile with pinned accuracy (the
+    q_exact_percentiles/q_approx_quantiles pairing documents that
+    trade)."""
+    from ..operators.vocab import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    nll = unigram_logprob(docs).select("doc_id", "avg_nll")
+    d = nll.join(docs.select("doc_id", "lang"), "doc_id")
+    cuts = d.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(avg_nll, {_CCNET_P1!r}D)"), 4).alias("cut1"),
+        F.round(F.expr(f"percentile(avg_nll, {_CCNET_P2!r}D)"), 4).alias("cut2"),
+    )
+    return d.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("cut1"), "head")
+        .when(F.col("avg_nll") <= F.col("cut2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

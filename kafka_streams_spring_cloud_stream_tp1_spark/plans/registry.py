@@ -116,6 +116,14 @@ _FRONT = [
     "q_repetition_stats",
     "q_decontaminate",
     "q_pack_sequences",
+    # ---- slot 51+: round-8 additions (never driver-checked) — the
+    # round-9 window head, then the rest of the rotation queue
+    "q_lsh_bucket_audit",
+    "q_semdedup_adaptive",
+    "q_pq_trained",
+    "q_rerank_crossencoder",
+    "q_dsir_weights",
+    "q_ccnet_buckets",
     "q_vocab_topk",
     "q_tfidf_topk",
     "q_group_sample",

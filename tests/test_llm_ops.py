@@ -1032,3 +1032,159 @@ def test_crossencoder_rerank_udf_hook(spark):
     sql_top = crossencoder_rerank(docs, qt, candidates=20, top=1).collect()[0]
     udf_top = sorted(rows, key=lambda r: r["rank"])[0]
     assert udf_top["doc_id"] == sql_top["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# Round-8: trained PQ, adaptive SemDeDup, DSIR, LSH bucket profile,
+# CCNet buckets, Arrow rerank plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_pq_trained_lloyd_monotonicity(spark):
+    """One Lloyd refinement can only shrink total quantization error
+    on the training corpus (means minimize within-cell SSE), and every
+    vector must emit exactly n_subspaces codes in [0, n_codes)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_trained,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    anchor = {r["vec_id"]: r["qerr"] for r in pq_encode(emb).collect()}
+    trained = {r["vec_id"]: r["qerr"] for r in pq_encode_trained(emb).collect()}
+    assert set(anchor) == set(trained)
+    # rounding slack: per-subspace dists round to 4 decimals on both
+    # paths, so allow 8 * 0.5e-4 of accumulated rounding
+    assert sum(trained.values()) <= sum(anchor.values()) + 8 * 5e-4
+    rows = pq_encode_trained(emb).collect()
+    for r in rows[:20]:
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+
+
+def test_pq_trained_plan_is_projection_after_training(spark):
+    """The final encode pass must be shuffle-free: argmin over literal
+    centroids, no join, no aggregate in the returned plan (training
+    ran eagerly at build; the collected codebook is bounded)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.similarity import (
+        pq_encode_trained,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = (
+        pq_encode_trained(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_semdedup_adaptive_matches_fixed_k_at_same_size(spark):
+    """At a corpus size where ceil(n/target) equals a given k, the
+    adaptive variant must produce exactly the fixed-k pair set."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.clustering import (
+        semdedup_pairs,
+        semdedup_pairs_adaptive,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    target = 64
+    k = max(2, -(-n // target))
+    fixed = {
+        (r["keep_id"], r["drop_id"], r["score"])
+        for r in semdedup_pairs(emb, k=k, iters=0, threshold=0.4).collect()
+    }
+    adaptive = {
+        (r["keep_id"], r["drop_id"], r["score"])
+        for r in semdedup_pairs_adaptive(
+            emb, target_cell=target, iters=0, threshold=0.4
+        ).collect()
+    }
+    assert adaptive == fixed and len(adaptive) > 0
+
+
+def test_dsir_logratio_directionality(spark):
+    """Docs built from target-domain vocabulary must outscore docs of
+    source-only vocabulary, and the smoothed ratio is always finite."""
+    import math
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.vocab import (
+        dsir_logratio,
+    )
+
+    rows = (
+        [(i, "alpha beta gamma delta", True) for i in range(40)]
+        + [(100 + i, "zeta eta theta iota", False) for i in range(40)]
+        # probes: one target-like, one source-like, both NON-target
+        + [(900, "alpha beta gamma delta", False), (901, "zeta eta theta iota", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    out = {
+        r["doc_id"]: r["log_ratio_mean"]
+        for r in dsir_logratio(df, target_pred=F.col("is_t")).collect()
+    }
+    assert out[900] > 0 > out[901]
+    assert all(math.isfinite(v) for v in out.values())
+    assert 900 in out and 901 in out and 0 not in out  # targets excluded
+
+
+def test_lsh_bucket_profile_consistency(spark):
+    """The histogram must tie out with the audit and the band count:
+    Σ bucket_size·n_buckets = total band rows = 4 bands × n_docs, and
+    sizes above a cap must equal lsh_overloaded_buckets' row count."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        lsh_bucket_profile,
+        lsh_overloaded_buckets,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = minhash_signatures(docs)
+    prof = lsh_bucket_profile(sig).collect()
+    n_sig = sig.count()
+    assert sum(r["bucket_size"] * r["n_buckets"] for r in prof) == 4 * n_sig
+    for r in prof:
+        assert r["n_pairs"] == r["bucket_size"] * (r["bucket_size"] - 1) // 2 * r["n_buckets"]
+    cap = 1
+    over = lsh_overloaded_buckets(sig, max_bucket=cap).count()
+    assert over == sum(r["n_buckets"] for r in prof if r["bucket_size"] > cap)
+
+
+def test_ccnet_buckets_tercile_balance(spark):
+    """Every language splits ≈ evenly: head/middle/tail each within
+    ±2 of n_lang/3 (exact interpolated cutoffs, ties to the lower
+    bucket), and buckets are exhaustive."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import queries_map
+
+    out = queries_map()["q_ccnet_buckets"](spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    per = Counter((r["lang"], r["bucket"]) for r in out)
+    langs = {r["lang"] for r in out}
+    n_by_lang = Counter(r["lang"] for r in out)
+    for lang in langs:
+        n = n_by_lang[lang]
+        for b in ("head", "middle", "tail"):
+            assert abs(per[(lang, b)] - n / 3) <= max(2, 0.15 * n), (
+                lang,
+                b,
+                per[(lang, b)],
+                n,
+            )
+
+
+def test_rerank_crossencoder_arrow_bounded(spark):
+    """The model hook runs in ArrowEvalPython over the bounded top-C
+    frame: the plan carries exactly one Arrow node, fed by a broadcast
+    join (the corpus never crosses the Arrow boundary), and returns
+    exactly `top` ranked rows."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import queries_map
+
+    df = queries_map()["q_rerank_crossencoder"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    rows = df.collect()
+    assert len(rows) == 20
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, 21)
+    )
