@@ -1062,10 +1062,12 @@ def test_pq_trained_lloyd_monotonicity(spark):
         assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
 
 
-def test_pq_trained_plan_is_projection_after_training(spark):
-    """The final encode pass must be shuffle-free: argmin over literal
-    centroids, no join, no aggregate in the returned plan (training
-    ran eagerly at build; the collected codebook is bounded)."""
+def test_pq_trained_plan_matches_pq_encode_shape(spark):
+    """After training (eager at build), the returned encode plan is
+    pq_encode's verbatim: corpus × broadcast LITERAL codebook (a
+    LocalTableScan, not a corpus subquery), never a cartesian product
+    — and the codebook rows are the collected trained centroids, so
+    the corpus contributes nothing but the streamed scan."""
     from kafka_streams_spring_cloud_stream_tp1_spark.operators.similarity import (
         pq_encode_trained,
     )
@@ -1074,8 +1076,10 @@ def test_pq_trained_plan_is_projection_after_training(spark):
     plan = (
         pq_encode_trained(emb)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan, plan
-    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the codebook side is the 16 collected rows, not a corpus subquery
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan, plan
 
 
 def test_semdedup_adaptive_matches_fixed_k_at_same_size(spark):
