@@ -746,6 +746,68 @@ def simhash_dup_groups(df: DataFrame, bits: int = 16, text_col: str = "text") ->
     )
 
 
+def simhash_width_audit(
+    df: DataFrame, widths: tuple[int, ...] = (16, 32), text_col: str = "text"
+) -> DataFrame:
+    """Signature-width selection audit: the collision profile of the
+    SimHash space at each candidate bit width, from ONE vote pass —
+    one row per width with (n_docs, n_distinct_sigs,
+    n_collision_groups, n_docs_in_collisions).
+
+    This operationalizes the 100× lesson recorded in BASELINE.md
+    ("Where the simhash GRAPH ends"): at a fixed narrow width the
+    signature space saturates as the corpus grows and equal-signature
+    "near-dup" groups become hash collisions, not duplicates — the
+    audit a pipeline runs BEFORE building the near-dup graph to pick
+    the width where collision mass tracks true duplicate mass (the
+    published web-scale setting is 64 bits). Bit j of a narrower
+    width is bit j of the wider one (votes are per-bit independent),
+    so every width derives from the same max(widths)-bit vote
+    aggregate: one token explode, one doc-keyed groupBy (map-side
+    combined), then |widths| signature-grain aggregates — count-only
+    end to end, no doc lists, scale-flat beyond the token pass."""
+    bits = max(widths)
+    toks = fan_out(df).select("doc_id", F.explode(tokens(text_col)).alias("tok"))
+    dictionary = toks.select("tok").distinct().select("tok", xhash(F.col("tok")).alias("h"))
+    ex = toks.join(dictionary, "tok").select("doc_id", "h")
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"bit_{j}")
+            for j in range(bits)
+        ]
+    )
+
+    def _sig(w: int):
+        sim = None
+        for j in range(w):
+            term = F.when(F.col(f"bit_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sim = term if sim is None else sim + term
+        return sim.cast("long")
+
+    sigs = votes.select(
+        "doc_id", *[_sig(w).alias(f"sig_{w}") for w in widths]
+    ).localCheckpoint(eager=True)  # referenced once per width below
+
+    out = None
+    for w in widths:
+        g = sigs.groupBy(F.col(f"sig_{w}").alias("s")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        prof = g.agg(
+            F.lit(w).cast("long").alias("bits"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_sigs"),
+            F.count(F.when(F.col("c") > 1, 1)).cast("long").alias("n_collision_groups"),
+            F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias("n_docs_in_collisions"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -4981,3 +4981,121 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def _debias_sql(dims: int = 6) -> str:
+    cov_union = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"round(covar_pop(embedding[{i + 1}], embedding[{j + 1}]), 6) AS cov "
+        f"FROM embeddings"
+        for i, j in _COV_PAIRS
+    )
+    v0 = " UNION ALL ".join(
+        f"SELECT {d} AS j, {'1.0' if d == 0 else '0.0'}::DOUBLE AS v"
+        for d in range(dims)
+    )
+    u_pivot = ", ".join(
+        f"max(CASE WHEN i = {d} THEN u END) AS u{d}" for d in range(dims)
+    )
+    mu_cols = ", ".join(
+        f"round(avg(embedding[{d + 1}]), 6) AS m{d}" for d in range(dims)
+    )
+    c_cols = ", ".join(
+        f"embedding[{d + 1}]::DOUBLE - mu.m{d} AS c{d}" for d in range(dims)
+    )
+    # left-associative fixed-order dot, mirroring the Spark chain
+    dot = f"uw.u0 * c0"
+    for d in range(1, dims):
+        dot = f"({dot} + uw.u{d} * c{d})"
+    p_cols = ", ".join(
+        f"round(c{d} - dot * uw.u{d}, 4) + 0.0 AS p{d}" for d in range(dims)
+    )
+    return f"""
+    WITH cov AS ({cov_union}),
+    sym AS (SELECT i, j, cov FROM cov
+            UNION ALL
+            SELECT j AS i, i AS j, cov FROM cov WHERE i <> j),
+    v0 AS ({v0}),
+    m1 AS (SELECT i, sum(cov * v) AS mv FROM sym JOIN v0 USING (j) GROUP BY i),
+    n1 AS (SELECT sqrt(sum(mv * mv)) AS nrm FROM m1),
+    v1 AS (SELECT i AS j, mv / nrm AS v FROM m1 CROSS JOIN n1),
+    m2 AS (SELECT i, sum(cov * v) AS mv FROM sym JOIN v1 USING (j) GROUP BY i),
+    n2 AS (SELECT sqrt(sum(mv * mv)) AS nrm FROM m2),
+    u AS (SELECT i, round(mv / nrm, 6) AS u FROM m2 CROSS JOIN n2),
+    uw AS (SELECT {u_pivot} FROM u),
+    mu AS (SELECT {mu_cols} FROM embeddings),
+    cent AS (SELECT vec_id, {c_cols} FROM embeddings CROSS JOIN mu),
+    dotted AS (SELECT cent.*, {dot} AS dot FROM cent CROSS JOIN uw)
+    SELECT vec_id, {p_cols} FROM dotted CROSS JOIN uw
+    """
+
+
+@query("q_embedding_debias", oracle=_debias_sql(_COV_D))
+def q_embedding_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding post-processing (Mu & Viswanath
+    2018): mean-center the leading dims and project off the dominant
+    principal direction — the anisotropy fix run before cosine dedup
+    / ANN / SemDeDup trust the space. u comes from the same two
+    unrolled power-iteration rounds as q_power_iteration over the
+    round(6) covariance, iterated driver-side on the collected
+    21-row matrix; μ and u round to 6 so both engines project with
+    bit-identical constants; the projection is a shuffle-free
+    codegen pass with a fixed-order dot product
+    (operators/similarity.py::embedding_debias_top_pc)."""
+    return S.embedding_debias_top_pc(
+        load_table(spark, sf_dir, "embeddings"), dims=_COV_D
+    )
+
+
+_SWA_WIDTHS = (16, 32)
+
+
+def _simhash_width_audit_sql() -> str:
+    bits = max(_SWA_WIDTHS)
+    votes = ",\n                  ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{j}"
+        for j in range(bits)
+    )
+    def val(w: int) -> str:
+        return " + ".join(
+            f"CASE WHEN bit_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(w)
+        )
+    profiles = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({w} AS BIGINT) AS bits,
+               CAST(coalesce(sum(c), 0) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct_sigs,
+               CAST(count(*) FILTER (WHERE c > 1) AS BIGINT)
+                   AS n_collision_groups,
+               CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT)
+                   AS n_docs_in_collisions
+        FROM (SELECT sig_{w}, count(*) AS c FROM sigs GROUP BY sig_{w})"""
+        for w in _SWA_WIDTHS
+    )
+    sig_cols = ", ".join(
+        f"CAST({val(w)} AS BIGINT) AS sig_{w}" for w in _SWA_WIDTHS
+    )
+    return f"""
+    WITH ex AS (SELECT doc_id, {xhash_sql('tok')} AS h
+                FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)),
+    votes AS (SELECT doc_id, {votes} FROM ex GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {sig_cols} FROM votes)
+    {profiles}
+    """
+
+
+@query("q_simhash_width_audit", oracle=_simhash_width_audit_sql())
+def q_simhash_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature-width selection audit: the collision profile
+    at 16 vs 32 bits from ONE vote pass — n_docs, distinct
+    signatures, collision groups, docs in collisions per width. This
+    operationalizes the measured 100× boundary (BASELINE.md "Where
+    the simhash GRAPH ends": a fixed narrow width saturates as the
+    corpus grows and equal-signature groups become hash collisions) —
+    the audit a pipeline runs BEFORE building the near-dup graph to
+    pick the width where collision mass tracks true duplicate mass.
+    Count-only end to end; bit j is shared across widths so both
+    profiles derive from one doc-keyed vote aggregate
+    (operators/dedup.py::simhash_width_audit)."""
+    return D.simhash_width_audit(
+        load_table(spark, sf_dir, "documents"), widths=_SWA_WIDTHS
+    )

