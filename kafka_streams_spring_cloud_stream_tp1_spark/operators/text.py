@@ -539,8 +539,13 @@ def gopher_quality_filter(
     )
     n_distinct = F.size(F.array_distinct(t))
     n_stop = F.size(F.array_intersect(F.array_distinct(t), F.array(*[F.lit(s) for s in stopwords])))
-    mean_len = sum_len.cast("double") / n_words.cast("double")
-    distinct_frac = n_distinct.cast("double") / n_words.cast("double")
+    # n_words is a REAL zero for empty/whitespace-only docs — under
+    # ANSI mode (on in plain driver sessions) an unguarded division
+    # throws, it doesn't NULL (the q_mann_kendall lesson; surfaced by
+    # the round-8 streaming quality gate). Ratios go NULL, keep=false.
+    nz = F.when(n_words > 0, n_words.cast("double"))
+    mean_len = sum_len.cast("double") / nz
+    distinct_frac = n_distinct.cast("double") / nz
     return df.select(
         "doc_id",
         n_words.cast("int").alias("n_words"),

@@ -2882,9 +2882,9 @@ _GOPHER_STOPS = ("the", "a", "is", "and", "of", "to", "in")
     m AS (SELECT doc_id,
                  CAST(len(toks) AS INTEGER) AS n_words,
                  CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
-                     / len(toks) AS mean_word_len,
+                     / nullif(len(toks), 0) AS mean_word_len,
                  CAST(len(list_distinct(toks)) AS DOUBLE)
-                     / len(toks) AS distinct_frac,
+                     / nullif(len(toks), 0) AS distinct_frac,
                  CAST(len(list_intersect(list_distinct(toks),
                       {list(_GOPHER_STOPS)})) AS INTEGER) AS n_stopwords
           FROM t)

@@ -53,6 +53,12 @@ QUERIES = [
     "q_redact_pii",
     "q_doc_fingerprint",
     "q_suffix_lcp",
+    # round 8: the whitespace-only doc is a REAL zero divisor under
+    # ANSI (gopher mean-word-length; caught by the streaming gate)
+    "q_gopher_filter",
+    "q_ccnet_buckets",
+    "q_dsir_weights",
+    "q_simhash_width_audit",
 ]
 
 
