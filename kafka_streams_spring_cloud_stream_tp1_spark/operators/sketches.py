@@ -86,6 +86,51 @@ def heavy_hitters(
     return merged.limit(top) if top is not None else merged
 
 
+def kmv_mins(
+    df: DataFrame,
+    item: Column | str,
+    group: Column | str | None = None,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """(grp, mins: sorted array<long> of the ≤k smallest distinct
+    item hashes) — the raw KMV sketch `kmv_distinct` estimates from
+    and `kmv_source_overlap` intersects. One Arrow pass folds each
+    partition to ≤ k hashes per group seen (bounded task state), then
+    a tiny grouped min-k merge over ≤ partitions·k rows — the
+    mergeable-summaries union (min-k of a union = min-k of per-part
+    min-k's)."""
+    import numpy as np
+
+    from .hashing import xhash
+
+    it = F.col(item) if isinstance(item, str) else item
+    h = xhash(F.concat(F.lit(salt + "|"), it.cast("string")))
+    if group is not None:
+        g = (F.col(group) if isinstance(group, str) else group).cast("string")
+    else:
+        g = F.lit("")
+    hashed = df.select(g.alias("grp"), h.alias("h"))
+
+    def partition_mins(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        state: dict = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby("grp", sort=False):
+                hs = sub["h"].to_numpy()
+                cur = state.get(grp)
+                merged = np.concatenate([cur, hs]) if cur is not None else hs
+                state[grp] = np.unique(merged)[:k]  # unique() sorts
+        for grp, arr in state.items():
+            yield pd.DataFrame({"grp": grp, "h": arr})
+
+    mins = hashed.mapInPandas(partition_mins, "grp string, h long")
+    return mins.groupBy("grp").agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     item: Column | str,
@@ -114,35 +159,7 @@ def kmv_distinct(
     <= partitions*k rows takes the global min-k. The estimate uses
     exact integer hashes and one IEEE multiply+divide, identical on
     both engines."""
-    import numpy as np
-
-    from .hashing import xhash
-
-    it = F.col(item) if isinstance(item, str) else item
-    h = xhash(F.concat(F.lit(salt + "|"), it.cast("string")))
-    if group is not None:
-        g = (F.col(group) if isinstance(group, str) else group).cast("string")
-    else:
-        g = F.lit("")
-    hashed = df.select(g.alias("grp"), h.alias("h"))
-
-    def partition_mins(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import pandas as pd
-
-        state: dict = {}
-        for pdf in batches:
-            for grp, sub in pdf.groupby("grp", sort=False):
-                hs = sub["h"].to_numpy()
-                cur = state.get(grp)
-                merged = np.concatenate([cur, hs]) if cur is not None else hs
-                state[grp] = np.unique(merged)[:k]  # unique() sorts
-        for grp, arr in state.items():
-            yield pd.DataFrame({"grp": grp, "h": arr})
-
-    mins = hashed.mapInPandas(partition_mins, "grp string, h long")
-    merged = mins.groupBy("grp").agg(
-        F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins")
-    )
+    merged = kmv_mins(df, item, group, k, salt)
     n_kept = F.size("mins")
     two60 = float(1 << 60)
     est = F.when(n_kept < k, n_kept.cast("double")).otherwise(
@@ -152,4 +169,52 @@ def kmv_distinct(
         "grp",
         n_kept.cast("long").alias("n_kept"),
         F.floor(est).cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_source_overlap(
+    df: DataFrame,
+    item: Column | str,
+    group: Column | str = "source",
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise cross-group DISTINCT-ITEM overlap estimated from KMV
+    sketch intersections (Beyer et al. SIGMOD'07 §4: for sketches
+    K_A, K_B, let K be the k smallest of K_A ∪ K_B and ρ = |K ∩ K_A ∩
+    K_B| / k; then |A∩B| ≈ ρ · (k−1)·2⁶⁰ / h_k) — the cheap "how much
+    do these two crawls share" matrix computed WITHOUT an exact
+    cross-group distinct join. Returns one row per unordered group
+    pair: (grp_a, grp_b, n_common_mins, est_intersection,
+    est_jaccard).
+
+    When the union sketch holds fewer than k hashes both sides were
+    seen in full, so the intersection (and Jaccard) are exact. At
+    100 TB the corpus-sized work is the one sketch pass (bounded
+    per-task state); the pair math runs on a |groups|-row frame of
+    ≤k-element arrays — |groups|²·k integers, driver-scale."""
+    sk = kmv_mins(df, item, group, k, salt)
+    a = sk.select(F.col("grp").alias("grp_a"), F.col("mins").alias("mins_a"))
+    b = sk.select(F.col("grp").alias("grp_b"), F.col("mins").alias("mins_b"))
+    pairs = a.join(b, F.col("grp_a") < F.col("grp_b"))
+    union_k = F.slice(
+        F.array_sort(F.array_union("mins_a", "mins_b")), 1, k
+    )
+    n_union = F.size(union_k)
+    common = F.size(
+        F.array_intersect(union_k, F.array_intersect("mins_a", "mins_b"))
+    )
+    two60 = float(1 << 60)
+    # union-size estimate from the combined sketch's k-th value; the
+    # intersection estimate is ρ · est_union (Beyer et al. eq. 4)
+    est_union = F.when(n_union < k, n_union.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(two60) / F.element_at(union_k, k)
+    )
+    rho = common.cast("double") / n_union.cast("double")
+    return pairs.select(
+        "grp_a",
+        "grp_b",
+        common.cast("long").alias("n_common_mins"),
+        F.floor(rho * est_union).cast("long").alias("est_intersection"),
+        (F.round(rho, 4) + F.lit(0.0)).alias("est_jaccard"),
     )

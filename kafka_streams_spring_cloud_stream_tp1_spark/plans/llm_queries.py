@@ -5099,3 +5099,68 @@ def q_simhash_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_width_audit(
         load_table(spark, sf_dir, "documents"), widths=_SWA_WIDTHS
     )
+
+
+_KMVO_K = 64
+_TWO60 = float(1 << 60)
+
+
+@query(
+    "q_kmv_source_overlap",
+    oracle=f"""
+    WITH t AS (SELECT source, {_ngrams_sql(_TOKS, _JACCARD_N)} AS s
+               FROM documents),
+    g AS (SELECT source, unnest(s) AS g FROM t),
+    hx AS (SELECT DISTINCT source AS grp,
+                  {xhash_sql("'kmv|' || g")} AS h
+           FROM g),
+    r AS (SELECT grp, h,
+                 row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+          FROM hx),
+    sk AS (SELECT grp, h FROM r WHERE rn <= {_KMVO_K}),
+    srcs AS (SELECT DISTINCT grp FROM sk),
+    pp AS (SELECT a.grp AS grp_a, b.grp AS grp_b
+           FROM srcs a JOIN srcs b ON a.grp < b.grp),
+    m AS (SELECT pp.grp_a, pp.grp_b, s.h,
+                 max(CASE WHEN s.grp = pp.grp_a THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN s.grp = pp.grp_b THEN 1 ELSE 0 END) AS in_b
+          FROM pp JOIN sk s ON s.grp IN (pp.grp_a, pp.grp_b)
+          GROUP BY pp.grp_a, pp.grp_b, s.h),
+    rr AS (SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b
+                         ORDER BY h) AS rn FROM m),
+    kk AS (SELECT grp_a, grp_b,
+                  count(*) AS n_union,
+                  max(CASE WHEN rn = {_KMVO_K} THEN h END) AS hk,
+                  sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                      AS common
+           FROM rr WHERE rn <= {_KMVO_K} GROUP BY grp_a, grp_b)
+    SELECT grp_a, grp_b,
+           CAST(common AS BIGINT) AS n_common_mins,
+           CAST(floor((common::DOUBLE / n_union)
+                      * CASE WHEN n_union < {_KMVO_K}
+                             THEN n_union::DOUBLE
+                             ELSE {_KMVO_K - 1} * {_TWO60!r} / hk END)
+                AS BIGINT) AS est_intersection,
+           round(common::DOUBLE / n_union, 4) + 0.0 AS est_jaccard
+    FROM kk
+    """,
+)
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source distinct-shingle overlap estimated from
+    KMV sketch intersections (Beyer et al. SIGMOD'07 §4) — the cheap
+    "which crawls share content" matrix next to `q_source_overlap`'s
+    exact near-dup-pair bucketing: one bounded-state sketch pass over
+    the corpus, then all |sources|² pair estimates from ≤k-element
+    arrays (driver-scale regardless of corpus size). The shared
+    deterministic hash makes the k-th-order-statistic math — union
+    estimate, ρ fraction, intersection — bit-replayable in DuckDB,
+    so the ESTIMATES are value-checked, not just row counts
+    (operators/sketches.py::kmv_source_overlap)."""
+    from ..operators.sketches import kmv_source_overlap
+    from ..operators.text import tokens, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "source", F.explode(word_ngrams(tokens("text"), _JACCARD_N)).alias("g")
+    )
+    return kmv_source_overlap(ex, item="g", group="source", k=_KMVO_K)

@@ -126,6 +126,7 @@ _FRONT = [
     "q_ccnet_buckets",
     "q_embedding_debias",
     "q_simhash_width_audit",
+    "q_kmv_source_overlap",
     "q_vocab_topk",
     "q_tfidf_topk",
     "q_group_sample",

