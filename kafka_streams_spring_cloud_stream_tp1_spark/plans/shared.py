@@ -45,4 +45,11 @@ def shared_df(
         # (measured: q_kcore 14.5 s fresh -> ~6 s with the eager count).
         df.count()
         _CACHE[k] = df
+    elif not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        # an external spark.catalog.clearCache() (the bench protocol
+        # runs one between repeats) silently unpersisted the memoized
+        # frame — without re-persisting, every consumer re-runs the
+        # whole pipeline per union branch again
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
     return df
