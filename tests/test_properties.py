@@ -358,3 +358,49 @@ def test_exact_substring_spans_match_python_reference(spark, docs, gram):
             # operator positions are 1-indexed inclusive
             expect.add((i, a + 1, b + gram, b + gram - a))
     assert got == expect, (docs, gram, got ^ expect)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 40)),
+        min_size=0,
+        max_size=60,
+        unique=True,
+    ),
+    max_df=st.integers(2, 8),
+)
+@_SETTINGS
+def test_bounded_buckets_equal_naive_collect_filter(spark, rows, max_df):
+    """`bounded_id_buckets` must equal the naive collect-then-filter
+    form on any (key, id) relation — the hot-bucket fix changes the
+    PLAN (count-first eligibility), never the result."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.buckets import (
+        bounded_id_buckets,
+        intra_bucket_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{k}", i) for k, i in rows] or [("never", -1)],
+        "v string, doc_id long",
+    )
+    if not rows:
+        df = df.filter("doc_id >= 0")
+    got = {
+        r["v"]: list(r["ds"])
+        for r in bounded_id_buckets(df, ["v"], min_df=2, max_df=max_df).collect()
+    }
+    want = {
+        r["v"]: list(r["ds"])
+        for r in df.groupBy("v")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
+        .collect()
+    }
+    assert got == want
+    # pair emission: exactly C(b,2) ordered pairs per bucket
+    n_pairs = intra_bucket_pairs(
+        bounded_id_buckets(df, ["v"], min_df=2, max_df=max_df)
+    ).count()
+    assert n_pairs == sum(len(ds) * (len(ds) - 1) // 2 for ds in want.values())
