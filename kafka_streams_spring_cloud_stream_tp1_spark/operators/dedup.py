@@ -256,10 +256,16 @@ def containment_pairs(
         F.size("shingles").alias("n_sh"),
         F.explode_outer("shingles").alias("g"),
     ).filter(F.col("g").isNotNull())
+    # df-eligibility decided COUNT-FIRST (the round-8 hot-bucket
+    # discipline, buckets.bounded_id_buckets): a boilerplate shingle
+    # is dropped while it is still a counter row, never materialized
+    # as a corpus-sized struct array on one reducer
+    counts = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    eligible = counts.filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
     buckets = (
-        ex.groupBy("g")
+        ex.join(eligible.select("g"), "g")
+        .groupBy("g")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_df))
     )
     pairs = buckets.select(
         F.explode(

@@ -48,21 +48,28 @@ def inverted_index(
     any partitioning; collect_list itself is the only order-sensitive
     step in the plan.
     """
-    post = (
+    td = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .groupBy("term")
-        .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
-            F.count(F.lit(1)).alias("df"),
-            F.sum("tf").alias("tf_total"),
-        )
     )
-    post = post.filter(F.col("df") >= min_df)
-    if max_df is not None:
-        post = post.filter(F.col("df") <= max_df)
-    return post
+    if min_df > 1 or max_df is not None:
+        # df-eligibility decided COUNT-FIRST (one long per term,
+        # map-side combined) so a stopword's corpus-sized posting list
+        # never materializes in a single aggregation row before the
+        # filter drops it — the round-8 hot-bucket discipline
+        # (operators/buckets.py); collect_list then sees only
+        # bounded-df terms by construction.
+        counts = td.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+        eligible = counts.filter(F.col("_df") >= min_df)
+        if max_df is not None:
+            eligible = eligible.filter(F.col("_df") <= max_df)
+        td = td.join(eligible.select("term"), "term")
+    return td.groupBy("term").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+    )
 
 
 def idf_rarity(

@@ -141,3 +141,21 @@ def test_intra_bucket_pairs_orders_and_filters(spark):
     )
     got = {(r.doc_a, r.doc_b) for r in intra_bucket_pairs(buckets).collect()}
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_containment_count_gate_precedes_collect(spark):
+    plan = _optimized(
+        D.containment_pairs(load_table(spark, SF, "documents"))
+    )
+    _assert_count_gate_below_collect(plan)
+
+
+def test_inverted_index_count_gate_precedes_collect(spark):
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.retrieval import (
+        inverted_index,
+    )
+
+    plan = _optimized(
+        inverted_index(load_table(spark, SF, "documents"), min_df=2, max_df=400)
+    )
+    _assert_count_gate_below_collect(plan)
