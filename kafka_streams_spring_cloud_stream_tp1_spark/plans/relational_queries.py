@@ -5506,3 +5506,152 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("slope_raw", 4) + F.lit(0.0)).alias("slope"),
         (F.round("intercept", 4) + F.lit(0.0)).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 continuation: closed-form multivariate regression, lead-lag
+# cross-correlation, and the two classical PAIRED tests (Wilcoxon
+# signed-rank, McNemar) that complete the hypothesis-test family —
+# q_welch_ttest / q_mann_whitney / q_kruskal_wallis compare INDEPENDENT
+# groups; these compare the same unit against itself across time.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ols_regression",
+    oracle="""
+    WITH li AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS DOUBLE) AS sx1,
+               CAST(sum(x2) AS DOUBLE) AS sx2,
+               CAST(sum(y) AS DOUBLE)  AS sy,
+               CAST(sum(CAST(x1 * x1 AS HUGEINT)) AS DOUBLE) AS sx1x1,
+               CAST(sum(CAST(x1 * x2 AS HUGEINT)) AS DOUBLE) AS sx1x2,
+               CAST(sum(CAST(x2 * x2 AS HUGEINT)) AS DOUBLE) AS sx2x2,
+               CAST(sum(CAST(x1 * y  AS HUGEINT)) AS DOUBLE) AS sx1y,
+               CAST(sum(CAST(x2 * y  AS HUGEINT)) AS DOUBLE) AS sx2y,
+               CAST(sum(CAST(y  * y  AS HUGEINT)) AS DOUBLE) AS syy
+        FROM li),
+    c AS (
+        SELECT n, CAST(n AS DOUBLE) AS nd,
+               sx1x1 - sx1 * sx1 / CAST(n AS DOUBLE) AS s11,
+               sx1x2 - sx1 * sx2 / CAST(n AS DOUBLE) AS s12,
+               sx2x2 - sx2 * sx2 / CAST(n AS DOUBLE) AS s22,
+               sx1y  - sx1 * sy  / CAST(n AS DOUBLE) AS s1y,
+               sx2y  - sx2 * sy  / CAST(n AS DOUBLE) AS s2y,
+               syy   - sy  * sy  / CAST(n AS DOUBLE) AS stt,
+               sx1 / CAST(n AS DOUBLE) AS mx1,
+               sx2 / CAST(n AS DOUBLE) AS mx2,
+               sy  / CAST(n AS DOUBLE) AS my
+        FROM s),
+    b AS (
+        SELECT n, mx1, mx2, my, s1y, s2y, stt,
+               (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+               (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+        FROM c
+        WHERE s11 * s22 - s12 * s12 <> 0)
+    SELECT n,
+           round(b1, 4) + 0.0 AS beta_qty,
+           round(b2, 4) + 0.0 AS beta_disc,
+           round(my - b1 * mx1 - b2 * mx2, 4) + 0.0 AS intercept,
+           CASE WHEN stt > 0
+                THEN round((b1 * s1y + b2 * s2y) / stt, 4) + 0.0
+           END AS r2
+    FROM b
+    """,
+)
+def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature least squares: regress line-item price
+    (cents) on quantity and discount (basis points) via the normal
+    equations — the multivariate extension of `q_agg_correlation`'s
+    per-group regression line, solved exactly from six co-moment sums
+    (no gradient iterations, no feature matrix materialization):
+
+        b = S⁻¹ s_y  with the centered 2x2 Gram matrix S inverted in
+        closed form, intercept = ȳ − b·x̄, R² = b·s_y / S_yy.
+
+    Cross-engine determinism: every input is re-quantized to an exact
+    integer (quantity is integral, discount → basis points, price →
+    cents), so all nine sufficient statistics are EXACT integers —
+    the per-row products ride int64 (max price² ≈ 1.1e14) and their
+    sums ride DECIMAL(38,0) ↔ HUGEINT (Σy² ≈ 1e26 at the 100 TB
+    design point — 12 digits of headroom). Both engines then evaluate
+    the IDENTICAL double expression tree over identical exact inputs,
+    so every coefficient is bit-identical before the round(.,4) guard.
+
+    Scale shape: ONE partial-aggregable pass over the fact table — a
+    100 TB scan shuffles one 9-tuple of moments per task; the solve is
+    a constant-size expression on a 1-row frame. This is the shape
+    distributed linear regression should take whenever p is small:
+    sufficient statistics, not SGD."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+
+    def dsum(expr, name):
+        return F.sum(expr.cast("decimal(38,0)")).cast("double").alias(name)
+
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        dsum(x1 * x1, "sx1x1"),
+        dsum(x1 * x2, "sx1x2"),
+        dsum(x2 * x2, "sx2x2"),
+        dsum(x1 * y, "sx1y"),
+        dsum(x2 * y, "sx2y"),
+        dsum(y * y, "syy"),
+    )
+    nd = F.col("n").cast("double")
+    c = s.select(
+        "n",
+        (F.col("sx1x1") - F.col("sx1") * F.col("sx1") / nd).alias("s11"),
+        (F.col("sx1x2") - F.col("sx1") * F.col("sx2") / nd).alias("s12"),
+        (F.col("sx2x2") - F.col("sx2") * F.col("sx2") / nd).alias("s22"),
+        (F.col("sx1y") - F.col("sx1") * F.col("sy") / nd).alias("s1y"),
+        (F.col("sx2y") - F.col("sx2") * F.col("sy") / nd).alias("s2y"),
+        (F.col("syy") - F.col("sy") * F.col("sy") / nd).alias("stt"),
+        (F.col("sx1") / nd).alias("mx1"),
+        (F.col("sx2") / nd).alias("mx2"),
+        (F.col("sy") / nd).alias("my"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b = c.filter(det != 0).select(
+        "n",
+        "mx1",
+        "mx2",
+        "my",
+        "s1y",
+        "s2y",
+        "stt",
+        ((F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det).alias("b1"),
+        ((F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det).alias("b2"),
+    )
+    return b.select(
+        "n",
+        (F.round("b1", 4) + F.lit(0.0)).alias("beta_qty"),
+        (F.round("b2", 4) + F.lit(0.0)).alias("beta_disc"),
+        (
+            F.round(
+                F.col("my") - F.col("b1") * F.col("mx1") - F.col("b2") * F.col("mx2"), 4
+            )
+            + F.lit(0.0)
+        ).alias("intercept"),
+        F.when(
+            F.col("stt") > 0,
+            F.round(
+                (F.col("b1") * F.col("s1y") + F.col("b2") * F.col("s2y")) / F.col("stt"),
+                4,
+            )
+            + F.lit(0.0),
+        ).alias("r2"),
+    )
