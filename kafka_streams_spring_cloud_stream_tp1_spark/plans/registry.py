@@ -57,67 +57,14 @@ def _ensure_loaded() -> None:
 #      wherever they sit, so they don't occupy checked slots EXCEPT
 #      the one round that records their first-ever rows-only row.
 _FRONT = [
-    # ---- ROUND-8 WINDOW (executes VERDICT r07 #1): slots 1-10 are
-    # the round-7 additions — the only oracle-backed queries with no
-    # driver CORRECTNESS row (the r7 judge re-ran the driver protocol
-    # on all 10 at sf0.01 and they passed, so a red here signals
-    # protocol drift, not code). Slots 11-50 drain the head of the
-    # r03/r05 rotation queue (q_console_echo onward — no driver row
-    # since round 3/5). After this round cumulative driver coverage
-    # is 219/219 oracle-backed.
-    "q_exact_substring_spans",
-    "q_exact_substring_rewrite",
-    "q_suffix_lcp",
-    "q_stl_decompose",
-    "q_modularity",
-    "q_mann_kendall",
-    "q_theil_sen",
-    "q_dedup_jaccard_capped",
-    "q_l_diversity",
-    "q_dp_counts",
-    # r03/r05 rotation queue head (slots 11-50)
-    "q_console_echo",
-    "q_distinct",
-    "q_sort_multi_col",
-    "q_top_k_global",
-    "q_pivot",
-    "q_union_all_dedup",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_full_outer",
-    "q_set_ops",
-    "q_string_funcs",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_date_funcs",
-    "q_window_topk_per_group",
-    "q_window_analytics",
-    "q_agg_stats",
-    "q_count_distinct",
-    "q_incremental_dedup",
-    "q_pagerank",
-    "q_string_agg",
-    "q_length_trim",
-    "q_text_normalize",
-    "q_zorder_index",
-    "q_ann_lsh",
-    "q_ann_ivf",
-    "q_audio_features",
-    "q_quality_classifier",
-    "q_triangle_count",
-    "q_ewma",
-    "q_kmv_distinct",
-    "q_tpch_q12",
-    "q_ab_test",
-    "q_token_budget_select",
-    "q_ngram_novelty",
-    "q_sample_split",
-    "q_repetition_stats",
-    "q_decontaminate",
-    "q_pack_sequences",
-    # ---- slot 51+: round-8 additions (never driver-checked) — the
-    # round-9 window head, then the rest of the rotation queue
+    # ---- ROUND-9 WINDOW (executes VERDICT r08 #1): slots 1-10 are the
+    # ten round-8 additions — the only oracle-backed queries with no
+    # driver CORRECTNESS row (the r8 judge re-ran the driver protocol on
+    # all 10 at sf0.01 and they passed, so a red here signals protocol
+    # drift, not code). q_ols_regression is placed here for its
+    # first-ever driver row. Slots 11-50 drain 40 of the 47 stale
+    # queries flagged by test_registry_rotation_staleness_bound
+    # (last driver-checked r01-r04; the r01-era TPC-H block first).
     "q_lsh_bucket_audit",
     "q_semdedup_adaptive",
     "q_pq_trained",
@@ -127,6 +74,64 @@ _FRONT = [
     "q_embedding_debias",
     "q_simhash_width_audit",
     "q_kmv_source_overlap",
+    "q_ols_regression",
+    # slots 11-50: stale drain, oldest-checked first
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_quantile_bins",
+    "q_kn_bigram",
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_event_cooccurrence",
+    "q_event_markov",
+    "q_user_stickiness",
+    "q_rfm_segments",
+    "q_anomaly_zscore",
+    "q_yoy_growth",
+    "q_rolling_distinct_users",
+    "q_attribution",
+    "q_chisq_independence",
+    "q_cdc_merge",
+    "q_scd2_history",
+    "q_latest_per_key",
+    "q_dq_audit",
+    "q_fuzzy_join",
+    "q_weighted_sample",
+    "q_boilerplate_fraction",
+    "q_source_kl",
+    "q_tfidf_cosine_pairs",
+    "q_hard_negatives",
+    # ---- slots 51-56: the remaining 6 stale queries — inside the
+    # round-10 window head, so they drain next round per the
+    # staleness bound's clause (c).
+    "q_chunk_dedup_rewrite",
+    "q_lang_entropy",
+    "q_corpus_diff",
+    "q_cluster_canonical",
+    "q_embedding_norm_outliers",
+    "q_feature_hashing",
+    # slots 57-59: round-9 additions (never driver-checked) — also
+    # inside the round-10 window head for their first driver rows.
+    "q_leadlag_xcorr",
+    "q_wilcoxon_signed_rank",
+    "q_mcnemar",
+    # r05-era rotation queue (last checked r05; re-queues after
+    # the stale drain)
     "q_vocab_topk",
     "q_tfidf_topk",
     "q_group_sample",
@@ -155,8 +160,7 @@ _FRONT = [
     "q_asof_join",
     "q_subqueries",
     "q_session_window",
-    # ---- the round-7 driver window (all green in CORRECTNESS_r07) —
-    # freshest rows, rotates back in last among _FRONT
+    # r07-green cohort (CORRECTNESS_r07)
     "q_bloom_dedup_gate",
     "q_exact_substring_dedup",
     "q_rerank_topk",
@@ -207,57 +211,63 @@ _FRONT = [
     "q_join_range",
     "q_filter",
     "q_project_rekey",
+    # r08-green cohort (CORRECTNESS_r08 window) — freshest rows,
+    # rotates back in last among _FRONT
+    "q_console_echo",
+    "q_distinct",
+    "q_sort_multi_col",
+    "q_top_k_global",
+    "q_pivot",
+    "q_union_all_dedup",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_set_ops",
+    "q_string_funcs",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_date_funcs",
+    "q_window_topk_per_group",
+    "q_window_analytics",
+    "q_agg_stats",
+    "q_count_distinct",
+    "q_incremental_dedup",
+    "q_pagerank",
+    "q_string_agg",
+    "q_length_trim",
+    "q_text_normalize",
+    "q_zorder_index",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_audio_features",
+    "q_quality_classifier",
+    "q_triangle_count",
+    "q_ewma",
+    "q_kmv_distinct",
+    "q_tpch_q12",
+    "q_ab_test",
+    "q_token_budget_select",
+    "q_ngram_novelty",
+    "q_sample_split",
+    "q_repetition_stats",
+    "q_decontaminate",
+    "q_pack_sequences",
+    "q_exact_substring_spans",
+    "q_exact_substring_rewrite",
+    "q_suffix_lcp",
+    "q_stl_decompose",
+    "q_modularity",
+    "q_mann_kendall",
+    "q_theil_sen",
+    "q_dedup_jaccard_capped",
+    "q_l_diversity",
+    "q_dp_counts",
 ]
 _DEFERRED = [
-    # r04-green cohort (CORRECTNESS_r04 window)
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_quantile_bins",
-    "q_kn_bigram",
-    "q_funnel_steps",
-    "q_retention_cohorts",
-    "q_event_cooccurrence",
-    "q_event_markov",
-    "q_user_stickiness",
-    "q_rfm_segments",
-    "q_anomaly_zscore",
-    "q_yoy_growth",
-    "q_rolling_distinct_users",
-    "q_attribution",
-    "q_chisq_independence",
-    "q_cdc_merge",
-    "q_scd2_history",
-    "q_latest_per_key",
-    "q_dq_audit",
-    "q_fuzzy_join",
-    "q_weighted_sample",
-    "q_boilerplate_fraction",
-    "q_source_kl",
-    "q_tfidf_cosine_pairs",
-    "q_hard_negatives",
-    "q_chunk_dedup_rewrite",
-    "q_lang_entropy",
-    "q_corpus_diff",
-    "q_cluster_canonical",
-    "q_embedding_norm_outliers",
-    "q_feature_hashing",
     # r06-green cohort (CORRECTNESS_r06 45/45 oracle-backed) —
-    # freshest; rotates back in last
+    # checked within the staleness lookback; rotates in after the
+    # r04-era stale drain completes in round 10.
     "q_token_pmi",
     "q_rrf_fusion",
     "q_mmr_select",

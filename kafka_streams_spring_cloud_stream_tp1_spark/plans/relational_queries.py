@@ -5509,9 +5509,9 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-8 continuation: closed-form multivariate regression, lead-lag
-# cross-correlation, and the two classical PAIRED tests (Wilcoxon
-# signed-rank, McNemar) that complete the hypothesis-test family —
+# Rounds 8-9: closed-form multivariate regression (r8), then lead-lag
+# cross-correlation and the two classical PAIRED tests (Wilcoxon
+# signed-rank, McNemar — r9) that complete the hypothesis-test family —
 # q_welch_ttest / q_mann_whitney / q_kruskal_wallis compare INDEPENDENT
 # groups; these compare the same unit against itself across time.
 # ---------------------------------------------------------------------------
@@ -5578,9 +5578,12 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: every input is re-quantized to an exact
     integer (quantity is integral, discount → basis points, price →
     cents), so all nine sufficient statistics are EXACT integers —
-    the per-row products ride int64 (max price² ≈ 1.1e14) and their
-    sums ride DECIMAL(38,0) ↔ HUGEINT (Σy² ≈ 1e26 at the 100 TB
-    design point — 12 digits of headroom). Both engines then evaluate
+    the per-row products ride int64 (max price² ≈ 1.1e14) and ALL
+    NINE sums — first moments included — ride DECIMAL(38,0) ↔ HUGEINT
+    (Σy² ≈ 1e26 at the 100 TB design point, Σy ≈ 2.3e18 which would
+    sit only ~4x under int64 max — 12+ digits of headroom in decimal
+    either way; DuckDB's sum(BIGINT) already returns HUGEINT, so the
+    engines stay aligned). Both engines then evaluate
     the IDENTICAL double expression tree over identical exact inputs,
     so every coefficient is bit-identical before the round(.,4) guard.
 
@@ -5601,9 +5604,9 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
     s = li.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x1").cast("double").alias("sx1"),
-        F.sum("x2").cast("double").alias("sx2"),
-        F.sum("y").cast("double").alias("sy"),
+        dsum(x1, "sx1"),
+        dsum(x2, "sx2"),
+        dsum(y, "sy"),
         dsum(x1 * x1, "sx1x1"),
         dsum(x1 * x2, "sx1x2"),
         dsum(x2 * x2, "sx2x2"),
@@ -5654,4 +5657,318 @@ def q_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0),
         ).alias("r2"),
+    )
+
+
+_XCORR_MAX_LAG = 7
+_XCORR_A, _XCORR_B = "view", "purchase"
+
+
+@query(
+    "q_leadlag_xcorr",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                      CAST(sum(CASE WHEN event_type = '{_XCORR_A}'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                      CAST(sum(CASE WHEN event_type = '{_XCORR_B}'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS b
+               FROM events
+               WHERE event_type IN ('{_XCORR_A}', '{_XCORR_B}')
+               GROUP BY CAST(ts AS DATE)),
+    p AS (SELECT CAST(t.k AS INTEGER) AS lag,
+                 CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(x.a) AS BIGINT) AS sa,
+                 CAST(sum(y.b) AS BIGINT) AS sb,
+                 CAST(sum(CAST(x.a AS HUGEINT) * x.a) AS HUGEINT) AS saa,
+                 CAST(sum(CAST(y.b AS HUGEINT) * y.b) AS HUGEINT) AS sbb,
+                 CAST(sum(CAST(x.a AS HUGEINT) * y.b) AS HUGEINT) AS sab
+          FROM range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1}) t(k)
+          JOIN d x ON true
+          JOIN d y ON y.day = x.day + CAST(t.k AS INTEGER) * INTERVAL 1 DAY
+          GROUP BY t.k),
+    r AS (SELECT lag, m,
+                 m * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb AS num,
+                 (m * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+                   * (m * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb) AS den
+          FROM p)
+    SELECT lag, m AS n_pairs,
+           CASE WHEN den > 0 THEN round(num / sqrt(den), 4) + 0.0 END AS xcorr
+    FROM r
+    ORDER BY lag
+    """,
+)
+def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily 'view' and daily
+    'purchase' event-volume series at lags −7..+7 — the "does interest
+    today convert to revenue k days later" readout: the lag with peak
+    correlation estimates the conversion delay (positive lag = views
+    LEAD purchases), the causal sibling of `q_acf`'s self-similarity.
+
+    Scale shape: ONE fact-sized day-keyed aggregate produces both
+    series in a single pass (conditional sums, no second scan); the
+    remaining work runs on the |days|-sized frame — 15 tiny equi-joins
+    on the date key fanned out by an exploded lag array against a
+    broadcast copy of the series. Per lag, Pearson r is assembled from
+    SIX exact integer sufficient statistics (m, Σa, Σb, Σa², Σb², Σab
+    — the squares ride DECIMAL(38,0) ↔ HUGEINT since a day of a 100 TB
+    crawl can log >3·10⁹ events, squaring past int64), so the float
+    division is a fixed expression over identical exact inputs in both
+    engines; round(.,4) is pure guard."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(_XCORR_A, _XCORR_B))
+        .select(F.col("ts").cast("date").alias("day"), "event_type")
+    )
+    d = (
+        ev.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == _XCORR_A, 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("event_type") == _XCORR_B, 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = d.select(
+        "day",
+        F.col("a").alias("xa"),
+        F.explode(
+            F.array(
+                *[F.lit(k) for k in range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1)]
+            )
+        ).alias("lag"),
+    )
+    rhs = d.select(F.col("day").alias("bday"), F.col("b").alias("yb"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    p = (
+        lags.withColumn("bday", F.date_add(F.col("day"), F.col("lag")))
+        .join(F.broadcast(rhs), "bday")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("xa").cast("long").alias("sa"),
+            F.sum("yb").cast("long").alias("sb"),
+            F.sum(dec("xa") * F.col("xa")).alias("saa"),
+            F.sum(dec("yb") * F.col("yb")).alias("sbb"),
+            F.sum(dec("xa") * F.col("yb")).alias("sab"),
+        )
+    )
+    m = F.col("m")
+    num = m * F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb")
+    den = (
+        m * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa")
+    ) * (m * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb"))
+    return p.select(
+        "lag",
+        m.alias("n_pairs"),
+        F.when(den > 0, F.round(num / F.sqrt(den), 4) + F.lit(0.0)).alias("xcorr"),
+    ).orderBy("lag")
+
+
+@query(
+    "q_wilcoxon_signed_rank",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS e0,
+               CAST(max(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS e1
+        FROM events),
+    u AS (SELECT user_id,
+                 CAST(sum(CASE WHEN 2 * CAST(epoch(CAST(ts AS TIMESTAMP))
+                                             AS BIGINT) <= e0 + e1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+                 CAST(sum(CASE WHEN 2 * CAST(epoch(CAST(ts AS TIMESTAMP))
+                                             AS BIGINT) > e0 + e1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+          FROM events CROSS JOIN bounds
+          GROUP BY user_id),
+    dd AS (SELECT n_second - n_first AS d FROM u WHERE n_second <> n_first),
+    vc AS (SELECT abs(d) AS ad,
+                  CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+           FROM dd GROUP BY abs(d)),
+    cum AS (SELECT ad, c, cpos,
+                   CAST(sum(c) OVER (ORDER BY ad) AS BIGINT) - c AS below
+            FROM vc),
+    agg AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(cpos * (2 * below + c + 1)) AS BIGINT) AS w2,
+                   CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS t
+            FROM cum)
+    SELECT n,
+           w2 / 2.0 AS w_plus,
+           round((w2 / 2.0 - n * (n + 1) / 4.0)
+                 / sqrt(n * (n + 1.0) * (2 * n + 1) / 24.0
+                        - CAST(t AS DOUBLE) / 48.0), 4) + 0.0 AS z
+    FROM agg
+    WHERE n > 0
+    """,
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user activity: each
+    user's event count in the first half of the observation window vs
+    the second half (split at the exact epoch midpoint). Zero
+    differences drop (standard Wilcoxon), |d| gets midranks, W⁺ sums
+    the ranks of positive differences, and z uses the tie-corrected
+    normal approximation σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48. This is
+    the paired complement of `q_mann_whitney`: same unit against
+    itself across time, so between-user variance cancels.
+
+    Scale shape: ONE user-keyed conditional aggregate over the fact
+    table (the epoch midpoint attaches as a broadcast 1-row frame),
+    then all ranking runs on the DISTINCT |d| domain — per-user count
+    differences collapse to at most max-activity distinct values, so
+    the cumulative window is over a domain-bounded frame (hundreds of
+    rows even at 100 TB), never a fact-sized sort. 2·W⁺ accumulates as
+    an exact integer (midrank numerators stay integral), the tie term
+    Σc³ rides DECIMAL(38,0) ↔ HUGEINT (c³ passes int64 at ~2.1M users
+    sharing one difference), and both engines evaluate the identical
+    float expression over identical exact integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp(F.col("ts")).alias("e")
+    )
+    bounds = ev.agg(
+        F.min("e").cast("long").alias("e0"), F.max("e").cast("long").alias("e1")
+    )
+    first = 2 * F.col("e") <= F.col("e0") + F.col("e1")
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(first, 1).otherwise(0)).cast("long").alias("n_first"),
+            F.sum(F.when(first, 0).otherwise(1)).cast("long").alias("n_second"),
+        )
+    )
+    dd = u.filter(F.col("n_second") != F.col("n_first")).select(
+        (F.col("n_second") - F.col("n_first")).alias("d")
+    )
+    vc = dd.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).cast("long").alias("cpos"),
+    )
+    # |distinct differences| is bounded by the per-user activity domain —
+    # a deliberately single-partition window over a domain-bounded frame,
+    # same discipline as the k-bounded global sorts in PLAN_AUDIT.
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vc.withColumn("below", F.sum("c").over(w).cast("long") - F.col("c"))
+    cd = F.col("c").cast("decimal(38,0)")
+    agg = cum.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cpos") * (2 * F.col("below") + F.col("c") + 1))
+        .cast("long")
+        .alias("w2"),
+        F.sum(cd * cd * cd - cd).alias("t"),
+    )
+    n = F.col("n")
+    w_plus = F.col("w2") / F.lit(2.0)
+    sigma = F.sqrt(
+        n * (n + F.lit(1.0)) * (2 * n + 1) / F.lit(24.0)
+        - F.col("t").cast("double") / F.lit(48.0)
+    )
+    return agg.filter(n > 0).select(
+        "n",
+        w_plus.alias("w_plus"),
+        (F.round((w_plus - n * (n + 1) / F.lit(4.0)) / sigma, 4) + F.lit(0.0)).alias(
+            "z"
+        ),
+    )
+
+
+_MCNEMAR_EVENT = "error"
+
+
+@query(
+    "q_mcnemar",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(min(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS e0,
+               CAST(max(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS e1
+        FROM events),
+    u AS (SELECT user_id,
+                 max(CASE WHEN event_type = '{_MCNEMAR_EVENT}'
+                          AND 2 * CAST(epoch(CAST(ts AS TIMESTAMP))
+                                       AS BIGINT) <= e0 + e1
+                          THEN 1 ELSE 0 END) AS before_flag,
+                 max(CASE WHEN event_type = '{_MCNEMAR_EVENT}'
+                          AND 2 * CAST(epoch(CAST(ts AS TIMESTAMP))
+                                       AS BIGINT) > e0 + e1
+                          THEN 1 ELSE 0 END) AS after_flag
+          FROM events CROSS JOIN bounds
+          GROUP BY user_id),
+    cells AS (SELECT
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(CASE WHEN before_flag = 1 AND after_flag = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(sum(CASE WHEN before_flag = 0 AND after_flag = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c
+        FROM u)
+    SELECT n_users, b, c,
+           CASE WHEN b + c > 0
+                THEN round((abs(b - c) - 1.0) * (abs(b - c) - 1.0)
+                           / (b + c), 4) + 0.0 END AS chi2,
+           CASE WHEN c > 0 THEN round(b / CAST(c AS DOUBLE), 4) + 0.0 END
+               AS odds_ratio
+    FROM cells
+    """,
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for paired binary outcomes: per user, "hit an
+    'error' event" in the first half of the window vs the second half
+    (same epoch-midpoint split as `q_wilcoxon_signed_rank`). Only the
+    DISCORDANT cells matter — b = regressed-to-clean (error before,
+    none after), c = newly-broken — and the continuity-corrected
+    statistic (|b−c|−1)²/(b+c) ~ χ²₁ answers "did the error-affected
+    population shift?", which a pooled error-rate comparison cannot
+    (concordant users cancel). Also reports b/c as the matched-pairs
+    odds ratio.
+
+    Scale shape: ONE user-keyed conditional MAX aggregate over the
+    fact table (partial-aggregable — each task emits one 2-bit pair
+    per local user before the shuffle), the midpoint attaches as a
+    broadcast 1-row frame, and the 2×2 table is a second 1-row
+    aggregate. Every statistic is a fixed float expression over four
+    exact BIGINT cells — bit-identical cross-engine; round(.,4) is
+    pure guard."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.col("ts")).alias("e"),
+    )
+    bounds = ev.agg(
+        F.min("e").cast("long").alias("e0"), F.max("e").cast("long").alias("e1")
+    )
+    is_err = F.col("event_type") == _MCNEMAR_EVENT
+    first = 2 * F.col("e") <= F.col("e0") + F.col("e1")
+    u = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(is_err & first, 1).otherwise(0)).alias("before_flag"),
+            F.max(F.when(is_err & ~first, 1).otherwise(0)).alias("after_flag"),
+        )
+    )
+    cells = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(
+            F.when((F.col("before_flag") == 1) & (F.col("after_flag") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.when((F.col("before_flag") == 0) & (F.col("after_flag") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    b, c = F.col("b"), F.col("c")
+    bc = (b + c).cast("double")
+    diff = F.abs(b - c) - F.lit(1.0)
+    return cells.select(
+        "n_users",
+        "b",
+        "c",
+        F.when(b + c > 0, F.round(diff * diff / bc, 4) + F.lit(0.0)).alias("chi2"),
+        F.when(c > 0, F.round(b / c.cast("double"), 4) + F.lit(0.0)).alias(
+            "odds_ratio"
+        ),
     )

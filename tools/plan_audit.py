@@ -26,7 +26,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="plan_audit")
     spark.sparkContext.setLogLevel("ERROR")
-    feats = audit_registry(spark, sf_dir)
+    # execute_bnl: queries with a BroadcastNestedLoopJoin additionally
+    # run so each build side's numOutputRows materializes into
+    # bnl_build_rows_max — the mechanized boundedness audit
+    feats = audit_registry(spark, sf_dir, execute_bnl=True)
     rows = audit_to_rows(feats)
     for r in rows:
         print(json.dumps(r))
@@ -43,6 +46,10 @@ def main() -> int:
         "queries_with_global_sort": [r["name"] for r in rows if r["global_sorts"]],
         "arrow_python_queries": sum(1 for r in rows if r["arrow_python_nodes"]),
         "max_exchanges": max(rows, key=lambda r: r["exchanges"])["name"],
+        "bnl_build_rows_max": max(
+            (r["bnl_build_rows_max"] for r in rows if r["bnl_build_rows_max"]),
+            default=0,
+        ),
     }
     print(json.dumps({"summary": summary}))
     spark.stop()
