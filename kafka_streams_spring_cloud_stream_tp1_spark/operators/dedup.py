@@ -201,9 +201,16 @@ def ngram_jaccard_pairs(
         )
         .select("doc_a", "doc_b")
     )
+    # shuffle_hash on the shingle sides: the shingle frame is
+    # CORPUS-sized (doc_id × distinct-shingle arrays) and must never
+    # be broadcast — at the 100× lane (500k docs) the planner's
+    # broadcast pick dies with "Not enough memory to build and
+    # broadcast" on the driver. Shuffle-hash keys both sides on the
+    # doc id, so per-partition build state is 1/parallelism of the
+    # corpus at any scale, and no sort is paid on the array payloads.
     return (
-        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -434,8 +441,8 @@ def minhash_lsh_dedup(
     # Spark's cache manager matches it) and the verify join below
     sh = shingle_sets(df, n, text_col).cache()
     return (
-        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -1392,11 +1399,11 @@ def ngram_jaccard_pairs_capped(
     )
     return (
         cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash"),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash"),
             "doc_b",
         )
         .withColumn(

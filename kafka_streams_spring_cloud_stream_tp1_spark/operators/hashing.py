@@ -17,12 +17,17 @@ unlike (a*h + b) mod p which overflows 64-bit multiplication.
 Scale note: md5-via-hex costs more per row than xxhash64, but these
 hashes are computed once per token/shingle inside a whole-stage-codegen
 projection — still JVM-side, no Python. For a production deployment
-where oracle parity is not needed, swap `xhash` to `F.xxhash64`.
+where oracle parity is not needed, flip the one-line config
+``SPARK_GRAFT_HASH=xxhash64`` (read per call, measured in BASELINE.md
+§"Production-hash lane"): same 60-bit non-negative contract (xxhash64
+masked to 60 bits), so every downstream XOR-mask/band construction is
+unchanged — only oracle value-parity is given up.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -31,8 +36,14 @@ HASH_BITS = 60
 
 
 def xhash(col: Column | str) -> Column:
-    """60-bit deterministic hash of a string column (Spark side)."""
+    """60-bit deterministic hash of a string column (Spark side).
+
+    Default lane is md5-hex (DuckDB-reproducible, oracle parity);
+    ``SPARK_GRAFT_HASH=xxhash64`` switches to the cheaper native
+    xxhash64 masked to the same non-negative 60-bit domain."""
     c = F.col(col) if isinstance(col, str) else col
+    if os.environ.get("SPARK_GRAFT_HASH", "md5") == "xxhash64":
+        return F.xxhash64(c).bitwiseAND(F.lit((1 << HASH_BITS) - 1))
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 

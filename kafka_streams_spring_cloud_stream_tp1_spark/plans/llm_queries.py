@@ -569,6 +569,60 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_bruteforce(load_table(spark, sf_dir, "embeddings"), n_queries=_KNN_Q, k=_KNN_K)
 
 
+_HUB_Q, _HUB_K = 100, 10
+
+
+@query(
+    "q_knn_hubness",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_HUB_Q}),
+    scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                      round(list_cosine_similarity(e.v, q.qv), 4) AS score
+               FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored),
+    occ AS (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS o
+            FROM r WHERE rank <= {_HUB_K} GROUP BY neighbor_id),
+    j AS (SELECT coalesce(occ.o, 0) AS n_occurrences
+          FROM e LEFT JOIN occ ON e.vec_id = occ.neighbor_id)
+    SELECT n_occurrences, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM j GROUP BY n_occurrences
+    """,
+)
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence (hubness) histogram of the exact kNN graph over a
+    deterministic 100-query probe set: for every corpus vector, how
+    many probe top-10 lists it appears in, histogrammed — the
+    embedding-space health audit (Radovanović et al., JMLR 2010).
+    High-dimensional embedding spaces grow HUBS — points that appear
+    in a disproportionate share of neighbor lists — and antihubs
+    (n_occurrences = 0, reported as a first-class row via the left
+    join): a fat right tail here means nearest-neighbor retrieval,
+    kNN labeling (`q_label_knn_accuracy`), and SemDeDup centroids are
+    all being dragged toward the same few points, and the fix
+    (centering / debias, `q_embedding_debias`) is measurable as this
+    histogram flattening.
+
+    Scale shape: the probe set broadcasts (bounded at {_HUB_Q}
+    rows), the corpus STREAMS through the scoring join exactly like
+    `q_knn_cosine` (no corpus shuffle), the rank window partitions by
+    query_id ({_HUB_Q} bounded partitions), and both aggregates are
+    map-side-combinable counts — probe-set hubness is THE production
+    form of this audit at 100 TB, since all-pairs hubness is the n²
+    the probe estimates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = S.knn_bruteforce(emb, n_queries=_HUB_Q, k=_HUB_K)
+    occ = knn.groupBy("neighbor_id").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    j = emb.select("vec_id").join(
+        occ, F.col("vec_id") == F.col("neighbor_id"), "left"
+    )
+    return j.groupBy(
+        F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("n_occurrences")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+
 _HN_Q, _HN_K = 20, 3
 
 
@@ -910,6 +964,67 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pure output cosmetics and a needless final exchange at scale."""
     pairs = q_dedup_ngram_jaccard(spark, sf_dir)
     return D.dup_clusters(pairs)
+
+
+@query(
+    "q_dedup_clusters_incremental",
+    # Same full-batch recursive-CTE closure as q_dedup_clusters: the
+    # incremental path must reproduce the batch answer EXACTLY — that
+    # equivalence IS the correctness contract of incremental CC.
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(src, reach) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+    )
+    SELECT src AS doc_id, least(src, min(reach)) AS cluster_id
+    FROM walk GROUP BY src
+    """,
+)
+def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components — the daily-crawl shape
+    (VERDICT r08 #7b) none of the batch graph queries cover: instead
+    of re-running the closure over ALL historical pairs, yesterday's
+    LABEL TABLE is unioned with today's new pairs and labels are
+    re-propagated from there.
+
+    The fixture is split deterministically into an 80% "historical"
+    corpus (doc_id % 5 != 4) and a 20% "today" crawl. Day 0 runs the
+    batch closure over pairs whose endpoints are both historical;
+    the increment then runs `dup_clusters` over (a) the prior label
+    table recast as STAR EDGES (doc → its component min) and (b) only
+    the pairs touching at least one new doc. Stars preserve prior
+    connectivity and the component min exactly, so the result equals
+    the full-batch closure — which is what the oracle checks.
+
+    Scale shape — why a 100 TB crawl does it this way: the daily
+    input to the propagation loop is |prior labels| star edges
+    (diameter ≤ 2, already collapsed — the loop converges in ~2
+    rounds regardless of historical chain depth) plus |today's
+    pairs|, instead of the full historical pair mass with its
+    O(log d) rounds. Pair DISCOVERY for the increment is also
+    new-doc-bounded in production (new shingles probe the existing
+    index); here both pair sets filter the one shared PPJoin pair
+    table, so the query stays oracle-comparable end to end."""
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir)
+
+    def _new(col: str):
+        return (F.col(col) % 5) == 4
+
+    old_pairs = pairs.filter(~_new("doc_a") & ~_new("doc_b"))
+    prior = D.dup_clusters(old_pairs)  # yesterday's label table
+    # star edges: cluster_id is the component min, so it is always the
+    # smaller endpoint; self-loops (the min labeling itself) carry no
+    # connectivity and are dropped
+    stars = prior.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    new_pairs = pairs.filter(_new("doc_a") | _new("doc_b")).select("doc_a", "doc_b")
+    return D.dup_clusters(stars.unionByName(new_pairs))
 
 
 _PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"

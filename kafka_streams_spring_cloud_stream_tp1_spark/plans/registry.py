@@ -130,6 +130,8 @@ _FRONT = [
     "q_leadlag_xcorr",
     "q_wilcoxon_signed_rank",
     "q_mcnemar",
+    "q_dedup_clusters_incremental",
+    "q_knn_hubness",
     # r05-era rotation queue (last checked r05; re-queues after
     # the stale drain)
     "q_vocab_topk",

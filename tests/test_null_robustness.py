@@ -34,6 +34,12 @@ REGRESSION = [
     "q_lang_id",
     "q_token_count",
     "q_suffix_lcp",
+    # round 9: paired tests split the window on unix_timestamp(ts) —
+    # NULL values/event_type rows must drop out of the halves, never
+    # crash the midpoint broadcast
+    "q_leadlag_xcorr",
+    "q_wilcoxon_signed_rank",
+    "q_mcnemar",
 ]
 
 

@@ -59,6 +59,9 @@ QUERIES = [
     "q_ccnet_buckets",
     "q_dsir_weights",
     "q_simhash_width_audit",
+    # round 9: incremental CC rides the pair table through the
+    # prior-labels + new-pairs union — extremes must survive both legs
+    "q_dedup_clusters_incremental",
 ]
 
 

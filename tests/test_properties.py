@@ -404,3 +404,32 @@ def test_bounded_buckets_equal_naive_collect_filter(spark, rows, max_df):
         bounded_id_buckets(df, ["v"], min_df=2, max_df=max_df)
     ).count()
     assert n_pairs == sum(len(ds) * (len(ds) - 1) // 2 for ds in want.values())
+
+
+def test_xxhash64_production_lane(spark, monkeypatch):
+    """SPARK_GRAFT_HASH=xxhash64 must swap the shingle hash to native
+    xxhash64 (visible in the plan), keep the 60-bit non-negative
+    contract, and still find a planted near-dup through the full
+    MinHash->LSH->verify pipeline — the lane trades oracle parity
+    only, not dedup semantics."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_signatures,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_HASH", "xxhash64")
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "совершенно unrelated text entirely")],
+        ["doc_id", "text"],
+    )
+    sig = minhash_signatures(docs)
+    assert "xxhash64" in sig._jdf.queryExecution().executedPlan().toString()
+    rows = sig.collect()
+    assert rows and all(
+        0 <= r[c] < (1 << 60) for r in rows for c in sig.columns if c != "doc_id"
+    )
+    pairs = minhash_lsh_dedup(docs, threshold=0.8).collect()
+    assert any(p["doc_a"] == 1 and p["doc_b"] == 2 for p in pairs), pairs

@@ -143,6 +143,31 @@ def _fresh_single(name: str, sf_dir: str) -> float:
     return float(proc.stdout.strip().splitlines()[-1])
 
 
+def _stale_steady_entries() -> list[str]:
+    """Run the plan-fingerprint staleness check (steady_refresh
+    --check) and return the stale/missing list — a noise floor that
+    references plans that no longer exist must fail the gate loudly
+    (VERDICT r08 #7a), not silently excuse a real regression."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "steady_refresh.py"), "--check"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    for line in proc.stdout.splitlines():
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if "stale_or_missing" in d:
+            return list(d["stale_or_missing"]) + list(
+                d.get("entries_for_removed_queries", [])
+            )
+    raise RuntimeError(
+        f"steady_refresh --check produced no parseable report: {proc.stdout!r}"
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
@@ -150,12 +175,21 @@ def main() -> int:
     ap.add_argument("--new", default=os.path.join(REPO, "BENCH_DETAIL.json"))
     ap.add_argument("--recheck", action="store_true")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--no-stale-check",
+        action="store_true",
+        help="skip the steady-floor fingerprint staleness gate "
+        "(iteration use only — the round gate must run it)",
+    )
     args = ap.parse_args()
     steady_path = os.path.join(REPO, "BENCH_STEADY.json")
     steady = {}
     if os.path.exists(steady_path):
         with open(steady_path) as f:
             steady = {k: float(v) for k, v in json.load(f).items()}
+    stale_floor: list[str] = []
+    if not args.no_stale_check:
+        stale_floor = _stale_steady_entries()
     old, new = _load(args.old), _load(args.new)
     report = diff(old, new, steady)
     if args.recheck and report["n_regressions"]:
@@ -175,6 +209,7 @@ def main() -> int:
             if r["query"] in fresh:
                 r["fresh_sec"] = fresh[r["query"]]
         report["rechecked"] = sorted(fresh)
+    report["stale_steady_entries"] = sorted(stale_floor)
     out = os.path.join(REPO, f"BENCH_DIFF_r{args.round:02d}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
@@ -183,7 +218,13 @@ def main() -> int:
     for r in report["regressions"]:
         print(json.dumps(r))
     print(f"wrote {out}")
-    return 1 if report["n_regressions"] else 0
+    if stale_floor:
+        print(
+            f"STALE steady floor ({len(stale_floor)} entries) — run "
+            f"`python tools/steady_refresh.py --refresh` before gating: "
+            f"{stale_floor[:10]}{'...' if len(stale_floor) > 10 else ''}"
+        )
+    return 1 if (report["n_regressions"] or stale_floor) else 0
 
 
 if __name__ == "__main__":
