@@ -5279,3 +5279,79 @@ def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(word_ngrams(tokens("text"), _JACCARD_N)).alias("g")
     )
     return kmv_source_overlap(ex, item="g", group="source", k=_KMVO_K)
+
+
+@query(
+    "q_token_conditional_entropy",
+    oracle=f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    uni AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT source, unnest(toks) AS w FROM t) GROUP BY source, w),
+    h1 AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h_uni
+           FROM uni GROUP BY source),
+    bi AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT source, unnest({_ngrams_multiset_sql('toks', 2)}) AS g
+                 FROM t) GROUP BY source, g),
+    h2 AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h_bi
+           FROM bi GROUP BY source)
+    SELECT h1.source, n_tokens, n_bigrams,
+           round(h_uni, 4) + 0.0 AS h_unigram,
+           round(h_bi, 4) + 0.0 AS h_bigram,
+           round(h_bi - h_uni, 4) + 0.0 AS h_conditional
+    FROM h1 JOIN h2 ON h1.source = h2.source
+    """,
+)
+def q_token_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-stream entropy ladder: unigram Shannon entropy
+    H(W), bigram entropy H(W₁W₂), and the conditional entropy estimate
+    H(next|current) = H(W₁W₂) − H(W) — the information-theoretic
+    corpus-health triple. Template/boilerplate farms collapse
+    h_conditional toward 0 (next token is predictable) long before
+    unigram stats move; natural text keeps it well above — the cheap
+    sibling of `q_lm_heldout_nll` that needs no held-out split, and
+    the sequence-level complement of `q_lang_entropy`'s doc-metadata
+    mixture.
+
+    Scale shape: one explode→count per n-gram order, both map-side
+    combinable to (source × vocab) / (source × bigram-vocab) grain;
+    the entropy reduction ln(N) − Σc·ln(c)/N then runs on those
+    vocab-bounded frames (never per-document), and the two per-source
+    1-row frames join broadcast. Counts are exact BIGINTs; the float
+    entropy sums are vocab-sized and guarded by the repo's round(.,4)
+    convention."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = T.tokens("text")
+    uni = (
+        docs.select("source", F.explode(toks).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    def entropy_agg(cnt, n_name, h_name):
+        n = F.sum(cnt).cast("long")
+        h = F.log(F.sum(cnt).cast("double")) - F.sum(
+            cnt * F.log(cnt.cast("double"))
+        ) / F.sum(cnt).cast("double")
+        return n.alias(n_name), h.alias(h_name)
+
+    h1 = uni.groupBy("source").agg(*entropy_agg(F.col("c"), "n_tokens", "h_uni"))
+    bi = (
+        docs.select(
+            "source", F.explode(T.word_ngrams_multiset(toks, 2)).alias("g")
+        )
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    h2 = bi.groupBy("source").agg(*entropy_agg(F.col("c"), "n_bigrams", "h_bi"))
+    return h1.join(F.broadcast(h2), "source").select(
+        "source",
+        "n_tokens",
+        "n_bigrams",
+        (F.round("h_uni", 4) + F.lit(0.0)).alias("h_unigram"),
+        (F.round("h_bi", 4) + F.lit(0.0)).alias("h_bigram"),
+        (F.round(F.col("h_bi") - F.col("h_uni"), 4) + F.lit(0.0)).alias(
+            "h_conditional"
+        ),
+    )

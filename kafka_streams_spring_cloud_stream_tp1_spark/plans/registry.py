@@ -132,6 +132,8 @@ _FRONT = [
     "q_mcnemar",
     "q_dedup_clusters_incremental",
     "q_knn_hubness",
+    "q_event_paths",
+    "q_token_conditional_entropy",
     # r05-era rotation queue (last checked r05; re-queues after
     # the stale drain)
     "q_vocab_topk",

@@ -5760,11 +5760,14 @@ def q_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = (
         m * F.col("saa").cast("double") - F.col("sa").cast("double") * F.col("sa")
     ) * (m * F.col("sbb").cast("double") - F.col("sb").cast("double") * F.col("sb"))
+    # unordered on purpose (repo convention, cf. q_dedup_clusters):
+    # the driver compare sorts rows; a final ORDER BY is cosmetics
+    # plus one range exchange
     return p.select(
         "lag",
         m.alias("n_pairs"),
         F.when(den > 0, F.round(num / F.sqrt(den), 4) + F.lit(0.0)).alias("xcorr"),
-    ).orderBy("lag")
+    )
 
 
 @query(
@@ -5971,4 +5974,58 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(c > 0, F.round(b / c.cast("double"), 4) + F.lit(0.0)).alias(
             "odds_ratio"
         ),
+    )
+
+
+@query(
+    "q_event_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS s1,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS s2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS s3
+        FROM events),
+    c AS (SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n_paths
+          FROM seq WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+          GROUP BY s1, s2, s3),
+    t AS (SELECT CAST(sum(n_paths) AS BIGINT) AS total FROM c)
+    SELECT s1, s2, s3, n_paths,
+           n_paths / CAST(total AS DOUBLE) AS share
+    FROM c CROSS JOIN t
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 user journey paths: every (event → next → next-next)
+    trigram over per-user time-ordered streams, with each path's share
+    of all length-3 journeys — the top-paths / Sankey readout that
+    extends `q_event_markov`'s one-step transition matrix to the
+    path level (a high-probability chain in the Markov matrix can
+    still be a RARE full path; this measures the paths themselves).
+
+    Scale shape: both LEAD offsets ride ONE per-user window (a single
+    fact shuffle on user_id — the funnel-family invariant), the path
+    count collapses to the |types|³-bounded grain map-side, and the
+    share attaches as a broadcast 1-row total. share divides two
+    exact BIGINTs, so it ships unrounded bit-identical."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+    c = seq.groupBy("s1", "s2", "s3").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paths")
+    )
+    t = c.agg(F.sum("n_paths").cast("long").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "s1",
+        "s2",
+        "s3",
+        "n_paths",
+        (F.col("n_paths") / F.col("total").cast("double")).alias("share"),
     )

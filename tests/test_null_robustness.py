@@ -40,6 +40,7 @@ REGRESSION = [
     "q_leadlag_xcorr",
     "q_wilcoxon_signed_rank",
     "q_mcnemar",
+    "q_event_paths",
 ]
 
 

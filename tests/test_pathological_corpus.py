@@ -62,6 +62,7 @@ QUERIES = [
     # round 9: incremental CC rides the pair table through the
     # prior-labels + new-pairs union — extremes must survive both legs
     "q_dedup_clusters_incremental",
+    "q_token_conditional_entropy",
 ]
 
 
