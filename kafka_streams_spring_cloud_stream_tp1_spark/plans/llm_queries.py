@@ -23,7 +23,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
-from ..operators.hashing import perm_masks, xhash_sql
+from ..operators.hashing import perm_masks, xhash, xhash_sql
 from ..sources import load_table
 from .registry import query
 
@@ -5354,4 +5354,91 @@ def q_token_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("h_bi") - F.col("h_uni"), 4) + F.lit(0.0)).alias(
             "h_conditional"
         ),
+    )
+
+
+_CMS_D, _CMS_W, _CMS_K = 4, 256, 20
+
+
+@query(
+    "q_cms_frequency",
+    oracle=f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    vc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+    cells AS (SELECT salt,
+                     {xhash_sql("salt || '|' || w")} % {_CMS_W} AS b,
+                     CAST(sum(c) AS BIGINT) AS bc
+              FROM vc CROSS JOIN (
+                   SELECT CAST(s AS VARCHAR) AS salt
+                   FROM range(0, {_CMS_D}) r(s))
+              GROUP BY salt, b),
+    topk AS (SELECT w, c FROM vc
+             ORDER BY c DESC, w LIMIT {_CMS_K}),
+    probes AS (SELECT w, c, salt,
+                      {xhash_sql("salt || '|' || w")} % {_CMS_W} AS b
+               FROM topk CROSS JOIN (
+                    SELECT CAST(s AS VARCHAR) AS salt
+                    FROM range(0, {_CMS_D}) r(s)))
+    SELECT p.w AS token, p.c AS exact_count,
+           CAST(min(cells.bc) AS BIGINT) AS cms_estimate,
+           CAST(min(cells.bc) - p.c AS BIGINT) AS overestimate
+    FROM probes p JOIN cells ON cells.salt = p.salt AND cells.b = p.b
+    GROUP BY p.w, p.c
+    """,
+)
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (Cormode & Muthukrishnan
+    2005) with its over-estimate audit: a d=4 × w=256
+    sketch of the corpus token stream, then the CMS point estimate
+    (min over the d salted buckets) for the top-20 exact tokens
+    next to ground truth — overestimate = est − exact is the sketch's
+    one-sided error, 0 when a token owns its buckets. Completes the
+    sketch family: KMV (distinct), Misra-Gries (heavy hitters), Bloom
+    (membership) — CMS is the FREQUENCY sketch, the one that merges
+    by cell-wise addition and answers point queries after one pass.
+
+    Scale shape — why this is the 100 TB form: the sketch is built
+    from the VOCAB-grain count frame (one map-side-combinable token
+    count, then Σc per (salt, bucket) over d·w = 1024
+    cells — algebraically identical to per-instance hashing, without
+    touching instances twice), the top-k cut is a TakeOrdered heap on
+    the vocab frame, and the probe join broadcasts the
+    1024-row cell table. Per-partition sketch state is
+    d·w counters forever — the property that makes CMS THE
+    distributed-merge frequency sketch. Deterministic salted
+    `hashing.xhash` ⇒ the ESTIMATES (not just shapes) value-check in
+    DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    vc = (
+        docs.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    salts = F.array(*[F.lit(str(s)) for s in range(_CMS_D)])
+    cell = lambda: F.pmod(  # noqa: E731
+        xhash(F.concat(F.col("salt"), F.lit("|"), F.col("w"))), F.lit(_CMS_W)
+    ).alias("b")
+    cells = (
+        vc.select("w", "c", F.explode(salts).alias("salt"))
+        .select("salt", cell(), "c")
+        .groupBy("salt", "b")
+        .agg(F.sum("c").cast("long").alias("bc"))
+    )
+    topk = vc.orderBy(F.desc("c"), F.asc("w")).limit(_CMS_K)
+    probes = topk.select("w", "c", F.explode(salts).alias("salt")).select(
+        "w", "c", "salt", cell()
+    )
+    return (
+        probes.join(F.broadcast(cells), ["salt", "b"])
+        .groupBy(F.col("w").alias("token"), F.col("c").alias("exact_count"))
+        .agg(F.min("bc").cast("long").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
     )

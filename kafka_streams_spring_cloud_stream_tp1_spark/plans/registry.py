@@ -134,6 +134,7 @@ _FRONT = [
     "q_knn_hubness",
     "q_event_paths",
     "q_token_conditional_entropy",
+    "q_cms_frequency",
     # r05-era rotation queue (last checked r05; re-queues after
     # the stale drain)
     "q_vocab_topk",

@@ -223,3 +223,25 @@ def test_kmv_overlap_estimates_track_exact(spark):
     rel_errs.sort()
     assert rel_errs[len(rel_errs) // 2] <= 0.4, rel_errs[len(rel_errs) // 2]
     assert max(rel_errs) <= 1.5, max(rel_errs)
+
+
+def test_cms_one_sided_error(spark):
+    """Count-Min point estimates are NEVER under the true count
+    (one-sided error), and when the bucket space dwarfs the
+    vocabulary every top-k token should own its buckets in at least
+    one of the d rows — overestimate 0 for most, >= 0 for all."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
+        queries_map,
+    )
+
+    rows = queries_map()["q_cms_frequency"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "top-k frame came back empty"
+    assert all(r["overestimate"] >= 0 for r in rows), rows
+    assert all(
+        r["cms_estimate"] == r["exact_count"] + r["overestimate"] for r in rows
+    )
+    # d=4 x w=256 cells over a ~31-word fixture vocabulary: collisions
+    # cannot survive all 4 salts for every token
+    assert any(r["overestimate"] == 0 for r in rows), rows

@@ -40,6 +40,29 @@ META = os.path.join(REPO, "BENCH_STEADY_META.json")
 FP_SF = "/root/testdata/sf0.001"
 
 
+def _sort_brackets(line: str) -> str:
+    """Canonicalize every bracketed list on a line by sorting its
+    elements (innermost-first, so nested lists normalize too). Used
+    ONLY on distinct-aggregate-rewrite lines: Spark's
+    RewriteDistinctAggregates orders the struct(gN) grouping columns
+    by expression id, whose PARITY depends on how many expressions the
+    session allocated before the query — same plan, flipped order
+    (observed: q_chi_square's fingerprint alternated between two
+    values with session history, keeping it permanently 'stale')."""
+    while True:
+        m = re.search(r"\[([^\[\]]*)\]", line)
+        if not m:
+            return line
+        parts = sorted(
+            # bare integers on these lines are gid literals — their
+            # value tracks the same session-dependent assignment as
+            # the struct order, so they normalize away with it
+            "n" if p.strip().isdigit() else p.strip()
+            for p in m.group(1).split(",")
+        )
+        line = line[: m.start()] + "<" + "|".join(parts) + ">" + line[m.end():]
+
+
 def _normalize(plan: str) -> str:
     plan = re.sub(r"#\d+", "#x", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=x", plan)
@@ -50,6 +73,9 @@ def _normalize(plan: str) -> str:
     plan = re.sub(r"ExistingRDD\[[^\]]*\]", "ExistingRDD[x]", plan)
     plan = re.sub(r"/[^ ,\]\)]*sf[0-9.]+[a-z0-9]*", "<sf_dir>", plan)
     plan = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", plan)
+    plan = "\n".join(
+        _sort_brackets(ln) if "gid#x" in ln else ln for ln in plan.split("\n")
+    )
     return plan
 
 
