@@ -35,6 +35,77 @@ from .hashing import fan_out, perm_masks, xhash
 from .text import tokens, word_ngrams
 
 
+# verify-join strategy switch: candidate-pair lists at or under this
+# count broadcast (~32 MB of 2-long struct build state); above it the
+# shuffle lanes engage. Chosen from the measured count, never a
+# planner estimate.
+_VERIFY_BROADCAST_MAX = 2_000_000
+
+
+
+def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair list against the
+    shingle frame — the shared tail of every pair pipeline, with the
+    verify-join physical strategy picked COUNT-FIRST (round 9).
+
+    The shingle frame is CORPUS-sized (doc_id × distinct-shingle
+    arrays) and must never be blindly broadcast: at the 100× lane the
+    static planner's broadcast pick dies with "Not enough memory to
+    build and broadcast" on the driver (an aggregate's size ESTIMATE
+    made a multi-GB frame look broadcastable — planner statistics are
+    exactly what lied here). But unconditionally shuffling the full
+    array frame for both join keys costs 2 corpus-wide array shuffles
+    (measured 3-5× the broadcast plan's cold time at 1×/10×). So the
+    strategy comes from a MEASURED statistic: cands is cached and the
+    verify materializes it anyway, so its exact count is free —
+    count-first, the same discipline as ``buckets.bounded_id_buckets``.
+
+    - count ≤ _VERIFY_BROADCAST_MAX: broadcast the thin pair list
+      into a STREAMED pass over sh (no shuffle) for the first key,
+      one shuffle_hash join for the second. ≤ ~32 MB of broadcast
+      build state by the measured count, at any corpus size.
+    - above: nothing is broadcastable (the Σdf² saturated regime) —
+      semi-join-reduce sh to the docs that appear in a candidate
+      pair (thin long keys build-side), cache the reduced frame, and
+      run both verify joins shuffle_hash: build sides thin, no sort
+      on array payloads, bounded per-partition state.
+    """
+    cands = cands.cache()
+    n_cands = cands.count()
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    if n_cands <= _VERIFY_BROADCAST_MAX:
+        verified = (
+            F.broadcast(cands)
+            .join(sh_a, "doc_a")
+            .hint("shuffle_hash")
+            .join(sh_b, "doc_b")
+        )
+    else:
+        need = cands.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        shv = sh.join(need.hint("shuffle_hash"), "doc_id", "leftsemi").cache()
+        verified = (
+            cands.hint("shuffle_hash")
+            .join(shv.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+            .hint("shuffle_hash")
+            .join(shv.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        )
+    return (
+        verified.withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", normalized: bool = True) -> DataFrame:
     """Group documents by content hash; emit one row per document with
     its canonical (minimum) doc_id and the group size. ``normalized``
@@ -200,27 +271,12 @@ def ngram_jaccard_pairs(
             >= F.lit(sn) * (F.col("na") + F.col("nb"))
         )
         .select("doc_a", "doc_b")
-    )
-    # shuffle_hash on the shingle sides: the shingle frame is
-    # CORPUS-sized (doc_id × distinct-shingle arrays) and must never
-    # be broadcast — at the 100× lane (500k docs) the planner's
-    # broadcast pick dies with "Not enough memory to build and
-    # broadcast" on the driver. Shuffle-hash keys both sides on the
-    # doc id, so per-partition build state is 1/parallelism of the
-    # corpus at any scale, and no sort is paid on the array payloads.
-    return (
-        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 4
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        # cached: consumed by the doc-id reduction below AND the
+        # verify join — uncached, the whole prefix pipeline would
+        # execute once per consumer
         .cache()
     )
+    return _verify_jaccard(cands, sh, threshold).cache()
 
 
 def containment_pairs(
@@ -440,9 +496,14 @@ def minhash_lsh_dedup(
     # cache: used by both the signature branch (same logical plan —
     # Spark's cache manager matches it) and the verify join below
     sh = shingle_sets(df, n, text_col).cache()
+    # candidate mass is CAP-BOUNDED by construction (max_bucket per
+    # band bucket), so the fused AQE-planned join is safe and keeps the
+    # whole pipeline one job — validated at the 100x lane in round 8.
+    # The count-first strategy switch (_verify_jaccard) is reserved for
+    # the UNCAPPED exact lane whose candidate mass is unbounded.
     return (
-        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash"), "doc_b")
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -1397,15 +1458,11 @@ def ngram_jaccard_pairs_capped(
         .agg(F.count(F.lit(1)).alias("_n"))
         .select("doc_a", "doc_b")
     )
+    # df-capped candidate mass (max_df per shingle bucket): fused
+    # AQE-planned verify join, same rationale as minhash_lsh_dedup.
     return (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")).hint("shuffle_hash"),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")).hint("shuffle_hash"),
-            "doc_b",
-        )
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
