@@ -75,6 +75,12 @@ def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFr
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     if n_cands <= _VERIFY_BROADCAST_MAX:
+        # Second join's build side is DELIBERATELY the pair⋈sh_a frame:
+        # its row count is the measured n_cands (≤ 2M) while sh_b is
+        # corpus-sized, so the hinted left is the bounded side even
+        # though it carries sh_a array payloads (ADVICE r09 — the bound
+        # is by count; per-partition build state stays capped by the
+        # measured cap, never by a planner estimate of the corpus).
         verified = (
             F.broadcast(cands)
             .join(sh_a, "doc_a")
@@ -86,11 +92,25 @@ def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFr
             F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
         ).distinct()
         shv = sh.join(need.hint("shuffle_hash"), "doc_id", "leftsemi").cache()
+        # Hint the REDUCED doc-unique frame on each join, not the
+        # accumulating pair-grain left: shv holds each doc's array once
+        # (≤ 2·n_cands docs) while the joined left repeats sh_a per
+        # pair, so shv is the thin build side the lane's memory
+        # rationale relies on (ADVICE r09).
         verified = (
             cands.hint("shuffle_hash")
-            .join(shv.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-            .hint("shuffle_hash")
-            .join(shv.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+            .join(
+                shv.select(
+                    F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                shv.select(
+                    F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+                ).hint("shuffle_hash"),
+                "doc_b",
+            )
         )
     return (
         verified.withColumn(

@@ -18,8 +18,10 @@ Scale note: md5-via-hex costs more per row than xxhash64, but these
 hashes are computed once per token/shingle inside a whole-stage-codegen
 projection — still JVM-side, no Python. For a production deployment
 where oracle parity is not needed, flip the one-line config
-``SPARK_GRAFT_HASH=xxhash64`` (read per call, measured in BASELINE.md
-§"Production-hash lane"): same 60-bit non-negative contract (xxhash64
+``SPARK_GRAFT_HASH=xxhash64`` (read per call; materialized shared_df
+intermediates key on the lane so a mid-session flip can never mix
+md5-built pair tables with xxhash64-built consumers; measured in
+BASELINE.md §"Production-hash lane"): same 60-bit non-negative contract (xxhash64
 masked to 60 bits), so every downstream XOR-mask/band construction is
 unchanged — only oracle value-parity is given up.
 """

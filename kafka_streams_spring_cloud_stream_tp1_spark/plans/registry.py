@@ -57,76 +57,13 @@ def _ensure_loaded() -> None:
 #      wherever they sit, so they don't occupy checked slots EXCEPT
 #      the one round that records their first-ever rows-only row.
 _FRONT = [
-    # ---- ROUND-9 WINDOW (executes VERDICT r08 #1): slots 1-10 are the
-    # ten round-8 additions — the only oracle-backed queries with no
-    # driver CORRECTNESS row (the r8 judge re-ran the driver protocol on
-    # all 10 at sf0.01 and they passed, so a red here signals protocol
-    # drift, not code). q_ols_regression is placed here for its
-    # first-ever driver row. Slots 11-50 drain 40 of the 47 stale
-    # queries flagged by test_registry_rotation_staleness_bound
-    # (last driver-checked r01-r04; the r01-era TPC-H block first).
-    "q_lsh_bucket_audit",
-    "q_semdedup_adaptive",
-    "q_pq_trained",
-    "q_rerank_crossencoder",
-    "q_dsir_weights",
-    "q_ccnet_buckets",
-    "q_embedding_debias",
-    "q_simhash_width_audit",
-    "q_kmv_source_overlap",
-    "q_ols_regression",
-    # slots 11-50: stale drain, oldest-checked first
-    "q_tpch_q2",
-    "q_tpch_q4",
-    "q_tpch_q6",
-    "q_tpch_q7",
-    "q_tpch_q8",
-    "q_tpch_q9",
-    "q_tpch_q10",
-    "q_tpch_q11",
-    "q_tpch_q13",
-    "q_tpch_q14",
-    "q_tpch_q15",
-    "q_tpch_q16",
-    "q_tpch_q17",
-    "q_tpch_q19",
-    "q_tpch_q20",
-    "q_tpch_q21",
-    "q_tpch_q22",
-    "q_quantile_bins",
-    "q_kn_bigram",
-    "q_funnel_steps",
-    "q_retention_cohorts",
-    "q_event_cooccurrence",
-    "q_event_markov",
-    "q_user_stickiness",
-    "q_rfm_segments",
-    "q_anomaly_zscore",
-    "q_yoy_growth",
-    "q_rolling_distinct_users",
-    "q_attribution",
-    "q_chisq_independence",
-    "q_cdc_merge",
-    "q_scd2_history",
-    "q_latest_per_key",
-    "q_dq_audit",
-    "q_fuzzy_join",
-    "q_weighted_sample",
-    "q_boilerplate_fraction",
-    "q_source_kl",
-    "q_tfidf_cosine_pairs",
-    "q_hard_negatives",
-    # ---- slots 51-56: the remaining 6 stale queries — inside the
-    # round-10 window head, so they drain next round per the
-    # staleness bound's clause (c).
-    "q_chunk_dedup_rewrite",
-    "q_lang_entropy",
-    "q_corpus_diff",
-    "q_cluster_canonical",
-    "q_embedding_norm_outliers",
-    "q_feature_hashing",
-    # slots 57-59: round-9 additions (never driver-checked) — also
-    # inside the round-10 window head for their first driver rows.
+    # ---- ROUND-10 WINDOW (executes VERDICT r09 #1): _FRONT is
+    # exactly the 50 driver slots; everything else queues in
+    # _DEFERRED in rotation order (oldest driver row first).
+    # Slots 1-8: the 8 round-9 additions — the only
+    # oracle-backed queries with NO driver CORRECTNESS row (the
+    # r9 judge re-ran the driver protocol on all 8 at sf0.01 and
+    # they passed, so a red here signals protocol drift).
     "q_leadlag_xcorr",
     "q_wilcoxon_signed_rank",
     "q_mcnemar",
@@ -135,37 +72,99 @@ _FRONT = [
     "q_event_paths",
     "q_token_conditional_entropy",
     "q_cms_frequency",
-    # r05-era rotation queue (last checked r05; re-queues after
-    # the stale drain)
-    "q_vocab_topk",
-    "q_tfidf_topk",
-    "q_group_sample",
-    "q_exact_percentiles",
-    "q_value_histogram",
-    "q_time_gapfill",
-    "q_window_ntile",
+    # Slots 9-14: the 6 remaining r04-era stale entries —
+    # draining these closes the cumulative ledger at 243/243.
+    "q_chunk_dedup_rewrite",
+    "q_cluster_canonical",
+    "q_corpus_diff",
+    "q_embedding_norm_outliers",
+    "q_feature_hashing",
+    "q_lang_entropy",
+    # Slots 15-42: the full r05-era cohort (28 queries, last
+    # driver-checked in CORRECTNESS_r05 — outside the 4-round
+    # staleness lookback once r10 lands).
+    "q_agg_correlation",
+    "q_asof_join",
     "q_bm25",
-    "q_source_mixture",
-    "q_join_range_banded",
-    "q_forward_fill",
-    "q_window_range_frame",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
-    "q_unigram_logprob",
-    "q_random_projection",
-    "q_tpch_q3",
-    "q_tpch_q5",
     "q_bpe_pair_counts",
     "q_data_pipeline",
-    "q_tpch_q18",
-    "q_join_null_safe",
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard",
     "q_dup_chunk_fraction",
-    "q_agg_correlation",
-    "q_winnow_overlap",
-    "q_asof_join",
-    "q_subqueries",
+    "q_exact_percentiles",
+    "q_forward_fill",
+    "q_group_sample",
+    "q_join_null_safe",
+    "q_join_range_banded",
+    "q_random_projection",
     "q_session_window",
-    # r07-green cohort (CORRECTNESS_r07)
+    "q_source_mixture",
+    "q_subqueries",
+    "q_tfidf_topk",
+    "q_time_gapfill",
+    "q_tpch_q18",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_unigram_logprob",
+    "q_value_histogram",
+    "q_vocab_topk",
+    "q_window_ntile",
+    "q_window_range_frame",
+    "q_winnow_overlap",
+    # Slots 43-50: head of the r06-green cohort (8 queries) —
+    # these age out of the lookback next round, so fronting them
+    # now keeps round 11's window arithmetic feasible.
+    "q_token_pmi",
+    "q_rrf_fusion",
+    "q_mmr_select",
+    "q_degree_distribution",
+    "q_dedup_snm",
+    "q_cdc_chunks",
+    "q_lang_confusion",
+    "q_seasonal_profile",
+]
+_DEFERRED = [
+    # Rotation queue, oldest driver row first. The staleness-bound
+    # test's clause (c) needs next round's candidates inside slots
+    # 51-100: the r06 remainder (37) leads.
+    "q_link_prediction",
+    "q_ks_drift",
+    "q_mann_whitney",
+    "q_acf",
+    "q_cusum_changepoint",
+    "q_benford",
+    "q_auc_propensity",
+    "q_welch_ttest",
+    "q_poisson_bootstrap",
+    "q_jsd_sources",
+    "q_gini_token",
+    "q_calibration_bins",
+    "q_funnel_time",
+    "q_survival_km",
+    "q_holt_smoothing",
+    "q_ranking_metrics",
+    "q_ewma_segmented",
+    "q_embedding_covariance",
+    "q_gopher_filter",
+    "q_zipf_slope",
+    "q_split_leakage",
+    "q_robust_scale",
+    "q_minhash_error",
+    "q_label_knn_accuracy",
+    "q_power_iteration",
+    "q_lm_heldout_nll",
+    "q_dup_cluster_profile",
+    "q_source_overlap",
+    "q_ngram_coverage",
+    "q_key_skew_profile",
+    "q_sliding_window_count",
+    "q_multires_rollup",
+    "q_salted_distinct",
+    "q_unpivot",
+    "q_json_funcs",
+    "q_case_null_handling",
+    "q_dedup_exact",
+    # r07-green cohort (CORRECTNESS_r07; 50 queries)
     "q_bloom_dedup_gate",
     "q_exact_substring_dedup",
     "q_rerank_topk",
@@ -216,8 +215,7 @@ _FRONT = [
     "q_join_range",
     "q_filter",
     "q_project_rekey",
-    # r08-green cohort (CORRECTNESS_r08 window) — freshest rows,
-    # rotates back in last among _FRONT
+    # r08-green cohort (CORRECTNESS_r08; 50 queries)
     "q_console_echo",
     "q_distinct",
     "q_sort_multi_col",
@@ -268,56 +266,58 @@ _FRONT = [
     "q_dedup_jaccard_capped",
     "q_l_diversity",
     "q_dp_counts",
-]
-_DEFERRED = [
-    # r06-green cohort (CORRECTNESS_r06 45/45 oracle-backed) —
-    # checked within the staleness lookback; rotates in after the
-    # r04-era stale drain completes in round 10.
-    "q_token_pmi",
-    "q_rrf_fusion",
-    "q_mmr_select",
-    "q_degree_distribution",
-    "q_dedup_snm",
-    "q_cdc_chunks",
-    "q_lang_confusion",
-    "q_seasonal_profile",
-    "q_link_prediction",
-    "q_ks_drift",
-    "q_mann_whitney",
-    "q_acf",
-    "q_cusum_changepoint",
-    "q_benford",
-    "q_auc_propensity",
-    "q_welch_ttest",
-    "q_poisson_bootstrap",
-    "q_jsd_sources",
-    "q_gini_token",
-    "q_calibration_bins",
-    "q_funnel_time",
-    "q_survival_km",
-    "q_holt_smoothing",
-    "q_ranking_metrics",
-    "q_ewma_segmented",
-    "q_embedding_covariance",
-    "q_gopher_filter",
-    "q_zipf_slope",
-    "q_split_leakage",
-    "q_robust_scale",
-    "q_minhash_error",
-    "q_label_knn_accuracy",
-    "q_power_iteration",
-    "q_lm_heldout_nll",
-    "q_dup_cluster_profile",
-    "q_source_overlap",
-    "q_ngram_coverage",
-    "q_key_skew_profile",
-    "q_sliding_window_count",
-    "q_multires_rollup",
-    "q_salted_distinct",
-    "q_unpivot",
-    "q_json_funcs",
-    "q_case_null_handling",
-    "q_dedup_exact",
+    # r09 window: r8 additions + the 40-query stale drain, freshest
+    # driver rows — rotate back in last (50 queries)
+    "q_lsh_bucket_audit",
+    "q_semdedup_adaptive",
+    "q_pq_trained",
+    "q_rerank_crossencoder",
+    "q_dsir_weights",
+    "q_ccnet_buckets",
+    "q_embedding_debias",
+    "q_simhash_width_audit",
+    "q_kmv_source_overlap",
+    "q_ols_regression",
+    "q_tpch_q2",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
+    "q_quantile_bins",
+    "q_kn_bigram",
+    "q_funnel_steps",
+    "q_retention_cohorts",
+    "q_event_cooccurrence",
+    "q_event_markov",
+    "q_user_stickiness",
+    "q_rfm_segments",
+    "q_anomaly_zscore",
+    "q_yoy_growth",
+    "q_rolling_distinct_users",
+    "q_attribution",
+    "q_chisq_independence",
+    "q_cdc_merge",
+    "q_scd2_history",
+    "q_latest_per_key",
+    "q_dq_audit",
+    "q_fuzzy_join",
+    "q_weighted_sample",
+    "q_boilerplate_fraction",
+    "q_source_kl",
+    "q_tfidf_cosine_pairs",
+    "q_hard_negatives",
 ]
 
 

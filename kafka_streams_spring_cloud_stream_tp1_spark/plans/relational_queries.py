@@ -5833,13 +5833,18 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.min("e").cast("long").alias("e0"), F.max("e").cast("long").alias("e1")
     )
+    # Each half gets its own POSITIVE condition: a NULL timestamp fails
+    # both `when`s and falls to 0, matching the oracle's CASE WHEN (which
+    # yields 0 for NULL). `otherwise(1)` on the second half would have
+    # silently counted NULL-ts rows there instead (ADVICE r09).
     first = 2 * F.col("e") <= F.col("e0") + F.col("e1")
+    second = 2 * F.col("e") > F.col("e0") + F.col("e1")
     u = (
         ev.crossJoin(F.broadcast(bounds))
         .groupBy("user_id")
         .agg(
             F.sum(F.when(first, 1).otherwise(0)).cast("long").alias("n_first"),
-            F.sum(F.when(first, 0).otherwise(1)).cast("long").alias("n_second"),
+            F.sum(F.when(second, 1).otherwise(0)).cast("long").alias("n_second"),
         )
     )
     dd = u.filter(F.col("n_second") != F.col("n_first")).select(
@@ -6012,7 +6017,13 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts", "event_id"
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Pin NULLS LAST explicitly: Spark's ascending default is NULLS
+    # FIRST while DuckDB's is NULLS LAST, so a NULL ts/event_id row
+    # would reorder the LEAD trigrams differently across engines
+    # (ADVICE r09 — latent, fixtures are non-null today).
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     seq = ev.select(
         F.col("event_type").alias("s1"),
         F.lead("event_type", 1).over(w).alias("s2"),

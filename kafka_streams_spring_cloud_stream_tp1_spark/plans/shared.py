@@ -45,7 +45,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_CACHE: dict[tuple[int, str, str, str], DataFrame] = {}
 _TMPDIR: str | None = None
 
 
@@ -61,11 +61,20 @@ def shared_df(
     spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     """Return the materialized DataFrame for (session, sf_dir, key),
-    building and writing it to session-scoped parquet on first use."""
-    k = (id(spark), sf_dir, key)
+    building and writing it to session-scoped parquet on first use.
+
+    The memo key includes the active ``SPARK_GRAFT_HASH`` lane: the
+    pair-table builders hash through ``operators.hashing.xhash``, which
+    reads the env per call, so flipping the lane mid-session must not
+    hand an md5-built materialized intermediate to an xxhash64-built
+    consumer (ADVICE r09)."""
+    import os
+
+    lane = os.environ.get("SPARK_GRAFT_HASH", "md5")
+    k = (id(spark), sf_dir, key, lane)
     df = _CACHE.get(k)
     if df is None:
-        path = f"{_tmpdir()}/{id(spark)}_{abs(hash(sf_dir))}_{key}"
+        path = f"{_tmpdir()}/{id(spark)}_{abs(hash(sf_dir))}_{key}_{lane}"
         build().write.mode("overwrite").parquet(path)
         df = spark.read.parquet(path)
         _CACHE[k] = df

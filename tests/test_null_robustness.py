@@ -124,3 +124,64 @@ def test_resize_payloads_null_payload(spark):
     rows = {r.doc_id: r for r in M.resize_payloads(df, target_bytes=8).collect()}
     assert rows[1].new_bytes == 8 and rows[1].orig_bytes == 100
     assert rows[2].payload is None and rows[2].orig_bytes is None
+
+
+@pytest.fixture(scope="module")
+def null_ts_dir(tmp_path_factory):
+    """Events fixture with NULL ts (and NULL event_id on a disjoint
+    slice): the paired-test family splits the observation window on
+    unix_timestamp(ts) and the journey-path family orders per-user
+    windows by (ts, event_id) — ADVICE r09 flagged both as latent
+    cross-engine divergences because the stock fixtures carry no NULL
+    keys. This fixture makes them load-bearing."""
+    out = tmp_path_factory.mktemp("sf_null_ts")
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT * REPLACE (
+                CASE WHEN event_id % 17 = 3 THEN NULL ELSE ts END AS ts,
+                CASE WHEN event_id % 19 = 4 THEN NULL ELSE event_id END
+                    AS event_id)
+            FROM read_parquet('{SF}/events.parquet'))
+            TO '{out}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"""COPY (SELECT * FROM read_parquet('{SF}/{t}.parquet'))
+                TO '{out}/{t}.parquet' (FORMAT PARQUET)"""
+        )
+    con.close()
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # window-midpoint splits: NULL ts must drop from BOTH halves
+        # (each half needs its own positive condition — otherwise(1)
+        # silently counted NULL rows into the second half)
+        "q_wilcoxon_signed_rank",
+        "q_mcnemar",
+        "q_leadlag_xcorr",
+        # per-user (ts, event_id) window order: Spark default NULLS
+        # FIRST vs DuckDB NULLS LAST reorders lead() trigrams unless
+        # the builder pins asc_nulls_last
+        "q_event_paths",
+    ],
+)
+def test_paired_tests_match_oracle_under_null_ts(spark, null_ts_dir, name):
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
+        QUERIES,
+        _ensure_loaded,
+    )
+    from tests.oracle_harness import compare_query, duckdb_conn
+
+    _ensure_loaded()
+    spec = QUERIES[name]
+    con = duckdb_conn(null_ts_dir)
+    try:
+        compare_query(spark, con, spec.builder, spec.oracle, null_ts_dir)
+    finally:
+        con.close()
