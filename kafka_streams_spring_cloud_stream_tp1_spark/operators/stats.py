@@ -57,6 +57,7 @@ def bucketed_cumsum(
     derive: Callable[[DataFrame], DataFrame] | None = None,
     then_cols: list[str] | None = None,
     then_float_cols: list[str] | None = None,
+    lineage_cut: bool = False,
 ) -> DataFrame:
     """Exact inclusive cumulative sums of ``sum_cols`` in ``value_col``
     order, with NO single-partition window.
@@ -93,6 +94,18 @@ def bucketed_cumsum(
     `bucketed_cumsum` call would (the Kaplan-Meier at-risk → ln-term
     chain is the intended user; VERDICT r06 #3).
 
+    ``lineage_cut`` localCheckpoints (a) the input frame at entry and
+    (b) the ``derive`` output before the chained phase (VERDICT r09
+    #3). The machinery references each of those frames 2-3 times
+    (min/max range + bucket pass; window + bucket-size + join-back),
+    and every reference re-inlines the frame's full upstream plan —
+    the rank-pipeline callers showed 21-23 printed exchanges of which
+    most were this replay. The contract already requires ONE row per
+    distinct value, so the checkpoint is a domain-bounded
+    materialization (same device as `spearman_rho`'s cell cut), never
+    a fact-sized one; callers whose input is already a leaf (parquet
+    read, prior checkpoint) should leave it off.
+
     CONTRACT (ADVICE r07): ``derive`` must PASS THROUGH the bucketing
     columns — ``_vb``, ``value_col``, and every ``partition_cols``
     entry — because the second cumulative phase windows/joins on them
@@ -101,6 +114,8 @@ def bucketed_cumsum(
     here, naming the missing columns, instead of an opaque
     AnalysisException inside the second window pass."""
     pc = list(partition_cols or [])
+    if lineage_cut:
+        df = df.localCheckpoint(eager=True)
     rng = df.agg(F.min(value_col).alias("_vmin"), F.max(value_col).alias("_vmax"))
     span = F.col("_vmax") - F.col("_vmin")
     vb = (
@@ -178,29 +193,42 @@ def bucketed_cumsum(
                 f"bucketed_cumsum derive() must pass through {required}; "
                 f"its output is missing {missing} (see docstring contract)"
             )
+        if lineage_cut:
+            # the chained phase references `derived` three times
+            # (window, bucket sizes, join-back); without a cut each
+            # replays the ENTIRE first phase — same grain, tiny frame
+            derived = derived.localCheckpoint(eager=True)
         out = _cumulate(derived, list(then_cols or []), list(then_float_cols or []))
     return out.drop("_vb")
 
 
 def rank_sum_auc(
-    scored: DataFrame, score: str = "score", label: str = "label"
+    scored: DataFrame,
+    score: str = "score",
+    label: str = "label",
+    weight: str | None = None,
 ) -> DataFrame:
     """ROC AUC of an integer/discrete ``score`` separating binary
     ``label`` (1 = positive), by the rank-sum identity
     AUC = U₁/(n₁·n₂) with midrank tie handling — the exact AUC, not a
     trapezoid approximation over binned thresholds.
 
-    Input: one row per unit. Plan: per-distinct-score (c₁, c) counts
-    (the only input-sized shuffle), `bucketed_cumsum` global
-    cumulatives, then ONE integer aggregate 2R₁ = Σc₁(2·below+c+1).
-    AUC and the Gini coefficient 2·AUC−1 are single divisions of
-    exact BIGINTs. n₁·n₂ must fit int64 — past ~3·10⁹ units per class
-    switch the final quotient to DECIMAL."""
+    Input: one row per unit — or, with ``weight``, one row per
+    pre-aggregated (score, label) CELL carrying its unit count
+    (VERDICT r09 #3: callers that already hold a domain-bounded cell
+    frame skip the unit-grain shuffle entirely). Plan: per-distinct-
+    score (c₁, c) counts (the only input-sized shuffle),
+    `bucketed_cumsum` global cumulatives over the lineage-cut
+    score-domain frame, then ONE integer aggregate
+    2R₁ = Σc₁(2·below+c+1). AUC and the Gini coefficient 2·AUC−1 are
+    single divisions of exact BIGINTs. n₁·n₂ must fit int64 — past
+    ~3·10⁹ units per class switch the final quotient to DECIMAL."""
+    w = F.col(weight) if weight is not None else F.lit(1)
     vc = scored.groupBy(F.col(score).alias("v")).agg(
-        F.sum(label).cast("long").alias("c1"),
-        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.col(label) * w).cast("long").alias("c1"),
+        F.sum(w).cast("long").alias("c"),
     )
-    cum = bucketed_cumsum(vc, "v", ["c"]).withColumn(
+    cum = bucketed_cumsum(vc, "v", ["c"], lineage_cut=True).withColumn(
         "cb", F.col("cum_c") - F.col("c")
     )
     agg = cum.agg(
@@ -449,12 +477,13 @@ def kaplan_meier(spans: DataFrame, dur: str = "dur", event: str = "ev") -> DataF
         F.sum(event).cast("long").alias("d"),
         F.count(F.lit(1)).cast("long").alias("tot"),
     )
-    # The offset machinery references this frame several times; without
-    # a lineage cut each reference re-inlines the fact-sized spans
-    # rollup into the plan (the 121-exchange pathology). The frame is
-    # calendar-span-bounded — one row per distinct duration — so a
-    # localCheckpoint is a tiny materialization, same device the
-    # iterative graph operators use.
+    # lineage_cut below checkpoints this calendar-span-bounded frame
+    # (one row per distinct duration) before the offset machinery
+    # references it repeatedly — without the cut each reference
+    # re-inlines the fact-sized spans rollup (the 121-exchange
+    # pathology), and the chained ln-term phase replays the whole
+    # at-risk phase 3× more (VERDICT r09 #3). n must aggregate the
+    # SAME checkpointed frame, so take it after the cut.
     g = g.localCheckpoint(eager=True)
     n = g.agg(F.sum("tot").cast("long").alias("nn"))
 
@@ -474,7 +503,13 @@ def kaplan_meier(spans: DataFrame, dur: str = "dur", event: str = "ev") -> DataF
         )
 
     k = bucketed_cumsum(
-        g, "t", ["tot"], derive=_risk_terms, then_cols=["zf"], then_float_cols=["lt"]
+        g,
+        "t",
+        ["tot"],
+        derive=_risk_terms,
+        then_cols=["zf"],
+        then_float_cols=["lt"],
+        lineage_cut=True,
     )
     return (
         k.filter(F.col("d") > 0)
@@ -684,13 +719,20 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
     gv = df.groupBy(F.col(group).alias("g"), F.col(value).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c_gv")
     )
+    # (group × value)-cell grain — referenced by the rank pipeline AND
+    # the per-group join below; the cut stops each reference replaying
+    # the fact-sized shuffle (VERDICT r09 #3, spearman's cell device)
+    gv = gv.localCheckpoint(eager=True)
     vc = gv.groupBy("v").agg(F.sum("c_gv").cast("long").alias("c"))
-    cum = bucketed_cumsum(vc, "v", ["c"])
+    cum = bucketed_cumsum(vc, "v", ["c"], lineage_cut=True)
+    # value-domain-bounded rank table, referenced by the per-group
+    # join AND the tie aggregate — cut so neither replays the
+    # bucket-offset pipeline
     dr = cum.select(
         "v",
         (2 * (F.col("cum_c") - F.col("c")) + F.col("c") + 1).alias("dr"),
         F.col("c"),
-    )
+    ).localCheckpoint(eager=True)
     per_g = (
         gv.join(dr.select("v", "dr"), "v")
         .groupBy("g")

@@ -4440,8 +4440,14 @@ def q_auc_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned trapezoid), plus the Gini coefficient 2·AUC−1 — the
     model-eval primitive every ranking/conversion pipeline reports.
 
-    Scale shape: one user-keyed aggregate (the only fact-sized
-    shuffle), per-distinct-score counts, then
+    Scale shape (r10 flatten — was the registry's 23-exchange
+    maximum): one user-keyed aggregate (the only fact-sized shuffle),
+    collapsed immediately to (score, purchases)-CELL grain — the
+    label is a pure function of np given the broadcast totals, so
+    every user sharing a cell shares it — and the cell frame takes a
+    localCheckpoint before the totals branch and the rank pipeline
+    both reference it (the old user-grain plan replayed the fact
+    shuffle per reference). Then the weighted
     `operators/stats.py::rank_sum_auc` — the bucket-offset global
     cumulative (no single-partition sort) and ONE integer rank-sum
     aggregate; AUC is a single division of exact BIGINTs,
@@ -4459,18 +4465,24 @@ def q_auc_propensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("np"),
     )
-    t = u0.agg(
-        F.count(F.lit(1)).cast("long").alias("nu"),
-        F.sum("np").cast("long").alias("s"),
+    cells = (
+        u0.groupBy("score", "np")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    users = u0.crossJoin(F.broadcast(t)).select(
+    t = cells.agg(
+        F.sum("c").cast("long").alias("nu"),
+        F.sum(F.col("np") * F.col("c")).cast("long").alias("s"),
+    )
+    labeled = cells.crossJoin(F.broadcast(t)).select(
         "score",
+        "c",
         F.when(F.col("np") * F.col("nu") > F.col("s"), 1)
         .otherwise(0)
         .cast("long")
         .alias("label"),
     )
-    return rank_sum_auc(users, score="score", label="label")
+    return rank_sum_auc(labeled, score="score", label="label", weight="c")
 
 
 @query(

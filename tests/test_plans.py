@@ -973,12 +973,32 @@ def test_chi_square_no_windows_grid_grain(spark):
 def test_kruskal_wallis_bucket_partitioned_ranks(spark):
     """KW ranks must come from the value-bucket machinery — every
     window partitions by the bucket id, never a single-partition
-    global sort of the data."""
+    global sort of the data. Since the r10 flatten (21 -> 3
+    exchanges) the rank pipeline sits behind localCheckpoint lineage
+    cuts, so (spearman's pattern) the window spec is asserted on the
+    machinery directly and the query-level plan is asserted flat."""
     import re
 
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.stats import (
+        bucketed_cumsum,
+    )
+
+    vc = spark.createDataFrame([(1, 3), (2, 2), (5, 1)], "v long, c long")
+    rank_plan = (
+        bucketed_cumsum(vc, "v", ["c"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(_vb" in rank_plan, rank_plan
+    assert not re.search(
+        r"Window .{0,400}?Exchange SinglePartition", rank_plan, re.S
+    ), rank_plan
+
     plan = _plan(spark, "q_kruskal_wallis")
-    assert "windowspecdefinition(_vb" in plan, plan
     assert not re.search(r"Window .{0,400}?Exchange SinglePartition", plan, re.S), plan
+    n_ex = len(re.findall(r"\bExchange ", plan))
+    assert n_ex <= 6, f"flattened KW regressed to {n_ex} exchanges:\n" + plan
 
 
 def test_winsorize_group_keyed_buckets(spark):
@@ -1412,3 +1432,37 @@ def test_bnl_build_sides_bounded(spark):
     assert not offenders, (
         f"BNL build sides past the bounded-frame limit: {offenders}"
     )
+
+
+def test_soak_log_covers_registry_at_head():
+    """Round-gate artifact discipline (VERDICT r09 #2): the NEWEST
+    committed SOAK_r*.log must hold a green line for every query in
+    _ordered_specs() at HEAD and zero FAILs. A soak that predates the
+    round's last registry addition is exactly the 240-of-243 hole this
+    closes — re-run tools/run_soak.py before the snapshot, not after."""
+    import glob
+
+    from tools.run_soak import verify_log
+
+    logs = sorted(glob.glob("SOAK_r*.log"))
+    assert logs, "no SOAK_r*.log committed"
+    assert verify_log(logs[-1]) == 0, (
+        f"{logs[-1]} is stale or red vs the registry at HEAD — "
+        "re-run: python tools/run_soak.py > SOAK_rN.log"
+    )
+
+
+def test_auc_and_km_plans_stay_flat(spark):
+    """VERDICT r09 #3 regression bound: the three rank-machinery
+    riders were the registry's exchange maxima (23/21/21). After the
+    cell-grain + lineage-cut flatten they must stay in single digits
+    and never feed a Window from a single-partition exchange."""
+    import re
+
+    for name, bound in [("q_auc_propensity", 10), ("q_survival_km", 6)]:
+        plan = _plan(spark, name)
+        assert not re.search(
+            r"Window .{0,400}?Exchange SinglePartition", plan, re.S
+        ), plan
+        n_ex = len(re.findall(r"\bExchange ", plan))
+        assert n_ex <= bound, f"{name} regressed to {n_ex} exchanges:\n" + plan

@@ -24,7 +24,33 @@ from kafka_streams_spring_cloud_stream_tp1_spark.session import get_spark
 from tests.oracle_harness import compare_query, duckdb_conn
 
 
+def verify_log(path: str) -> int:
+    """Coverage gate (VERDICT r09 #2): the committed SOAK_rN.log must
+    contain a result line for EVERY query registered at HEAD, and no
+    FAIL lines — a soak that ran before the last query landed (the
+    r9 snapshot covered 240 of 243) passes silently without this."""
+    with open(path) as fh:
+        log = fh.read()
+    missing = [
+        s.name
+        for s in _ordered_specs()
+        if f" MATCH {s.name} " not in log and f" rows-only {s.name}:" not in log
+    ]
+    n_fail = log.count("] FAIL ")
+    ok = not missing and n_fail == 0 and "FAILS: []" in log
+    print(
+        f"soak-log gate {path}: {len(_ordered_specs()) - len(missing)}/"
+        f"{len(_ordered_specs())} covered, {n_fail} FAIL lines -> "
+        f"{'OK' if ok else 'STALE/RED'}"
+    )
+    if missing:
+        print("missing:", missing)
+    return 0 if ok else 1
+
+
 def main() -> int:
+    if len(sys.argv) > 2 and sys.argv[1] == "--verify-log":
+        return verify_log(sys.argv[2])
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="soak", extra_conf={"spark.driver.memory": "6g"})
     spark.sparkContext.setLogLevel("ERROR")
