@@ -1,0 +1,126 @@
+"""Streaming incremental connected components — the daily-crawl lane
+`q_dedup_clusters_incremental`'s docstring describes, as an actual
+micro-batch pipeline (VERDICT r09 #7a): each trigger's batch is a set
+of newly DISCOVERED near-dup pairs (doc_a, doc_b) (in production the
+output of probing the new docs against the shingle/band index), and
+the cluster label table is updated by re-propagating over
+
+    star edges from the CURRENT label table  ∪  the batch's pairs
+
+instead of the full historical pair mass. Star edges (component-min →
+member) preserve prior connectivity with diameter ≤ 2, so
+`dup_clusters`' pointer-jumping loop converges in ~2 rounds per batch
+whatever the historical chain depth, and the per-trigger input is
+|labels| + |batch pairs| — NEVER the cumulative pair count. A batch
+that bridges two old clusters merges them correctly (the star edges
+carry both components into the propagation).
+
+The label table is the pipeline's STATE, and it is kept where a
+100 TB deployment keeps it: a versioned parquet directory, not Spark
+streaming state — labels are corpus-sized (one row per doc seen in a
+pair), queried by downstream jobs, and must survive restarts of this
+query. Each trigger writes ``v=<epoch>`` and prunes old versions;
+recovery reads the newest version with a ``_SUCCESS`` marker, so a
+crash mid-write replays onto the previous consistent snapshot
+(foreachBatch may then re-apply a batch — label propagation is
+idempotent, re-propagating the same pairs yields the same table).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dup_clusters
+
+_KEEP_VERSIONS = 2
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), jvm
+
+
+def latest_labels(spark: SparkSession, label_root: str) -> tuple[DataFrame | None, int]:
+    """(label DataFrame, version) of the newest COMMITTED snapshot
+    under ``label_root`` (``_SUCCESS`` present), or (None, -1)."""
+    fs, jvm = _hadoop_fs(spark, label_root)
+    root = jvm.org.apache.hadoop.fs.Path(label_root)
+    if not fs.exists(root):
+        return None, -1
+    best = -1
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m and fs.exists(jvm.org.apache.hadoop.fs.Path(f"{label_root}/{name}/_SUCCESS")):
+            best = max(best, int(m.group(1)))
+    if best < 0:
+        return None, -1
+    return spark.read.parquet(f"{label_root}/v={best}"), best
+
+
+def apply_pair_batch(
+    spark: SparkSession, pairs: DataFrame, label_root: str
+) -> DataFrame:
+    """One increment: current labels ⊕ new pairs → new label snapshot
+    ``v=<latest+1>``. Returns the new label DataFrame (doc_id,
+    cluster_id). Core of the streaming lane, callable from a plain
+    batch scheduler too (a nightly Airflow job is the same shape).
+
+    Versions advance from the newest COMMITTED snapshot, not from the
+    stream's batch id: a foreachBatch replay after an unclean stop
+    then re-applies its pairs onto the prior snapshot as a NEW
+    version, which is safe because label propagation is idempotent —
+    pairs already absorbed into the labels change nothing."""
+    prior, prior_v = latest_labels(spark, label_root)
+    version = prior_v + 1
+    edges = pairs.select("doc_a", "doc_b")
+    if prior is not None:
+        stars = prior.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("cluster_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        edges = stars.unionByName(edges)
+    labels = dup_clusters(edges)
+    labels.write.mode("overwrite").parquet(f"{label_root}/v={version}")
+    _prune(spark, label_root)
+    return spark.read.parquet(f"{label_root}/v={version}")
+
+
+def _prune(spark: SparkSession, label_root: str) -> None:
+    fs, jvm = _hadoop_fs(spark, label_root)
+    root = jvm.org.apache.hadoop.fs.Path(label_root)
+    versions = []
+    for status in fs.listStatus(root):
+        m = re.fullmatch(r"v=(\d+)", status.getPath().getName())
+        if m:
+            versions.append(int(m.group(1)))
+    for v in sorted(versions)[: -_KEEP_VERSIONS]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{label_root}/v={v}"), True)
+
+
+def stream_incremental_dup_clusters(
+    pair_stream: DataFrame,
+    label_root: str,
+    sink: Callable[[DataFrame, int], None] | None = None,
+):
+    """Start the foreachBatch query: every micro-batch of (doc_a,
+    doc_b) pair discoveries advances the label table one version;
+    ``sink(labels, batch_id)`` (optional) sees each new snapshot.
+    Returns the started StreamingQuery (caller stops). Empty batches
+    are skipped — no new pairs means the label table is already the
+    closure."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        labels = apply_pair_batch(spark, batch, label_root)
+        if sink is not None:
+            sink(labels, batch_id)
+
+    return pair_stream.writeStream.foreachBatch(process).start()

@@ -433,3 +433,113 @@ def test_xxhash64_production_lane(spark, monkeypatch):
     )
     pairs = minhash_lsh_dedup(docs, threshold=0.8).collect()
     assert any(p["doc_a"] == 1 and p["doc_b"] == 2 for p in pairs), pairs
+
+
+# ---- sketch merge properties (VERDICT r09 #7c): the distributed
+# correctness of the sketches IS the mergeable-summaries algebra —
+# per-partition summaries merged must behave like a summary of the
+# union, for ANY partitioning of the stream.
+
+
+@given(
+    items=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=120),
+    cuts=st.lists(st.integers(min_value=0, max_value=120), max_size=3),
+    k=st.integers(min_value=1, max_value=8),
+)
+@_SETTINGS
+def test_kmv_merge_equals_sketch_of_union(items, cuts, k):
+    """min-k of a union == min-k of per-part min-k's, for every split
+    of the stream — the exact identity `kmv_mins` relies on when it
+    folds partitions first and merges ≤ partitions·k rows after."""
+    import numpy as np
+
+    hashes = np.array(
+        [int(hashlib.md5(f"kmv|{i}".encode()).hexdigest()[:15], 16) for i in items],
+        dtype=np.int64,
+    )
+    bounds = sorted({min(c, len(items)) for c in cuts})
+    parts = np.split(hashes, bounds) if bounds else [hashes]
+    per_part = [np.unique(p)[:k] for p in parts if len(p)]
+    merged = np.unique(np.concatenate(per_part))[:k] if per_part else np.array([])
+    direct = np.unique(hashes)[:k]
+    assert merged.tolist() == direct.tolist()
+
+
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=200),
+    cuts=st.lists(st.integers(min_value=0, max_value=200), max_size=3),
+    k=st.integers(min_value=2, max_value=10),
+)
+@_SETTINGS
+def test_mg_merge_preserves_heavy_hitter_guarantees(stream, cuts, k):
+    """Misra-Gries per-part summaries merged by item-wise SUM (what
+    `heavy_hitters` / the streaming shards do) must keep both sides of
+    the sketch contract for ANY split: (a) every merged lower bound
+    ≤ the true count (never over-claims), with slack ≤ n/(k+1) summed
+    over parts; (b) every item with true frequency > n/(k+1) survives
+    the merge (the containment guarantee)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.sketches import (
+        _mg_fold,
+    )
+
+    bounds = sorted({min(c, len(stream)) for c in cuts})
+    parts, prev = [], 0
+    for b in bounds + [len(stream)]:
+        if b > prev:
+            parts.append(stream[prev:b])
+            prev = b
+    summaries = []
+    for p in parts:
+        s = _mg_fold({}, pd.Series(p).value_counts(), k)
+        assert len(s) <= k, "per-part summary exceeded k counters"
+        summaries.append(s)
+    merged: Counter = Counter()
+    for s in summaries:
+        merged.update(s)
+    true = Counter(stream)
+    n = len(stream)
+    slack = sum(len(p) / (k + 1) for p in parts)
+    for item, lb in merged.items():
+        assert lb <= true[item], f"over-claimed {item}: {lb} > {true[item]}"
+        assert true[item] - lb <= slack + 1e-9
+    for item, c in true.items():
+        if c > n / (k + 1):
+            assert item in merged, (
+                f"guaranteed heavy hitter {item} (count {c} > n/(k+1) = "
+                f"{n / (k + 1):.1f}) lost in merge"
+            )
+
+
+def test_kmv_mins_partitioning_invariant(spark):
+    """Implementation-level pin: `kmv_mins` must return the SAME
+    sketch whatever the physical partitioning, and it must equal the
+    exact k smallest distinct hashes (ground truth computed by the
+    same xhash expression without the sketch path)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.sketches import (
+        kmv_mins,
+    )
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 137).cast("string").alias("item")
+    )
+    sketches = []
+    for parts in (1, 7):
+        got = kmv_mins(df.repartition(parts), "item", k=16).collect()
+        assert len(got) == 1
+        sketches.append(list(got[0]["mins"]))
+    assert sketches[0] == sketches[1], "sketch depends on partitioning"
+    truth = [
+        r["h"]
+        for r in df.select(
+            xhash(F.concat(F.lit("kmv|"), F.col("item"))).alias("h")
+        )
+        .distinct()
+        .orderBy("h")
+        .limit(16)
+        .collect()
+    ]
+    assert sketches[0] == truth
