@@ -5442,3 +5442,77 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+_MRL_DIMS = (8, 16, 32)
+_MRL_HALF = 0.5
+
+
+@query(
+    "q_matryoshka_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    f AS (SELECT vec_id,
+                 list_aggregate(list_transform(v, x -> x * x), 'sum') AS full_e,
+                 m,
+                 list_aggregate(list_transform(v[1:m], x -> x * x), 'sum')
+                   AS pre_e
+          FROM e CROSS JOIN (SELECT unnest([{", ".join(str(m) for m in _MRL_DIMS)}]) AS m))
+    SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(pre_e / full_e), 4) + 0.0 AS avg_energy_frac,
+           CAST(sum(CASE WHEN pre_e / full_e < {_MRL_HALF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_half
+    FROM f WHERE full_e > 0
+    GROUP BY m
+    """,
+)
+def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL): how
+    much of each embedding's L2 energy survives truncation to the
+    first m dimensions, for the candidate serving widths — the
+    go/no-go readout before shipping truncated vectors to a cheaper
+    ANN tier (a prefix holding ~1/d·m energy means the model was NOT
+    matryoshka-trained and truncation will wreck recall; this fixture
+    is isotropic, so the audit correctly reads fractions ≈ m/64).
+    Reports per m: average retained energy fraction and the count of
+    vectors below 50% — the rows a truncated index would most
+    misplace.
+
+    Exactness: each vector's prefix/full energies are sequential
+    folds over its OWN array in index order (bit-identical
+    cross-engine, the `q_embedding_norm_outliers` contract); the
+    per-row fraction is one division; only the corpus-wide avg rides
+    accumulation order, absorbed by round(4). n_below_half is an
+    integer count of exact per-row comparisons. Scale shape: scan →
+    |dims|-way per-row expansion → 3-group aggregate; no joins, no
+    fact-sized shuffle beyond the final tiny aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    energy = lambda col: F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+    row = emb.select(
+        "vec_id",
+        energy(v).alias("full_e"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("long").alias("m"),
+                        energy(F.slice(v, 1, m)).alias("pre_e"),
+                    )
+                    for m in _MRL_DIMS
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "full_e", "s.m", "s.pre_e")
+    frac = F.col("pre_e") / F.col("full_e")
+    return (
+        row.filter(F.col("full_e") > 0)
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (F.round(F.avg(frac), 4) + F.lit(0.0)).alias("avg_energy_frac"),
+            F.sum(F.when(frac < _MRL_HALF, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_half"),
+        )
+    )

@@ -124,9 +124,19 @@ _FRONT = [
     "q_seasonal_profile",
 ]
 _DEFERRED = [
+    # ---- round-10 additions (never driver-checked): lead the queue
+    # so they sit in slots 51-56 — inside the NEXT round's window per
+    # the staleness bound's clause (c) — and are round 11's first
+    # priority for driver rows.
+    "q_burstiness_fano",
+    "q_cochran_q",
+    "q_friedman_test",
+    "q_levene_test",
+    "q_permutation_test",
+    "q_matryoshka_audit",
     # Rotation queue, oldest driver row first. The staleness-bound
     # test's clause (c) needs next round's candidates inside slots
-    # 51-100: the r06 remainder (37) leads.
+    # 51-100: the r06 remainder (37) follows the round-10 additions.
     "q_link_prediction",
     "q_ks_drift",
     "q_mann_whitney",

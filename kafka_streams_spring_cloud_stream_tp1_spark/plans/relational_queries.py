@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.hashing import xhash_sql
 from ..sources import load_table
 from .registry import query
 
@@ -6051,4 +6052,500 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s3",
         "n_paths",
         (F.col("n_paths") / F.col("total").cast("double")).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch: burstiness, k-sample block tests, Levene spread test,
+# randomization inference
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_burstiness_fano",
+    oracle="""
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+          FROM h GROUP BY event_type)
+    SELECT event_type, n AS n_hours,
+           CAST(sx AS DOUBLE) / n AS mean_per_hour,
+           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             / ((n - 1) * sx) AS fano
+    FROM m WHERE n > 1 AND sx > 0
+    """,
+)
+def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type: the Fano factor (variance-to-mean
+    ratio) of hourly event counts — ≈1 for a Poisson arrival process,
+    ≫1 for bursty traffic (flash crowds, incident storms), <1 for
+    throttled/paced flows. The time-series screen that tells an
+    anomaly pipeline whether rate spikes are even surprising.
+
+    Exactness: hourly counts are integers; Fano = (n·Σx² − (Σx)²) /
+    ((n−1)·Σx) and the mean are single divisions of exact moments
+    (Σx² and the product ride 128-bit, the Welch convention), so both
+    doubles ship bit-identical with NO rounding. Scale shape: one
+    (type, hour)-grain count (map-side combined, the only fact-sized
+    shuffle) then a k-row moment aggregate — hours are
+    calendar-bounded, the decade cost is the scan."""
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    m = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    DEC = "decimal(38,0)"
+    num = (F.col("n").cast(DEC) * F.col("sxx") - F.col("sx").cast(DEC) * F.col("sx"))
+    return m.filter((F.col("n") > 1) & (F.col("sx") > 0)).select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_per_hour"),
+        (num.cast("double") / ((F.col("n") - 1) * F.col("sx"))).alias("fano"),
+    )
+
+
+@query(
+    "q_cochran_q",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+               FROM events),
+    r AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS ru
+          FROM b GROUP BY user_id, day),
+    c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cj FROM b GROUP BY event_type),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM c),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+                   CAST(sum(ru) AS BIGINT) AS n,
+                   CAST(sum(CAST(ru AS HUGEINT) * ru) AS HUGEINT) AS sr2
+            FROM r),
+    cc AS (SELECT CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS sc2 FROM c)
+    SELECT nb AS n_blocks, k, k - 1 AS dof,
+           CAST((k - 1) * (k * sc2 - CAST(n AS HUGEINT) * n) AS DOUBLE)
+             / CAST(k * CAST(n AS HUGEINT) - sr2 AS DOUBLE) AS q_stat
+    FROM tot CROSS JOIN k CROSS JOIN cc
+    WHERE k * CAST(n AS HUGEINT) - sr2 <> 0
+    """,
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test (Cochran 1950): did the k event types differ
+    in REACH — the k-treatment extension of `q_mcnemar` (its k=2
+    special case) over the same matched-block design. Blocks are
+    USER-DAYS (users alone saturate — every fixture user touches all
+    five types eventually, a degenerate all-ones grid), the response
+    is binary "the user fired type t that day"; Q =
+    (k−1)(k·ΣC_j² − N²)/(kN − ΣR_b²) over column (type) and row
+    (block) totals of the 0/1 grid.
+
+    Exactness: EVERY term is an integer sum over the distinct
+    (user, type) incidence table — no ranks, no floats until the one
+    final division (128-bit for the squared totals), so q_stat ships
+    bit-identical unrounded. Scale shape: one distinct pass over the
+    fact table (map-side combinable), then user-grain and type-grain
+    rollups of it; the statistic aggregates k+1 tiny frames. The
+    all-users-touch-all-types degenerate grid (denominator 0) yields
+    an empty result rather than an engine-dependent ±inf."""
+    b = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"), "event_type")
+        .distinct()
+    )
+    r = b.groupBy("user_id", "day").agg(F.count(F.lit(1)).cast("long").alias("ru"))
+    c = b.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("cj"))
+    DEC = "decimal(38,0)"
+    rud = F.col("ru").cast(DEC)
+    cjd = F.col("cj").cast(DEC)
+    tot = r.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("ru").cast("long").alias("n"),
+        F.sum(rud * rud).alias("sr2"),
+    )
+    cc = c.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(cjd * cjd).alias("sc2"),
+    )
+    j = tot.crossJoin(F.broadcast(cc))
+    kd = F.col("k").cast(DEC)
+    nd = F.col("n").cast(DEC)
+    num = (F.col("k") - 1).cast(DEC) * (kd * F.col("sc2") - nd * nd)
+    den = kd * nd - F.col("sr2")
+    return j.filter(den != 0).select(
+        F.col("nb").alias("n_blocks"),
+        "k",
+        (F.col("k") - 1).alias("dof"),
+        (num.cast("double") / den.cast("double")).alias("q_stat"),
+    )
+
+
+@query(
+    "q_friedman_test",
+    oracle="""
+    WITH gv AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY 1, 2),
+    u AS (SELECT DISTINCT user_id FROM events WHERE event_type IS NOT NULL),
+    t AS (SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM t),
+    grid AS (SELECT u.user_id, t.event_type, coalesce(gv.c, 0) AS c
+             FROM u CROSS JOIN t
+             LEFT JOIN gv ON gv.user_id = u.user_id
+                         AND gv.event_type = t.event_type),
+    rk AS (SELECT user_id, event_type, c,
+                  2 * (rank() OVER (PARTITION BY user_id ORDER BY c) - 1)
+                  + count(*) OVER (PARTITION BY user_id, c) + 1 AS dr
+           FROM grid),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+    r2 AS (SELECT event_type, CAST(sum(dr) AS BIGINT) AS r2
+           FROM rk GROUP BY event_type),
+    num AS (SELECT CAST(sum(CAST(r2 - n * (k + 1) AS HUGEINT)
+                            * (r2 - n * (k + 1))) AS HUGEINT) AS ss
+            FROM r2 CROSS JOIN nn CROSS JOIN kk),
+    dd AS (SELECT CAST(sum(CAST(dr AS HUGEINT) * dr) AS HUGEINT) AS sdr2 FROM rk)
+    SELECT n AS n_blocks, k, k - 1 AS dof,
+           CAST((k - 1) * ss AS DOUBLE)
+             / CAST(sdr2 - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) AS DOUBLE)
+             AS q_stat
+    FROM nn CROSS JOIN kk CROSS JOIN num CROSS JOIN dd
+    WHERE sdr2 - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) <> 0
+    """,
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test (Friedman 1937): did the k event types
+    differ in per-user VOLUME, blocking on the user — the k-sample
+    extension of `q_wilcoxon_signed_rank` the way `q_cochran_q`
+    extends `q_mcnemar`, and the within-subject complement of
+    `q_kruskal_wallis` (which ignores blocks). Each user's k type
+    counts (zeros included) are midranked WITHIN the user; the
+    statistic compares treatment rank sums against the no-effect
+    expectation n(k+1)/2, with the standard tie correction carried in
+    the Σr² denominator form: Q = (k−1)·Σ_j(2R_j − n(k+1))² /
+    (Σ(2r)² − nk(k+1)²) over DOUBLED midranks.
+
+    Exactness: doubled midranks are integers, so every sum is exact
+    (128-bit for the squares) and q_stat is ONE division of exact
+    integers — bit-identical, unrounded. Scale shape: the oracle
+    materializes the dense users × types grid; this plan never does —
+    present (user, type) cells rank in a ≤k-row per-user window and
+    the k−m_u zero cells enter ANALYTICALLY (a zero tie-group's
+    doubled midrank is z_u+1, and it offsets every present rank by
+    2z_u), so the only fact-sized work is the (user, type) count and
+    ONE user-keyed shuffle of the cell frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    gv = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    kk = gv.select("event_type").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("c")
+    w_tie = Window.partitionBy("user_id", "c")
+    w_user = Window.partitionBy("user_id")
+    cells = gv.crossJoin(F.broadcast(kk)).select(
+        "user_id",
+        "event_type",
+        "k",
+        (F.col("k") - F.count(F.lit(1)).over(w_user)).alias("z"),
+        (F.rank().over(w_rank) - 1).alias("below_present"),
+        F.count(F.lit(1)).over(w_tie).alias("tied"),
+    )
+    # (user, type)-cell grain, referenced by the user-grain rollup,
+    # the treatment-grain rollup, AND the Σdr² aggregate below — the
+    # cut stops each reference replaying the fact shuffle + both rank
+    # windows (was the registry's 23-exchange maximum on landing;
+    # the q_kruskal_wallis/spearman cell device)
+    cells = cells.select(
+        "user_id",
+        "event_type",
+        "k",
+        "z",
+        (2 * (F.col("z") + F.col("below_present")) + F.col("tied") + 1).alias("dr"),
+    ).localCheckpoint(eager=True)
+    DEC = "decimal(38,0)"
+    drd = F.col("dr").cast(DEC)
+    # per-user zero-cell contributions + block count (ONE user-grain
+    # rollup of the cell frame — reuses the user partitioning)
+    per_u = cells.groupBy("user_id").agg(F.max("z").cast("long").alias("z"))
+    zd = F.col("z").cast(DEC)
+    blocks = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("z") + 1).cast("long").alias("t_z1"),
+        F.sum(zd * (zd + 1) * (zd + 1)).alias("s_z_dr2"),
+    )
+    # treatment-grain: present-rank sums and the (z+1) mass of the
+    # users that DO have the treatment (absent mass = T - that)
+    per_t = cells.groupBy("event_type").agg(
+        F.sum("dr").cast("long").alias("s_dr"),
+        F.sum(F.col("z") + 1).cast("long").alias("s_z1"),
+    )
+    pres = cells.agg(F.sum(drd * drd).alias("s_dr2"))
+    j = (
+        per_t.crossJoin(F.broadcast(blocks))
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "n",
+            "k",
+            (F.col("s_dr") + (F.col("t_z1") - F.col("s_z1"))).cast(DEC).alias("r2j"),
+        )
+    )
+    nd, kd = F.col("n").cast(DEC), F.col("k").cast(DEC)
+    dev = F.col("r2j") - nd * (kd + 1)
+    num = j.groupBy("n", "k").agg(F.sum(dev * dev).alias("ss"))
+    out = (
+        num.crossJoin(F.broadcast(pres))
+        .crossJoin(F.broadcast(blocks.select("s_z_dr2")))
+    )
+    nd, kd = F.col("n").cast(DEC), F.col("k").cast(DEC)
+    sdr2 = F.col("s_dr2") + F.col("s_z_dr2")
+    den = sdr2 - nd * kd * (kd + 1) * (kd + 1)
+    return out.filter(den != 0).select(
+        F.col("n").alias("n_blocks"),
+        "k",
+        (F.col("k") - 1).alias("dof"),
+        (((F.col("k") - 1).cast(DEC) * F.col("ss")).cast("double") / den.cast("double")).alias(
+            "q_stat"
+        ),
+    )
+
+
+@query(
+    "q_levene_test",
+    oracle="""
+    WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+    m AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                 CAST(sum(x) AS BIGINT) AS sx
+          FROM d GROUP BY g),
+    w AS (SELECT d.g, abs(CAST(m.ng AS HUGEINT) * d.x - m.sx) AS w, m.ng
+          FROM d JOIN m ON d.g = m.g),
+    gm AS (SELECT g, ng,
+                  CAST(sum(w) AS HUGEINT) AS w1,
+                  CAST(sum(w * w) AS HUGEINT) AS w2
+           FROM w GROUP BY g, ng),
+    terms AS (SELECT g, ng,
+                     CAST(w1 AS DOUBLE) / ng AS zsum,
+                     CAST(w1 AS DOUBLE) * CAST(w1 AS DOUBLE)
+                       / (CAST(ng AS DOUBLE) * ng * ng) AS nzbar2,
+                     CAST(w2 AS DOUBLE) / (CAST(ng AS DOUBLE) * ng)
+                       - CAST(w1 AS DOUBLE) * CAST(w1 AS DOUBLE)
+                         / (CAST(ng AS DOUBLE) * ng * ng) AS ssw_g
+              FROM gm)
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           CAST(sum(ng) AS BIGINT) AS n_obs,
+           CAST(count(*) AS BIGINT) - 1 AS dof1,
+           CAST(sum(ng) AS BIGINT) - CAST(count(*) AS BIGINT) AS dof2,
+           round(((sum(nzbar2) - sum(zsum) * sum(zsum) / sum(ng))
+                  / (count(*) - 1))
+                 / (sum(ssw_g) / (sum(ng) - count(*))), 4) + 0.0 AS f_stat
+    FROM terms
+    """,
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test (mean-centered; Levene 1960) for variance
+    homogeneity across the k event types' DAILY volumes — the
+    check that gates pooled-variance methods and reads as "is one
+    stream structurally more volatile", complementing
+    `q_welch_ttest` (which dodges the assumption for k=2) and
+    `q_burstiness_fano` (within-series volatility). One-way ANOVA F
+    on the absolute deviations z_ij = |x_ij − x̄_g|.
+
+    Exactness: deviations are carried SCALED as w = |n_g·x − Σx_g| —
+    exact integers (z = w/n_g) — so the per-group moments W1 = Σw,
+    W2 = Σw² are exact 128-bit sums; every n_g-normalized term is a
+    FIXED float expression over (W1, W2, n_g) per group,
+    bit-identical cross-engine, and only the final k-row (k=5)
+    sums ride float addition — absorbed by round(4), the
+    `q_kruskal_wallis` convention. Scale shape: one (type, day)
+    count (the only fact-sized shuffle), a k-row moment frame
+    broadcast back over the day-grain frame, then k-row
+    aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.col("event_type").alias("g"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    m = d.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    DEC = "decimal(38,0)"
+    w = d.join(F.broadcast(m), "g").select(
+        "g",
+        "ng",
+        F.abs(F.col("ng").cast(DEC) * F.col("x") - F.col("sx")).alias("w"),
+    )
+    gm = w.groupBy("g", "ng").agg(
+        F.sum("w").alias("w1"), F.sum(F.col("w") * F.col("w")).alias("w2")
+    )
+    ngd = F.col("ng").cast("double")
+    w1d = F.col("w1").cast("double")
+    terms = gm.select(
+        "g",
+        "ng",
+        (w1d / F.col("ng")).alias("zsum"),
+        (w1d * w1d / (ngd * ngd * ngd)).alias("nzbar2"),
+        (
+            F.col("w2").cast("double") / (ngd * ngd)
+            - w1d * w1d / (ngd * ngd * ngd)
+        ).alias("ssw_g"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n_obs"),
+        F.sum("zsum").alias("szsum"),
+        F.sum("nzbar2").alias("snzbar2"),
+        F.sum("ssw_g").alias("sssw"),
+    )
+    kc, nc = F.col("k"), F.col("n_obs")
+    ssb = F.col("snzbar2") - F.col("szsum") * F.col("szsum") / nc
+    return agg.select(
+        kc.alias("k"),
+        nc.alias("n_obs"),
+        (kc - 1).alias("dof1"),
+        (nc - kc).alias("dof2"),
+        (
+            F.round((ssb / (kc - 1)) / (F.col("sssw") / (nc - kc)), 4) + F.lit(0.0)
+        ).alias("f_stat"),
+    )
+
+
+_PERM_B = 48  # one bit per replicate from the 60-bit unit hash
+
+
+@query(
+    "q_permutation_test",
+    oracle=f"""
+    WITH d AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE event_type IN ('purchase', 'click')
+               GROUP BY 1, 2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+                   CAST(sum(CASE WHEN g = 'purchase' THEN x ELSE 0 END) AS BIGINT) AS sxa0
+            FROM d),
+    hx AS (SELECT g, day, x,
+                  {xhash_sql("'perm|' || g || '|' || CAST(day AS VARCHAR)")} AS h
+           FROM d),
+    reps AS (SELECT t.b,
+                    CAST(sum((h >> CAST(t.b AS INTEGER)) & 1) AS BIGINT) AS na,
+                    CAST(sum(((h >> CAST(t.b AS INTEGER)) & 1) * x) AS BIGINT) AS sxa
+             FROM hx CROSS JOIN range({_PERM_B}) t(b)
+             GROUP BY t.b),
+    scored AS (SELECT b,
+                      CAST(sxa AS HUGEINT) * (n - na)
+                        - CAST(sx - sxa AS HUGEINT) * na AS p,
+                      CAST(na AS HUGEINT) * (n - na) AS q,
+                      CAST(sxa0 AS HUGEINT) * (n - na0)
+                        - CAST(sx - sxa0 AS HUGEINT) * na0 AS p0,
+                      CAST(na0 AS HUGEINT) * (n - na0) AS q0
+               FROM reps CROSS JOIN tot)
+    SELECT n AS n_obs, CAST({_PERM_B} AS BIGINT) AS b_reps,
+           CAST(p0 AS DOUBLE) / CAST(q0 AS DOUBLE) AS d_obs,
+           CAST(sum(CASE WHEN q = 0 OR abs(p) * q0 >= abs(p0) * q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+           (1 + sum(CASE WHEN q = 0 OR abs(p) * q0 >= abs(p0) * q
+                         THEN 1 ELSE 0 END)) / ({_PERM_B} + 1.0) AS p_value
+    FROM scored CROSS JOIN tot
+    GROUP BY n, p0, q0
+    """,
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization test for the purchase-vs-click mean daily-volume
+    difference: B pseudo-random relabelings of the (type, day)
+    observations, p-value = fraction of relabelings whose |mean
+    difference| reaches the observed one (with the +1 add-one
+    convention) — the distribution-free inference tool that needs
+    neither Welch's normality nor rank machinery, and the exact
+    template for "is this A/B lift real" over arbitrary statistics.
+
+    Determinism & exactness: replicate b assigns each unit by BIT b
+    of the unit's 60-bit md5 hash — seeded, engine-independent, no
+    RNG (the `q_poisson_bootstrap` device, one hash per unit for all
+    {B} replicates). The extremeness comparison |d_b| ≥ |d_obs| is
+    evaluated on CROSS-MULTIPLIED exact integers (|P_b|·Q0 ≥
+    |P0|·Q_b with d = P/Q), so no float ever decides a replicate —
+    n_extreme is exactly reproducible; d_obs ships as one exact-int
+    division. A degenerate relabeling (a side empty, Q_b = 0) counts
+    extreme by convention rather than dividing by zero. Scale shape:
+    one (type, day) count, then a {B}-way bit expansion of the
+    day-grain frame (domain-bounded) into B partial sums — the fact
+    table is touched once."""
+    from ..operators.hashing import xhash
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    d = ev.groupBy(
+        F.col("event_type").alias("g"), F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.when(F.col("g") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("na0"),
+        F.sum(F.when(F.col("g") == "purchase", F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sxa0"),
+    )
+    h = xhash(
+        F.concat(
+            F.lit("perm|"), F.col("g"), F.lit("|"), F.col("day").cast("string")
+        )
+    )
+    hx = d.select("x", h.alias("h"))
+    reps = (
+        hx.select(
+            "x",
+            "h",
+            F.explode(F.array(*[F.lit(b) for b in range(_PERM_B)])).alias("b"),
+        )
+        .select(
+            "b",
+            "x",
+            # SQL shiftright takes a column shift count; the Python
+            # wrapper F.shiftright only accepts an int literal
+            F.expr("shiftright(h, b) & 1").alias("bit"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("bit").cast("long").alias("na"),
+            F.sum(F.col("bit") * F.col("x")).cast("long").alias("sxa"),
+        )
+    )
+    DEC = "decimal(38,0)"
+    s = reps.crossJoin(F.broadcast(tot)).select(
+        "n",
+        (
+            F.col("sxa").cast(DEC) * (F.col("n") - F.col("na"))
+            - (F.col("sx") - F.col("sxa")).cast(DEC) * F.col("na")
+        ).alias("p"),
+        (F.col("na").cast(DEC) * (F.col("n") - F.col("na"))).alias("q"),
+        (
+            F.col("sxa0").cast(DEC) * (F.col("n") - F.col("na0"))
+            - (F.col("sx") - F.col("sxa0")).cast(DEC) * F.col("na0")
+        ).alias("p0"),
+        (F.col("na0").cast(DEC) * (F.col("n") - F.col("na0"))).alias("q0"),
+    )
+    extreme = F.when(
+        (F.col("q") == 0)
+        | (F.abs(F.col("p")) * F.col("q0") >= F.abs(F.col("p0")) * F.col("q")),
+        1,
+    ).otherwise(0)
+    return (
+        s.groupBy("n", "p0", "q0")
+        .agg(F.sum(extreme).cast("long").alias("n_extreme"))
+        .select(
+            F.col("n").alias("n_obs"),
+            F.lit(_PERM_B).cast("long").alias("b_reps"),
+            (F.col("p0").cast("double") / F.col("q0").cast("double")).alias("d_obs"),
+            "n_extreme",
+            ((1 + F.col("n_extreme")) / F.lit(float(_PERM_B + 1))).alias("p_value"),
+        )
     )

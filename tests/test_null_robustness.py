@@ -41,6 +41,13 @@ REGRESSION = [
     "q_wilcoxon_signed_rank",
     "q_mcnemar",
     "q_event_paths",
+    # round 10: the k-sample block tests + burstiness group on
+    # (event_type, ts-derived) keys — NULL keys must never crash
+    "q_burstiness_fano",
+    "q_cochran_q",
+    "q_friedman_test",
+    "q_levene_test",
+    "q_permutation_test",
 ]
 
 
@@ -169,6 +176,12 @@ def null_ts_dir(tmp_path_factory):
         # FIRST vs DuckDB NULLS LAST reorders lead() trigrams unless
         # the builder pins asc_nulls_last
         "q_event_paths",
+        # round 10: day/hour grains derive from ts; NULL ts rows must
+        # bucket identically (NULL day/hour groups) on both engines
+        "q_burstiness_fano",
+        "q_cochran_q",
+        "q_levene_test",
+        "q_permutation_test",
     ],
 )
 def test_paired_tests_match_oracle_under_null_ts(spark, null_ts_dir, name):
