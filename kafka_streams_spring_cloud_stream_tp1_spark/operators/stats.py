@@ -427,7 +427,11 @@ def gini_concentration(counts: DataFrame, c: str = "c") -> DataFrame:
     vm = counts.groupBy(F.col(c).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("m")
     )
-    cum = bucketed_cumsum(vm, "v", ["m"]).withColumn(
+    # lineage_cut: vm is domain-bounded and the machinery's internal
+    # references would otherwise replay the caller's full counting
+    # pipeline (token explode + groupBy for q_gini_token — measured
+    # 16 printed exchanges, mostly that replay)
+    cum = bucketed_cumsum(vm, "v", ["m"], lineage_cut=True).withColumn(
         "t", F.col("cum_m") - F.col("m")
     )
     # s2 = 2·Σᵢ i·cᵢ stays integer (m(m+1) is even; no float division)
@@ -790,11 +794,18 @@ def winsorized_stats(
     a large fraction of the corpus (the exact skew that kills a naive
     per-key global window at 100 TB). The winsorized mean's float sum
     spans distinct-value cells; round(4) absorbs summation order."""
+    # (group, value)-cell grain, referenced by the rank pipeline AND
+    # the per-group totals; the keyed cumulative output feeds both the
+    # bound lookup and the clip rollup — cut both so no reference
+    # replays the fact shuffle (was the registry's 18-exchange
+    # maximum after the r10 flattens; the spearman/KW cell device)
     gv = df.groupBy(F.col(group).alias("g"), F.col(value).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
-    cum = bucketed_cumsum(gv, "v", ["c"], partition_cols=["g"]).select(
-        "g", "v", "c", F.col("cum_c").alias("cum")
+    ).localCheckpoint(eager=False)
+    cum = (
+        bucketed_cumsum(gv, "v", ["c"], partition_cols=["g"])
+        .select("g", "v", "c", F.col("cum_c").alias("cum"))
+        .localCheckpoint(eager=False)
     )
     ng = gv.groupBy("g").agg(F.sum("c").cast("long").alias("n_g"))
     lo_rank = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(lo_q) * F.col("n_g")))

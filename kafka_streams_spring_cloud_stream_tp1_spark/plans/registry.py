@@ -125,7 +125,7 @@ _FRONT = [
 ]
 _DEFERRED = [
     # ---- round-10 additions (never driver-checked): lead the queue
-    # so they sit in slots 51-56 — inside the NEXT round's window per
+    # so they sit in slots 51-59 — inside the NEXT round's window per
     # the staleness bound's clause (c) — and are round 11's first
     # priority for driver rows.
     "q_burstiness_fano",
@@ -134,6 +134,9 @@ _DEFERRED = [
     "q_levene_test",
     "q_permutation_test",
     "q_matryoshka_audit",
+    "q_wasserstein_drift",
+    "q_tost_equivalence",
+    "q_g_test",
     # Rotation queue, oldest driver row first. The staleness-bound
     # test's clause (c) needs next round's candidates inside slots
     # 51-100: the r06 remainder (37) follows the round-10 additions.

@@ -6549,3 +6549,275 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((1 + F.col("n_extreme")) / F.lit(float(_PERM_B + 1))).alias("p_value"),
         )
     )
+
+
+@query(
+    "q_wasserstein_drift",
+    oracle="""
+    WITH tv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ct
+                FROM documents GROUP BY n_chars),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+           FROM documents GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    sv AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cs
+           FROM documents GROUP BY source, n_chars),
+    grid AS (SELECT ns.source, ns.n_src, tv.v, tv.ct,
+                    coalesce(sv.cs, 0) AS c_src
+             FROM ns CROSS JOIN tv
+             LEFT JOIN sv ON sv.source = ns.source AND sv.v = tv.v),
+    cum AS (SELECT source, n_src, v,
+                   CAST(sum(c_src) OVER (PARTITION BY source ORDER BY v)
+                        AS BIGINT) AS cum_src,
+                   CAST(sum(ct - c_src) OVER (PARTITION BY source ORDER BY v)
+                        AS BIGINT) AS cum_rest,
+                   lead(v) OVER (PARTITION BY source ORDER BY v) - v AS dv
+            FROM grid),
+    s AS (SELECT source, n_src,
+                 CAST(sum(abs(CAST(cum_src AS HUGEINT) * (n - n_src)
+                              - CAST(cum_rest AS HUGEINT) * n_src) * dv)
+                      AS HUGEINT) AS mass
+          FROM cum CROSS JOIN tot
+          WHERE dv IS NOT NULL AND n_src < n
+          GROUP BY source, n_src, n)
+    SELECT source, n_src AS n_docs,
+           CAST(mass AS DOUBLE)
+             / (CAST(n_src AS DOUBLE) * ((SELECT n FROM tot) - n_src)) AS w1
+    FROM s
+    """,
+)
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth mover's) distance between each source's
+    document-length distribution and the REST of the corpus — the
+    drift MAGNITUDE in the metric's own units (characters moved per
+    document), completing the drift triptych: `q_ks_drift` answers
+    "is any point of the CDF far" (sup-norm), `q_psi_drift` "did mass
+    re-weight across bins", W₁ "how much work to morph one
+    distribution into the other" (W₁ = ∫|F_A − F_B| dv, tail-
+    sensitive where KS is not).
+
+    Exactness: on the shared (source × distinct-value) grid the
+    integral is EXACTLY Σᵢ |cumA·n_B − cumB·n_A|·Δvᵢ / (n_A·n_B) over
+    consecutive distinct values — every summand an exact 128-bit
+    integer (cross-multiplied CDFs, the `q_permutation_test` device),
+    so w1 ships as ONE division of exact integers, unrounded.
+    Scale shape: identical to `q_ks_drift` — (value) and (source,
+    value) counts, a (sources × value-domain) grid join, and
+    source-partitioned windows only; the value domain is
+    schema-bounded, never corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tv = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sv = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    )
+    grid = (
+        ns.crossJoin(tv)
+        .join(sv, ["source", "v"], "left")
+        .select(
+            "source",
+            "n_src",
+            "v",
+            "ct",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("c_src"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("v")
+    cum = grid.select(
+        "source",
+        "n_src",
+        F.sum("c_src").over(w).cast("long").alias("cum_src"),
+        F.sum(F.col("ct") - F.col("c_src")).over(w).cast("long").alias("cum_rest"),
+        (F.lead("v").over(w) - F.col("v")).alias("dv"),
+    )
+    DEC = "decimal(38,0)"
+    term = (
+        F.abs(
+            F.col("cum_src").cast(DEC) * (F.col("n") - F.col("n_src"))
+            - F.col("cum_rest").cast(DEC) * F.col("n_src")
+        )
+        * F.col("dv")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("dv").isNotNull() & (F.col("n_src") < F.col("n")))
+        .groupBy("source", "n_src", "n")
+        .agg(F.sum(term).alias("mass"))
+        .select(
+            "source",
+            F.col("n_src").alias("n_docs"),
+            (
+                F.col("mass").cast("double")
+                / (F.col("n_src").cast("double") * (F.col("n") - F.col("n_src")))
+            ).alias("w1"),
+        )
+    )
+
+
+@query(
+    "q_tost_equivalence",
+    oracle="""
+    WITH d AS (SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g,
+                      CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE event_type IN ('view', 'click')
+               GROUP BY 1, 2),
+    m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+          FROM d GROUP BY g),
+    a AS (SELECT n AS n1, sx AS sx1, sxx AS sxx1 FROM m WHERE g = 1),
+    b AS (SELECT n AS n2, sx AS sx2, sxx AS sxx2 FROM m WHERE g = 0),
+    j AS (SELECT n1, n2,
+                 CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2 AS diff,
+                 0.1 * (CAST(sx1 AS DOUBLE) + sx2) / (n1 + n2) AS delta,
+                 sqrt(CAST(CAST(n1 AS HUGEINT) * sxx1
+                           - CAST(sx1 AS HUGEINT) * sx1 AS DOUBLE)
+                        / (n1 * (n1 - 1)) / n1
+                      + CAST(CAST(n2 AS HUGEINT) * sxx2
+                             - CAST(sx2 AS HUGEINT) * sx2 AS DOUBLE)
+                        / (n2 * (n2 - 1)) / n2) AS se
+          FROM a CROSS JOIN b)
+    SELECT n1, n2, diff, delta,
+           (diff + delta) / se AS t_lower,
+           (delta - diff) / se AS t_upper
+    FROM j
+    """,
+)
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence readout (two one-sided tests, Schuirmann
+    1987) for view-vs-click mean daily volume: where `q_welch_ttest`
+    asks "did the level DIFFER", TOST asks the question a migration
+    or A/A check actually needs — "is the difference provably WITHIN
+    ±δ" (absence of evidence of a difference is not evidence of
+    equivalence; TOST is). δ is 10% of the grand mean; the readout is
+    the two one-sided t statistics t_lower = (d+δ)/se and t_upper =
+    (δ−d)/se against Welch's standard error — both must clear the
+    critical value for equivalence, and shipping the statistics
+    rather than a verdict keeps libm's non-portable tail quantiles
+    out of the engine (the `q_ks_drift` fence convention in reverse).
+
+    Exactness: the same exact integer moments as Welch (128-bit
+    products), with diff/δ/se/t all FIXED float expressions over them
+    — bit-identical cross-engine, unrounded. Scale shape: one
+    (group, day) count, a 2-row moment frame, one 1×1 broadcast
+    join."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    d = ev.groupBy(
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("g"),
+        F.col("ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    xd = F.col("x").cast("decimal(38,0)")
+    m = d.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    a = m.filter(F.col("g") == 1).select(
+        F.col("n").alias("n1"), F.col("sx").alias("sx1"), F.col("sxx").alias("sxx1")
+    )
+    b = m.filter(F.col("g") == 0).select(
+        F.col("n").alias("n2"), F.col("sx").alias("sx2"), F.col("sxx").alias("sxx2")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    DEC = "decimal(38,0)"
+    m1 = F.col("sx1").cast("double") / F.col("n1")
+    m2 = F.col("sx2").cast("double") / F.col("n2")
+    diff = m1 - m2
+    delta = F.lit(0.1) * (F.col("sx1").cast("double") + F.col("sx2")) / (
+        F.col("n1") + F.col("n2")
+    )
+    v1 = (
+        F.col("n1").cast(DEC) * F.col("sxx1") - F.col("sx1").cast(DEC) * F.col("sx1")
+    ).cast("double") / (F.col("n1") * (F.col("n1") - 1))
+    v2 = (
+        F.col("n2").cast(DEC) * F.col("sxx2") - F.col("sx2").cast(DEC) * F.col("sx2")
+    ).cast("double") / (F.col("n2") * (F.col("n2") - 1))
+    se = F.sqrt(v1 / F.col("n1") + v2 / F.col("n2"))
+    return j.select(
+        "n1",
+        "n2",
+        diff.alias("diff"),
+        delta.alias("delta"),
+        ((diff + delta) / se).alias("t_lower"),
+        ((delta - diff) / se).alias("t_upper"),
+    )
+
+
+@query(
+    "q_g_test",
+    oracle="""
+    WITH cells AS (SELECT event_type AS a,
+                          CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS b,
+                          CAST(count(*) AS BIGINT) AS o
+                   FROM events GROUP BY 1, 2),
+    ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    grid AS (SELECT ra.a, cb.b, coalesce(cells.o, 0) AS o, ra.ra, cb.cb
+             FROM ra CROSS JOIN cb
+             LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b)
+    SELECT n,
+           CAST((SELECT count(*) FROM ra) - 1 AS BIGINT)
+             * ((SELECT count(*) FROM cb) - 1) AS dof,
+           round(2 * sum(CASE WHEN o > 0
+                              THEN o * ln(o * CAST(n AS DOUBLE) / (ra * cb))
+                              ELSE 0.0 END), 4) + 0.0 AS g2
+    FROM grid CROSS JOIN tot
+    GROUP BY n
+    """,
+)
+def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (log-likelihood ratio G² =
+    2ΣO·ln(O/E)) between event type and the high/low value regime —
+    the information-theoretic twin of `q_chi_square` on the SAME
+    contingency grid: G² is additive under partitioning and equals
+    2N·MI(nats), so it is the test statistic that decomposes cleanly
+    when a pipeline drills into sub-tables (Pearson's χ² does not).
+    Observed-zero cells contribute 0 to G (lim x·ln x = 0) but their
+    margins still shape every E — the grid is dense, the
+    `q_chi_square` discipline.
+
+    Exactness: cell counts and margins are exact BIGINTs; each grid
+    term is one fixed ln expression over them (O·ln(O·N/(R·C))),
+    summed over the ≤|types|·2 grid and absorbed by round(4) with
+    −0.0 normalization. Scale shape: one fact-sized groupBy that
+    map-side combines to r·c rows; margins and the grid are rollups
+    of the cell frame — no windows, no fact-sized joins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.when(F.col("value") >= 50.0, F.lit("high")).otherwise(F.lit("low")).alias("b"),
+    )
+    cells = ev.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    nra = ra.agg(F.count(F.lit(1)).cast("long").alias("r"))
+    ncb = cb.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = (
+        ra.crossJoin(cb)
+        .join(cells, ["a", "b"], "left")
+        .select("a", "b", F.coalesce(F.col("o"), F.lit(0)).alias("o"), "ra", "cb")
+    )
+    term = F.when(
+        F.col("o") > 0,
+        F.col("o")
+        * F.log(
+            F.col("o") * F.col("n").cast("double") / (F.col("ra") * F.col("cb"))
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg((F.round(2 * F.sum(term), 4) + F.lit(0.0)).alias("g2"))
+        .crossJoin(F.broadcast(nra))
+        .crossJoin(F.broadcast(ncb))
+        .select(
+            "n",
+            ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),
+            "g2",
+        )
+    )

@@ -82,3 +82,23 @@ def test_added_and_removed_queries_reported():
     assert rep["new_queries"] == ["q_new"]
     assert rep["removed_queries"] == ["q_old"]
     assert rep["n_pairs"] == 0
+
+
+def test_host_scale_median_and_floor(monkeypatch):
+    """_host_scale returns the MEDIAN sentinel fresh/steady ratio,
+    floored at 1.0 (a fast box never deflates the gate), and skips
+    sentinels without steady entries."""
+    readings = {"q_filter": 0.30, "q_tpch_q6": 0.78, "q_project_rekey": 0.25}
+    monkeypatch.setattr(
+        bench_diff, "_fresh_single", lambda q, sf: readings[q]
+    )
+    steady = {"q_filter": 0.10, "q_tpch_q6": 0.26, "q_project_rekey": 0.10}
+    scale, out = bench_diff._host_scale(steady, "ignored")
+    assert abs(scale - 3.0) < 1e-9 and set(out) == set(readings)
+    # fast box: ratios < 1 clamp to 1.0
+    monkeypatch.setattr(bench_diff, "_fresh_single", lambda q, sf: 0.01)
+    scale, _ = bench_diff._host_scale(steady, "ignored")
+    assert scale == 1.0
+    # missing steady entries are skipped, not divided by zero
+    scale, out = bench_diff._host_scale({"q_filter": 0.0}, "ignored")
+    assert scale == 1.0 and out == {}

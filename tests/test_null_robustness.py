@@ -48,6 +48,9 @@ REGRESSION = [
     "q_friedman_test",
     "q_levene_test",
     "q_permutation_test",
+    "q_wasserstein_drift",
+    "q_tost_equivalence",
+    "q_g_test",
 ]
 
 
@@ -182,6 +185,7 @@ def null_ts_dir(tmp_path_factory):
         "q_cochran_q",
         "q_levene_test",
         "q_permutation_test",
+        "q_tost_equivalence",
     ],
 )
 def test_paired_tests_match_oracle_under_null_ts(spark, null_ts_dir, name):

@@ -1004,12 +1004,35 @@ def test_kruskal_wallis_bucket_partitioned_ranks(spark):
 def test_winsorize_group_keyed_buckets(spark):
     """Winsorize's rank windows must partition by (group, bucket) —
     the keyed variant — so one dominant group still ranks in
-    parallel; no single-partition exchange may feed a Window."""
+    parallel; no single-partition exchange may feed a Window. Since
+    the r10 flatten (18 -> 3 exchanges) the rank pipeline sits behind
+    localCheckpoint lineage cuts, so (kruskal/spearman pattern) the
+    keyed window spec is asserted on the machinery directly and the
+    query-level plan is asserted flat."""
     import re
 
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.stats import (
+        bucketed_cumsum,
+    )
+
+    vc = spark.createDataFrame(
+        [("a", 1, 3), ("a", 2, 2), ("b", 1, 4)], "g string, v long, c long"
+    )
+    rank_plan = (
+        bucketed_cumsum(vc, "v", ["c"], partition_cols=["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(g" in rank_plan, rank_plan
+    assert not re.search(
+        r"Window .{0,400}?Exchange SinglePartition", rank_plan, re.S
+    ), rank_plan
+
     plan = _plan(spark, "q_winsorize")
-    assert "windowspecdefinition(g" in plan, plan
     assert not re.search(r"Window .{0,400}?Exchange SinglePartition", plan, re.S), plan
+    n_ex = len(re.findall(r"\bExchange ", plan))
+    assert n_ex <= 6, f"flattened winsorize regressed to {n_ex} exchanges:\n" + plan
 
 
 def test_k_anonymity_single_partial_agg(spark):

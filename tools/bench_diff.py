@@ -132,6 +132,37 @@ def diff(
     }
 
 
+# Host-drift sentinels (round 10): trivial-plan queries nobody's
+# change touches — scan+filter, scan+agg, scan+project. When the
+# HOST is slower than when BENCH_STEADY was measured (shared-VM
+# steal, thermal), every fresh-JVM figure inflates together; the
+# sentinels' fresh/steady ratio measures that inflation so a
+# candidate whose fresh time is within the SCALED noise floor is
+# excused as drift, not misread as a plan regression (observed this
+# round: untouched q_rfm_segments flagged at 3.1x while q_filter and
+# q_tpch_q6 ran 2.4-3x their steady entries on the same box).
+_DRIFT_SENTINELS = ("q_filter", "q_tpch_q6", "q_project_rekey")
+
+
+def _host_scale(steady: dict[str, float], sf_dir: str) -> tuple[float, dict]:
+    """Median fresh/steady ratio over the sentinels (1.0 floor)."""
+    ratios, readings = [], {}
+    for q in _DRIFT_SENTINELS:
+        s = steady.get(q, 0.0)
+        if s <= 0:
+            continue
+        try:
+            t = _fresh_single(q, sf_dir)
+        except Exception:
+            continue
+        readings[q] = {"fresh_sec": t, "steady_sec": s, "ratio": round(t / s, 2)}
+        ratios.append(t / s)
+    if not ratios:
+        return 1.0, readings
+    ratios.sort()
+    return max(1.0, ratios[len(ratios) // 2]), readings
+
+
 def _fresh_single(name: str, sf_dir: str) -> float:
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--single", name],
@@ -209,6 +240,30 @@ def main() -> int:
             if r["query"] in fresh:
                 r["fresh_sec"] = fresh[r["query"]]
         report["rechecked"] = sorted(fresh)
+        # host-drift excusal: only engaged when the sentinels say the
+        # box is measurably slower than the steady era (>1.2x), and
+        # only for candidates whose FRESH time fits the scaled floor
+        if report["n_regressions"]:
+            scale, readings = _host_scale(steady, args.sf_dir)
+            report["host_scale"] = round(scale, 2)
+            report["host_sentinels"] = readings
+            if scale > 1.2:
+                for r in report["regressions"]:
+                    s = r.get("steady_sec") or 0.0
+                    f2 = r.get("fresh_sec")
+                    if (
+                        not r["excused_by_family"]
+                        and f2 is not None
+                        and s > 0
+                        and f2 <= 2 * s * scale
+                    ):
+                        r["excused_by_host_drift"] = True
+                report["n_regressions"] = sum(
+                    1
+                    for r in report["regressions"]
+                    if not r["excused_by_family"]
+                    and not r.get("excused_by_host_drift")
+                )
     report["stale_steady_entries"] = sorted(stale_floor)
     out = os.path.join(REPO, f"BENCH_DIFF_r{args.round:02d}.json")
     with open(out, "w") as f:
