@@ -155,3 +155,68 @@ def l_diversity_profile(
             (F.col("l_distinct") < l).alias("at_risk"),
         )
     )
+
+
+def t_closeness_profile(
+    df: DataFrame,
+    qid_cols: list["Column"],
+    names: list[str],
+    sensitive: "Column",
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    attack surface l-diversity still misses: a class can hold l
+    distinct sensitive values yet leak because its sensitive
+    DISTRIBUTION is skewed far from the table's (e.g. 90% of one
+    rare value). Per equivalence class: the Earth Mover's Distance
+    between the class-conditional sensitive distribution and the
+    global one, which for a categorical attribute under unit ground
+    distance is the total variation distance
+    ½·Σ_s |p_class(s) − p_global(s)|; at_risk = distance > t.
+
+    Exactness: on the dense class × sensitive-value grid the distance
+    is Σ_s |c_cs·N − C_s·n_c| / (2·n_c·N) — every summand an exact
+    128-bit integer (cross-multiplied proportions, the
+    `q_wasserstein_drift` device), so the distance ships as ONE
+    division of exact integers, unrounded. Scale shape: one
+    (QID, sensitive) count (the only fact-sized shuffle, map-side
+    combined to the domain grid), class/global rollups of it, and a
+    grid join — all domain-sized."""
+    qs = df.groupBy(
+        *[c.alias(n) for c, n in zip(qid_cols, names)], sensitive.alias("_s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cls = qs.groupBy(*names).agg(F.sum("c").cast("long").alias("class_size"))
+    sens = qs.groupBy("_s").agg(F.sum("c").cast("long").alias("cs"))
+    tot = qs.agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        cls.crossJoin(F.broadcast(sens))
+        .join(qs, [*names, "_s"], "left")
+        .select(
+            *names,
+            "class_size",
+            "cs",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    DEC = "decimal(38,0)"
+    dev = F.abs(
+        F.col("c").cast(DEC) * F.col("n") - F.col("cs").cast(DEC) * F.col("class_size")
+    )
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .groupBy(*names, "class_size", "n")
+        .agg(F.sum(dev).alias("dev"))
+        .select(
+            *names,
+            "class_size",
+            (
+                F.col("dev").cast("double")
+                / (2 * F.col("class_size").cast("double") * F.col("n"))
+            ).alias("tvd"),
+            (
+                F.col("dev").cast("double")
+                / (2 * F.col("class_size").cast("double") * F.col("n"))
+                > t
+            ).alias("at_risk"),
+        )
+    )

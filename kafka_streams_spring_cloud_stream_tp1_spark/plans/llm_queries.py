@@ -5516,3 +5516,171 @@ def q_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_below_half"),
         )
     )
+
+
+_TCLOSE_T = 0.2
+
+
+@query(
+    "q_t_closeness",
+    oracle=f"""
+    WITH qs AS (SELECT lang, n_chars // 100 AS len_bucket, source AS _s,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY lang, len_bucket, source),
+    cls AS (SELECT lang, len_bucket, CAST(sum(c) AS BIGINT) AS class_size
+            FROM qs GROUP BY lang, len_bucket),
+    sens AS (SELECT _s, CAST(sum(c) AS BIGINT) AS cs FROM qs GROUP BY _s),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM qs),
+    grid AS (SELECT cls.lang, cls.len_bucket, cls.class_size, sens._s,
+                    sens.cs, coalesce(qs.c, 0) AS c
+             FROM cls CROSS JOIN sens
+             LEFT JOIN qs ON qs.lang = cls.lang
+                         AND qs.len_bucket = cls.len_bucket
+                         AND qs._s = sens._s)
+    SELECT lang, len_bucket, class_size,
+           CAST(sum(abs(CAST(c AS HUGEINT) * n
+                        - CAST(cs AS HUGEINT) * class_size)) AS DOUBLE)
+             / (2 * CAST(class_size AS DOUBLE) * n) AS tvd,
+           CAST(sum(abs(CAST(c AS HUGEINT) * n
+                        - CAST(cs AS HUGEINT) * class_size)) AS DOUBLE)
+             / (2 * CAST(class_size AS DOUBLE) * n) > {_TCLOSE_T} AS at_risk
+    FROM grid CROSS JOIN tot
+    GROUP BY lang, len_bucket, class_size, n
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) over QID (lang, length
+    bucket) with `source` sensitive — completes the release-gate
+    triptych: `q_k_anonymity` (class big enough), `q_l_diversity`
+    (values diverse enough), t-closeness (distribution CLOSE enough
+    to the table's — a class can pass both and still leak via skew).
+    Per class: the categorical Earth Mover's Distance (= total
+    variation) between the class-conditional and global source
+    distributions, flagged against t = 0.2.
+
+    Exactness & scale: `operators/privacy.py::t_closeness_profile` —
+    cross-multiplied exact-integer proportions on the dense
+    class × source grid (the `q_wasserstein_drift` device), one
+    unrounded division per class; one fact-sized (QID, sensitive)
+    count, then domain-sized rollups and a grid join."""
+    from ..operators.privacy import t_closeness_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return t_closeness_profile(
+        docs,
+        [F.col("lang"), F.floor(F.col("n_chars") / 100).cast("long")],
+        ["lang", "len_bucket"],
+        F.col("source"),
+        t=_TCLOSE_T,
+    )
+
+
+@query(
+    "q_cumulative_gains",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS score,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS np
+               FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+                   CAST(sum(np) AS BIGINT) AS s FROM u),
+    lab AS (SELECT score,
+                   CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN np * (SELECT nu FROM tot)
+                                      > (SELECT s FROM tot)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c1
+            FROM u GROUP BY score),
+    cum AS (SELECT score,
+                   CAST(sum(c) OVER (ORDER BY score DESC) AS BIGINT) AS pop_ge,
+                   CAST(sum(c1) OVER (ORDER BY score DESC) AS BIGINT) AS pos_ge
+            FROM lab),
+    base AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                    CAST(sum(c1) AS BIGINT) AS p FROM lab)
+    SELECT score AS score_cutoff,
+           pop_ge AS n_targeted,
+           pos_ge AS n_captured,
+           CAST(pop_ge AS DOUBLE) / n AS pop_share,
+           CAST(pos_ge AS DOUBLE) / p AS capture_rate,
+           (CAST(pos_ge AS DOUBLE) * n) / (CAST(pop_ge AS DOUBLE) * p) AS lift
+    FROM cum CROSS JOIN base
+    WHERE p > 0
+    """,
+)
+def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / CAP curve for the view-volume propensity
+    signal: at every score cutoff, what fraction of the population a
+    campaign would target and what fraction of true positives
+    (above-average purchasers, `q_auc_propensity`'s label) it would
+    capture, plus the lift over random targeting — the
+    decile-table readout marketing/model-eval stacks pair with AUC
+    (AUC summarizes this curve; campaigns read the curve itself to
+    pick the cutoff).
+
+    Exactness: per-distinct-score (units, positives) counts are
+    exact; the descending cumulative runs over the SCORE DOMAIN
+    (activity-bounded, never unit-grain); pop_share / capture_rate /
+    lift are divisions of exact BIGINTs — bit-identical, unrounded.
+    Scale shape: one user-keyed aggregate (the only fact-sized
+    shuffle), a broadcast 1-row label threshold, score-domain
+    cumulative and rollups."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("score"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np"),
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("np").cast("long").alias("s"),
+    )
+    lab = (
+        u.crossJoin(F.broadcast(tot))
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(
+                F.when(F.col("np") * F.col("nu") > F.col("s"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    # score-domain frame: the descending cumulative partitions by the
+    # value bucket via ORDER BY score DESC over a domain-bounded frame
+    # (activity domain — hundreds of rows at any corpus size), the
+    # same k-bounded-global-sort discipline as the Wilcoxon window
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = lab.select(
+        "score",
+        F.sum("c").over(w).cast("long").alias("pop_ge"),
+        F.sum("c1").over(w).cast("long").alias("pos_ge"),
+    )
+    base = lab.agg(
+        F.sum("c").cast("long").alias("n"), F.sum("c1").cast("long").alias("p")
+    )
+    return (
+        cum.crossJoin(F.broadcast(base))
+        .filter(F.col("p") > 0)
+        .select(
+            F.col("score").alias("score_cutoff"),
+            F.col("pop_ge").alias("n_targeted"),
+            F.col("pos_ge").alias("n_captured"),
+            (F.col("pop_ge").cast("double") / F.col("n")).alias("pop_share"),
+            (F.col("pos_ge").cast("double") / F.col("p")).alias("capture_rate"),
+            (
+                (F.col("pos_ge").cast("double") * F.col("n"))
+                / (F.col("pop_ge").cast("double") * F.col("p"))
+            ).alias("lift"),
+        )
+    )

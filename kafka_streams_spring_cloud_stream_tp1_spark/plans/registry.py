@@ -125,7 +125,7 @@ _FRONT = [
 ]
 _DEFERRED = [
     # ---- round-10 additions (never driver-checked): lead the queue
-    # so they sit in slots 51-59 — inside the NEXT round's window per
+    # so they sit in slots 51-61 — inside the NEXT round's window per
     # the staleness bound's clause (c) — and are round 11's first
     # priority for driver rows.
     "q_burstiness_fano",
@@ -137,6 +137,8 @@ _DEFERRED = [
     "q_wasserstein_drift",
     "q_tost_equivalence",
     "q_g_test",
+    "q_t_closeness",
+    "q_cumulative_gains",
     # Rotation queue, oldest driver row first. The staleness-bound
     # test's clause (c) needs next round's candidates inside slots
     # 51-100: the r06 remainder (37) follows the round-10 additions.

@@ -51,6 +51,8 @@ REGRESSION = [
     "q_wasserstein_drift",
     "q_tost_equivalence",
     "q_g_test",
+    "q_t_closeness",
+    "q_cumulative_gains",
 ]
 
 
