@@ -157,25 +157,25 @@ def main() -> None:
         key=lambda n: -timings[n],
     )[:5]
     spark.stop()
+    # let the main JVM actually exit: spark.stop() returns before
+    # the 32-thread JVM tears down, and a fresh JVM racing that
+    # shutdown measured 3x inflated (r5: q_pagerank 14.7 s in the
+    # recheck vs 4.5 s seconds later on an idle box)
+    time.sleep(5)
+
+    import subprocess
+
+    def fresh_single(name: str) -> float:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", name],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        return float(proc.stdout.strip().splitlines()[-1])
+
     if suspects:
-        import subprocess
-
-        # let the main JVM actually exit: spark.stop() returns before
-        # the 32-thread JVM tears down, and a fresh JVM racing that
-        # shutdown measured 3x inflated (r5: q_pagerank 14.7 s in the
-        # recheck vs 4.5 s seconds later on an idle box)
-        time.sleep(5)
-
-        def fresh_single(name: str) -> float:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", name],
-                capture_output=True,
-                text=True,
-                timeout=600,
-                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-            )
-            return float(proc.stdout.strip().splitlines()[-1])
-
         for name in suspects:
             try:
                 fresh = fresh_single(name)
@@ -189,6 +189,38 @@ def main() -> None:
                 # but say so, a silent recheck failure reads as an
                 # honest slow query
                 print(f"fresh recheck failed for {name}: {exc!r}", file=sys.stderr)
+
+    # Host-drift sentinels (VERDICT r10 #5): three scan-only queries
+    # re-measured in their own fresh JVMs, recorded as fresh/steady
+    # ratios INSIDE the bench artifact — cross-round comparisons then
+    # self-normalize (a uniformly slow co-tenant window reads as
+    # median_ratio ≈ its drift, not as 254 plan regressions) without
+    # bench_diff having to re-measure after the fact.
+    SENTINELS = ("q_filter", "q_tpch_q6", "q_project_rekey")
+    sent_readings: dict[str, dict] = {}
+    sent_ratios: list[float] = []
+    for name in SENTINELS:
+        s = steady.get(name, 0.0)
+        if s <= 0:
+            continue
+        try:
+            t = fresh_single(name)
+        except Exception as exc:
+            print(f"sentinel measurement failed for {name}: {exc!r}", file=sys.stderr)
+            continue
+        sent_readings[name] = {
+            "fresh_sec": round(t, 4),
+            "steady_sec": s,
+            "ratio": round(t / s, 2),
+        }
+        sent_ratios.append(t / s)
+    sent_ratios.sort()
+    host_scale = {
+        "median_ratio": round(
+            max(1.0, sent_ratios[len(sent_ratios) // 2]) if sent_ratios else 1.0, 2
+        ),
+        "sentinels": sent_readings,
+    }
 
     total = round(sum(timings.values()), 4)
     sf = _sf_of(sf_dir)
@@ -206,6 +238,7 @@ def main() -> None:
             **{k: round(v, 3) for k, v in slowest.items()},
         },
         "sf": sf,
+        "host_scale": host_scale["median_ratio"],
     }
     detail = {
         "metric": "total_query_time",
@@ -213,6 +246,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "host_scale": host_scale,
     }
     print(json.dumps(summary, separators=(",", ":")))
     print(json.dumps(detail, separators=(",", ":")))

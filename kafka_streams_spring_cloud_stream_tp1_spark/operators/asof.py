@@ -43,7 +43,17 @@ def asof_join(
     tie-ambiguous. ``payload_cols`` must not collide with left-side
     column names — the output carries both sets side by side, so a
     collision would produce two identically-named columns that only
-    blow up downstream; rejected eagerly here instead."""
+    blow up downstream; rejected eagerly here instead.
+
+    NULL-time contract (null-sweep r11): a right row with UNKNOWN time
+    can never be "the most recent prior" — it is dropped here (left
+    in, it would sort NULLS-FIRST ahead of every timed row and become
+    a phantom fallback fill for left rows with no real prior). A left
+    row with unknown time keeps its row with NULL payload: NULLS FIRST
+    parks it before every timed right row, so its fill prefix is
+    empty. DuckDB's native ASOF instead hands a NULL-ts probe the
+    NEWEST right row — oracles must split untimed probes out."""
+    right = right.filter(F.col(right_ts).isNotNull())
     clash = set(payload_cols) & set(left.columns)
     if clash:
         raise ValueError(
@@ -65,10 +75,12 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
     )
-    # right rows order before left rows at equal __t → "at or before"
+    # right rows order before left rows at equal __t → "at or before";
+    # nulls_first pins untimed LEFT rows ahead of every timed right
+    # row (empty fill prefix → NULL payload, see the NULL contract)
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__t").asc_nulls_first(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tagged.unionByName(r_tagged).select(

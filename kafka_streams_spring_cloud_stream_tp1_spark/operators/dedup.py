@@ -130,9 +130,19 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", normalized: bool =
     """Group documents by content hash; emit one row per document with
     its canonical (minimum) doc_id and the group size. ``normalized``
     hashes the sorted unique token bag (word-order/repetition
-    invariant) instead of the raw bytes."""
+    invariant) instead of the raw bytes.
+
+    NULL contract (null-sweep r11): NULL text has NO content key —
+    unfetched content cannot be deduplicated, and hashing it to the
+    empty string would collapse every failed fetch into one giant
+    "duplicate" group. The NULL key drops at the inner group join in
+    both engines (concat_ws would otherwise swallow the NULL into
+    '')."""
     key = (
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))),
+        )
         if normalized
         else F.md5(F.col(text_col))
     )

@@ -188,9 +188,22 @@ def t_closeness_profile(
     cls = qs.groupBy(*names).agg(F.sum("c").cast("long").alias("class_size"))
     sens = qs.groupBy("_s").agg(F.sum("c").cast("long").alias("cs"))
     tot = qs.agg(F.sum("c").cast("long").alias("n"))
+    # null-safe grid join (ADVICE r10, the chi_square_independence
+    # discipline): a NULL sensitive value or NULL QID level is a
+    # legitimate cell — a plain equi-join would zero its observed
+    # count while cls/sens/tot still carry its mass, inflating
+    # tvd/at_risk for every class containing NULLs.
+    qs2 = qs.select(
+        *[F.col(n).alias(f"_q_{n}") for n in names],
+        F.col("_s").alias("_qs_s"),
+        "c",
+    )
+    cond = F.col("_s").eqNullSafe(F.col("_qs_s"))
+    for n in names:
+        cond = cond & F.col(n).eqNullSafe(F.col(f"_q_{n}"))
     grid = (
         cls.crossJoin(F.broadcast(sens))
-        .join(qs, [*names, "_s"], "left")
+        .join(qs2, cond, "left")
         .select(
             *names,
             "class_size",

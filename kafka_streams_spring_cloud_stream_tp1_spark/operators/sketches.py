@@ -117,7 +117,10 @@ def kmv_mins(
 
         state: dict = {}
         for pdf in batches:
-            for grp, sub in pdf.groupby("grp", sort=False):
+            # dropna=False: a NULL group is a legitimate segment —
+            # pandas' default silently dropped every unlabeled row's
+            # sketch (null-sweep r11)
+            for grp, sub in pdf.groupby("grp", sort=False, dropna=False):
                 hs = sub["h"].to_numpy()
                 cur = state.get(grp)
                 merged = np.concatenate([cur, hs]) if cur is not None else hs

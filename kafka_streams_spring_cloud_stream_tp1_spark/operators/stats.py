@@ -719,9 +719,15 @@ def kruskal_wallis(df: DataFrame, value: str, group: str) -> DataFrame:
     ranks via `bucketed_cumsum` (no single-partition window); a
     value-keyed join of the (g,v) cells against the rank table; one
     k-row aggregate then one scalar row. Output one row:
-    (n, k, h, dof, tie_corr)."""
-    gv = df.groupBy(F.col(group).alias("g"), F.col(value).alias("v")).agg(
-        F.count(F.lit(1)).cast("long").alias("c_gv")
+    (n, k, h, dof, tie_corr).
+
+    NULL contract (null-sweep r11): a NULL value is not a sample — it
+    has no rank (Spark would park it FIRST in the cumulative, DuckDB
+    LAST), so it is filtered from the population in both engines."""
+    gv = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(F.col(group).alias("g"), F.col(value).alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_gv"))
     )
     # (group × value)-cell grain — referenced by the rank pipeline AND
     # the per-group join below; the cut stops each reference replaying
@@ -793,7 +799,12 @@ def winsorized_stats(
     no group ever sorts on one partition even when a single group is
     a large fraction of the corpus (the exact skew that kills a naive
     per-key global window at 100 TB). The winsorized mean's float sum
-    spans distinct-value cells; round(4) absorbs summation order."""
+    spans distinct-value cells; round(4) absorbs summation order.
+
+    NULL contract (null-sweep r11): a NULL value has no rank (the
+    engines disagree on where it sorts), so NULL-value rows are
+    filtered from the population in both engines."""
+    df = df.filter(F.col(value).isNotNull())
     # (group, value)-cell grain, referenced by the rank pipeline AND
     # the per-group totals; the keyed cumulative output feeds both the
     # bound lookup and the clip rollup — cut both so no reference
@@ -869,7 +880,16 @@ def psi_drift(
 
     Plan: one fact-sized (group, bin) count, a bin-grain grid join
     (groups × ≤B bins), one group-keyed aggregate. No windows, no
-    corpus-sized joins."""
+    corpus-sized joins. The cell frame is lineage-cut
+    (localCheckpoint, the `q_winsorize` flattening — VERDICT r10 #3)
+    so the margin rollups, the grid join, and the totals all replan
+    from the domain-sized cell table instead of re-carrying the fact
+    scan's exchange subtree; the grid join is NULL-SAFE (a NULL group
+    is a legitimate level — the chi_square_independence discipline).
+    NULL contract (null-sweep r11): a NULL value has no bin (min/max
+    ignore it on both engines, and the engines disagree on where NULL
+    sorts), so NULL-value rows are filtered from the population."""
+    df = df.filter(F.col(value_col).isNotNull())
     rng = df.agg(F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax"))
     span = F.col("vmax") - F.col("vmin")
     bin_ = (
@@ -886,17 +906,24 @@ def psi_drift(
     binned = df.crossJoin(F.broadcast(rng)).select(
         F.col(group_col).alias("g"), bin_.alias("b")
     )
-    gb = binned.groupBy("g", "b").agg(F.count(F.lit(1)).cast("long").alias("c_gb"))
-    # Margins re-aggregate the (group, bin) CELL frame, not the corpus:
-    # all three branches then share gb's exchange subtree, which the
-    # physical planner deduplicates (ReusedExchange) — one fact scan
-    # total, where aggregating `binned` directly planned four.
+    gb = (
+        binned.groupBy("g", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_gb"))
+        .localCheckpoint(eager=False)
+    )
     bc = gb.groupBy("b").agg(F.sum("c_gb").cast("long").alias("c_b"))
     ng = gb.groupBy("g").agg(F.sum("c_gb").cast("long").alias("n_g"))
     tot = gb.agg(F.sum("c_gb").cast("long").alias("n"))
+    cell2 = gb.select(
+        F.col("g").alias("_cg"), F.col("b").alias("_cb"), "c_gb"
+    )
     grid = (
         bc.crossJoin(F.broadcast(ng))
-        .join(gb, ["g", "b"], "left")
+        .join(
+            cell2,
+            F.col("g").eqNullSafe(F.col("_cg")) & F.col("b").eqNullSafe(F.col("_cb")),
+            "left",
+        )
         .withColumn("c_gb", F.coalesce(F.col("c_gb"), F.lit(0)))
         .crossJoin(F.broadcast(tot))
         .filter(F.col("n_g") < F.col("n"))

@@ -248,10 +248,16 @@ def with_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     functions are interpreted expressions in Spark, ~10× slower per
     element than the same hash inside whole-stage codegen."""
     t = tokens(text_col)
+    # NULL text => every fingerprint NULL (null-sweep r11): md5(NULL)
+    # is NULL by itself, but concat_ws would swallow a NULL token
+    # array into '' and fingerprint every failed fetch identically
     base = fan_out(df).select(
         "doc_id",
         F.md5(F.col(text_col)).alias("fp_exact"),
-        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))).alias("fp_tokenset"),
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(t)))),
+        ).alias("fp_tokenset"),
         word_ngrams(t, 3).alias("shingles"),
     )
     # explode_outer, NOT explode: inner explode makes Catalyst infer a

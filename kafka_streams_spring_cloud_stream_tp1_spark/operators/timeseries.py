@@ -76,7 +76,12 @@ def ewma_last(
     if segment_len < 1:
         raise ValueError(f"segment_len must be >= 1, got {segment_len}")
 
-    w = Window.partitionBy(key).orderBy(*order_cols)
+    # NULLS LAST pinned (null-sweep r11): Spark's NULLS FIRST default
+    # vs DuckDB's NULLS LAST would renumber rows around an untimed
+    # event and shift every downstream segment boundary
+    w = Window.partitionBy(key).orderBy(
+        *[F.col(c).asc_nulls_last() for c in order_cols]
+    )
     numbered = df.select(key, *order_cols, value_col).select(
         key, value_col, F.row_number().over(w).alias("rn")
     )

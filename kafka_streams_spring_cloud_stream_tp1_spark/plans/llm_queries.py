@@ -195,7 +195,7 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(bga.maxc::DOUBLE / nullif(bga.tot, 0), 4) AS top_bigram_frac,
            round(tga.dups::DOUBLE / nullif(tga.tot, 0), 4) AS dup_trigram_frac
     FROM g
-    JOIN toka USING (doc_id)
+    LEFT JOIN toka USING (doc_id)
     LEFT JOIN bga USING (doc_id)
     LEFT JOIN tga ON tga.doc_id = g.doc_id
     """,
@@ -205,7 +205,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, duplicated-trigram fraction) — computed as in-row sorted
     run-length folds, so the whole query is one shuffle-free codegen
     projection (operators/text.py::with_repetition_stats); the oracle
-    replays it relationally with unnest + GROUP BY."""
+    replays it relationally with unnest + GROUP BY. NULL text keeps
+    its row with NULL metrics (left joins — null-sweep r11): the
+    quality table stays doc-complete even for failed fetches."""
     return T.with_repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
@@ -756,7 +758,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            octet_length(encode(text))::BIGINT AS n_bytes,
            md5(text) AS digest,
-           'application/octet-stream' AS kind,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE 'application/octet-stream' END AS kind,
            CAST(NULL AS BIGINT) AS width,
            CAST(NULL AS BIGINT) AS height
     FROM documents
@@ -768,7 +771,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     optional Pillow dependency — operators/multimodal.py). Byte
     features are exact and width/height are NULL for these text
     payloads with or without Pillow, so the Python path is fully
-    oracle-checked in every environment."""
+    oracle-checked in every environment. A NULL payload (failed
+    fetch) has nothing to sniff — every feature NULL, row kept
+    (null-sweep r11)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_binary_payload(docs))
 
@@ -795,8 +800,10 @@ _WAV_SR = 8000
     "q_audio_features",
     oracle=f"""
     SELECT doc_id,
-           1::INTEGER AS n_channels,
-           {_WAV_SR}::INTEGER AS sample_rate,
+           CASE WHEN text IS NULL THEN NULL ELSE 1 END::INTEGER
+               AS n_channels,
+           CASE WHEN text IS NULL THEN NULL ELSE {_WAV_SR} END::INTEGER
+               AS sample_rate,
            octet_length(encode(text))::BIGINT AS n_frames,
            octet_length(encode(text)) / {_WAV_SR}.0 AS duration_s
     FROM documents
@@ -812,7 +819,8 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer ratio, bit-identical cross-engine), so DuckDB
     verifies the decode itself, not just the plumbing. Non-WAV
     formats gate behind an optional soundfile import, mirroring the
-    Pillow gate on the image path."""
+    Pillow gate on the image path. A NULL payload decodes to nothing
+    — every feature NULL, row kept (null-sweep r11)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_audio_features(M.attach_wav_payload(docs, sample_rate=_WAV_SR))
 
@@ -834,14 +842,18 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                   greatest(0.0, least(100.0,
                       100.0 - 10.0 * (w / s / 10.0) - 50.0 * (lw::DOUBLE / w))) AS raw
            FROM t)
-    SELECT doc_id, floor(raw * 10000 + 0.5) / 10000 AS readability FROM sc
+    SELECT t.doc_id,
+           CASE WHEN t.text IS NULL THEN NULL
+                ELSE floor(raw * 10000 + 0.5) / 10000 END AS readability
+    FROM t JOIN sc USING (doc_id)
     """,
 )
 def q_readability_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar Pandas UDF (Arrow-batched, vectorized pandas ops): a
     readability heuristic the oracle replays arithmetically — rounding
     is explicit floor(x*1e4+0.5)/1e4 on BOTH sides because pandas
-    .round is banker's and SQL round is half-away."""
+    .round is banker's and SQL round is half-away. NULL text scores
+    NULL, row kept (null-sweep r11)."""
     from ..operators.udx import with_readability
 
     return with_readability(load_table(spark, sf_dir, "documents"))
@@ -865,7 +877,8 @@ def q_weighted_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared by the chunking query's oracle and the sequence-packing oracle
 _CHUNKS_SQL = r"""
-    WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w FROM documents),
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+               FROM documents WHERE text IS NOT NULL),
     s AS (SELECT doc_id, w,
                  unnest(range(0, greatest(len(w) - 8, 1), 56)) AS start
           FROM t)
@@ -881,7 +894,9 @@ _CHUNKS_SQL = r"""
 def q_chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via lateral join: one document row → many
     overlapping 64-token chunks with 8-token overlap (context-window
-    chunking). Pure integer/string logic → exact oracle."""
+    chunking). Pure integer/string logic → exact oracle. NULL text
+    yields ZERO chunks on both sides (null-sweep r11): nothing was
+    fetched, nothing enters the training stream."""
     from ..operators.udx import chunk_documents
 
     return chunk_documents(load_table(spark, sf_dir, "documents"))
@@ -3106,8 +3121,15 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # NULL text has no fingerprint and cannot leak (null-sweep r11):
+    # concat_ws would swallow the NULL into '' and report every failed
+    # fetch as one cross-split "leak"; the NULL fp drops at the
+    # self-join in both engines (DuckDB's md5(NULL) is NULL already)
     d = with_split(docs.select("doc_id", "text"), _SPLIT_FRACS).select(
-        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 5))).alias("fp"),
+        F.when(
+            F.col("text").isNotNull(),
+            F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 5))),
+        ).alias("fp"),
         "split",
     )
     fs = d.distinct()
@@ -5534,9 +5556,9 @@ _TCLOSE_T = 0.2
     grid AS (SELECT cls.lang, cls.len_bucket, cls.class_size, sens._s,
                     sens.cs, coalesce(qs.c, 0) AS c
              FROM cls CROSS JOIN sens
-             LEFT JOIN qs ON qs.lang = cls.lang
-                         AND qs.len_bucket = cls.len_bucket
-                         AND qs._s = sens._s)
+             LEFT JOIN qs ON qs.lang IS NOT DISTINCT FROM cls.lang
+                         AND qs.len_bucket IS NOT DISTINCT FROM cls.len_bucket
+                         AND qs._s IS NOT DISTINCT FROM sens._s)
     SELECT lang, len_bucket, class_size,
            CAST(sum(abs(CAST(c AS HUGEINT) * n
                         - CAST(cs AS HUGEINT) * class_size)) AS DOUBLE)
@@ -5630,6 +5652,10 @@ def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
+    # user-grain propensity frame (users ≪ events), lineage-cut (the
+    # q_winsorize flattening, VERDICT r10 #3): consumed by the label
+    # threshold, the score rollup, and the totals — without the cut
+    # each consumer re-plans the fact scan's exchange subtree
     u = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
         .cast("long")
@@ -5637,7 +5663,7 @@ def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("long")
         .alias("np"),
-    )
+    ).localCheckpoint(eager=False)
     tot = u.agg(
         F.count(F.lit(1)).cast("long").alias("nu"),
         F.sum("np").cast("long").alias("s"),

@@ -60,14 +60,17 @@ def q_project_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_BUCKET5} AS window_start,
            count(*) AS cnt
     FROM events
-    WHERE value > 100
+    WHERE value > 100 AND ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
 def q_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship — F1∘P1∘G1∘W1∘A1∘P2: filtered per-page 5 s tumbling
     counts (the reference's whole topology,
-    PageEventHandler.java:51-57). One shuffle, partial+final hash agg."""
+    PageEventHandler.java:51-57). One shuffle, partial+final hash agg.
+    NULL contract: Spark's `window()` drops NULL event times — the
+    same record contract Kafka Streams applies to invalid-timestamp
+    records — so the oracle filters ts IS NOT NULL (null-sweep r11)."""
     events = load_table(spark, sf_dir, "events")
     return ops.unwrap_windowed_key(ops.windowed_page_counts(events), keep_bounds=False)
 
@@ -80,7 +83,7 @@ def q_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_BUCKET5} + INTERVAL 5 SECOND AS window_end,
            count(*) AS cnt
     FROM events
-    WHERE value > 100
+    WHERE value > 100 AND ts IS NOT NULL
     GROUP BY 1, 2, 3
     """,
 )

@@ -57,77 +57,11 @@ def _ensure_loaded() -> None:
 #      wherever they sit, so they don't occupy checked slots EXCEPT
 #      the one round that records their first-ever rows-only row.
 _FRONT = [
-    # ---- ROUND-10 WINDOW (executes VERDICT r09 #1): _FRONT is
-    # exactly the 50 driver slots; everything else queues in
-    # _DEFERRED in rotation order (oldest driver row first).
-    # Slots 1-8: the 8 round-9 additions — the only
-    # oracle-backed queries with NO driver CORRECTNESS row (the
-    # r9 judge re-ran the driver protocol on all 8 at sf0.01 and
-    # they passed, so a red here signals protocol drift).
-    "q_leadlag_xcorr",
-    "q_wilcoxon_signed_rank",
-    "q_mcnemar",
-    "q_dedup_clusters_incremental",
-    "q_knn_hubness",
-    "q_event_paths",
-    "q_token_conditional_entropy",
-    "q_cms_frequency",
-    # Slots 9-14: the 6 remaining r04-era stale entries —
-    # draining these closes the cumulative ledger at 243/243.
-    "q_chunk_dedup_rewrite",
-    "q_cluster_canonical",
-    "q_corpus_diff",
-    "q_embedding_norm_outliers",
-    "q_feature_hashing",
-    "q_lang_entropy",
-    # Slots 15-42: the full r05-era cohort (28 queries, last
-    # driver-checked in CORRECTNESS_r05 — outside the 4-round
-    # staleness lookback once r10 lands).
-    "q_agg_correlation",
-    "q_asof_join",
-    "q_bm25",
-    "q_bpe_pair_counts",
-    "q_data_pipeline",
-    "q_dedup_clusters",
-    "q_dedup_ngram_jaccard",
-    "q_dup_chunk_fraction",
-    "q_exact_percentiles",
-    "q_forward_fill",
-    "q_group_sample",
-    "q_join_null_safe",
-    "q_join_range_banded",
-    "q_random_projection",
-    "q_session_window",
-    "q_source_mixture",
-    "q_subqueries",
-    "q_tfidf_topk",
-    "q_time_gapfill",
-    "q_tpch_q18",
-    "q_tpch_q3",
-    "q_tpch_q5",
-    "q_unigram_logprob",
-    "q_value_histogram",
-    "q_vocab_topk",
-    "q_window_ntile",
-    "q_window_range_frame",
-    "q_winnow_overlap",
-    # Slots 43-50: head of the r06-green cohort (8 queries) —
-    # these age out of the lookback next round, so fronting them
-    # now keeps round 11's window arithmetic feasible.
-    "q_token_pmi",
-    "q_rrf_fusion",
-    "q_mmr_select",
-    "q_degree_distribution",
-    "q_dedup_snm",
-    "q_cdc_chunks",
-    "q_lang_confusion",
-    "q_seasonal_profile",
-]
-_DEFERRED = [
-    # ---- round-10 additions (never driver-checked): lead the queue
-    # so they sit in slots 51-61 — inside the NEXT round's window per
-    # the staleness bound's clause (c) — and are round 11's first
-    # priority for driver rows.
+    # ---- ROUND-11 WINDOW (executes VERDICT r10 #1): slots 1-11 are
+    # the 11 round-10 additions — the only oracle-backed queries with
+    # NO driver CORRECTNESS row (the r10 judge re-ran the driver
+    # protocol on all 11 at sf0.01: all MATCH — a red here signals
+    # protocol drift, not code).
     "q_burstiness_fano",
     "q_cochran_q",
     "q_friedman_test",
@@ -139,9 +73,10 @@ _DEFERRED = [
     "q_g_test",
     "q_t_closeness",
     "q_cumulative_gains",
-    # Rotation queue, oldest driver row first. The staleness-bound
-    # test's clause (c) needs next round's candidates inside slots
-    # 51-100: the r06 remainder (37) follows the round-10 additions.
+    # Slots 12-48: the full r06-era remainder (37 queries, last
+    # driver-checked in CORRECTNESS_r06 — the oldest driver rows in
+    # the ledger; fronting them closes the cumulative 254/254 goal
+    # and keeps every query inside the staleness lookback).
     "q_link_prediction",
     "q_ks_drift",
     "q_mann_whitney",
@@ -179,9 +114,17 @@ _DEFERRED = [
     "q_json_funcs",
     "q_case_null_handling",
     "q_dedup_exact",
-    # r07-green cohort (CORRECTNESS_r07; 50 queries)
+    # Slots 49-50: head of the r07-green cohort (next to age out).
     "q_bloom_dedup_gate",
     "q_exact_substring_dedup",
+]
+_DEFERRED = [
+    # ---- rotation queue, oldest driver row first. The r07 cohort
+    # remainder (48) occupies slots 51-98 — inside the NEXT round's
+    # window per the staleness bound's clause (c) — and is round 12's
+    # natural _FRONT. Round-11 additions (never driver-checked) are
+    # inserted ABOVE this comment as they land so they sit in slots
+    # 51+ for round 12's window.
     "q_rerank_topk",
     "q_spearman",
     "q_psi_drift",
@@ -281,8 +224,7 @@ _DEFERRED = [
     "q_dedup_jaccard_capped",
     "q_l_diversity",
     "q_dp_counts",
-    # r09 window: r8 additions + the 40-query stale drain, freshest
-    # driver rows — rotate back in last (50 queries)
+    # r09-green cohort (CORRECTNESS_r09; 50 queries)
     "q_lsh_bucket_audit",
     "q_semdedup_adaptive",
     "q_pq_trained",
@@ -333,6 +275,58 @@ _DEFERRED = [
     "q_source_kl",
     "q_tfidf_cosine_pairs",
     "q_hard_negatives",
+    # r10-green cohort (CORRECTNESS_r10; 50 queries — freshest rows,
+    # rotate back in last)
+    "q_leadlag_xcorr",
+    "q_wilcoxon_signed_rank",
+    "q_mcnemar",
+    "q_dedup_clusters_incremental",
+    "q_knn_hubness",
+    "q_event_paths",
+    "q_token_conditional_entropy",
+    "q_cms_frequency",
+    "q_chunk_dedup_rewrite",
+    "q_cluster_canonical",
+    "q_corpus_diff",
+    "q_embedding_norm_outliers",
+    "q_feature_hashing",
+    "q_lang_entropy",
+    "q_agg_correlation",
+    "q_asof_join",
+    "q_bm25",
+    "q_bpe_pair_counts",
+    "q_data_pipeline",
+    "q_dedup_clusters",
+    "q_dedup_ngram_jaccard",
+    "q_dup_chunk_fraction",
+    "q_exact_percentiles",
+    "q_forward_fill",
+    "q_group_sample",
+    "q_join_null_safe",
+    "q_join_range_banded",
+    "q_random_projection",
+    "q_session_window",
+    "q_source_mixture",
+    "q_subqueries",
+    "q_tfidf_topk",
+    "q_time_gapfill",
+    "q_tpch_q18",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_unigram_logprob",
+    "q_value_histogram",
+    "q_vocab_topk",
+    "q_window_ntile",
+    "q_window_range_frame",
+    "q_winnow_overlap",
+    "q_token_pmi",
+    "q_rrf_fusion",
+    "q_mmr_select",
+    "q_degree_distribution",
+    "q_dedup_snm",
+    "q_cdc_chunks",
+    "q_lang_confusion",
+    "q_seasonal_profile",
 ]
 
 

@@ -754,7 +754,12 @@ def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(pair).cast("long").alias("pair_len"),
         F.array_contains(pair, F.col("user_id")).alias("has_uid"),
         F.array_join(F.sort_array(rpair).cast("array<string>"), ",").alias("sorted_pair"),
-        F.aggregate(pair, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("pair_sum"),
+        # SQL-sum semantics: a NULL element is SKIPPED, not poison —
+        # DuckDB's list_sum ignores NULLs; a bare acc + x would
+        # NULL-out the whole sum (null-sweep r11)
+        F.aggregate(
+            pair, F.lit(0).cast("long"), lambda acc, x: acc + F.coalesce(x, F.lit(0))
+        ).alias("pair_sum"),
     )
 
 
@@ -836,7 +841,7 @@ def q_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
            make_timestamp(((epoch_ms(ts) // 5000) - shift) * 5000000) AS window_start,
            count(*) AS cnt
     FROM events, (VALUES (0), (1)) AS s(shift)
-    WHERE value > 100
+    WHERE value > 100 AND ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -845,7 +850,8 @@ def q_sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     in exactly two windows (absent from the reference, which never uses
     advanceBy; part of the Kafka Streams surface the reference
     inherits). Oracle replicates window assignment with a 2-row shift
-    join."""
+    join. NULL contract: Spark `window()` drops NULL event times, so
+    the oracle filters ts IS NOT NULL (null-sweep r11)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.filter(F.col("value") > 100)
@@ -867,6 +873,7 @@ def q_sliding_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS brk
         FROM events
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
@@ -886,7 +893,9 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-mode; the oracle is the classic gaps-and-islands rewrite.
     Spark closes a session when the next event is >= gap after the
     previous (merge while strictly inside), matching the oracle's
-    `>=` break condition."""
+    `>=` break condition. NULL contract: Spark session windows drop
+    NULL event times, so the oracle filters ts IS NOT NULL
+    (null-sweep r11)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -973,8 +982,14 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
                FROM orders GROUP BY o_custkey, o_orderdate)
     SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
-    FROM events e ASOF LEFT JOIN o
+    FROM (SELECT event_id, user_id, ts FROM events WHERE ts IS NOT NULL) e
+    ASOF LEFT JOIN o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    UNION ALL
+    SELECT event_id, user_id, ts,
+           CAST(NULL AS BIGINT) AS o_orderkey,
+           CAST(NULL AS DATE) AS o_orderdate
+    FROM events WHERE ts IS NULL
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,7 +998,11 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     running last_value (operators/asof.py — no pair materialization,
     one shuffle); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so two
     independent as-of algorithms cross-validate. Right side deduped to
-    one order per (custkey, orderdate) to make ties deterministic."""
+    one order per (custkey, orderdate) to make ties deterministic.
+    NULL contract (null-sweep r11): an event with UNKNOWN time has no
+    "most recent order before it" — payload NULL, row kept; the
+    oracle splits those out because DuckDB's native ASOF would
+    otherwise hand a NULL-ts probe the newest order."""
     from ..operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -1151,16 +1170,20 @@ def q_time_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(percent_rank() OVER w, 4) AS pct_rank,
            round(cume_dist() OVER w, 4) AS cume
     FROM events
-    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    WINDOW w AS (PARTITION BY event_type ORDER BY value NULLS LAST, event_id)
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-family window functions — ntile quartiles, percent_rank,
     cume_dist per event type. The (value, event_id) ordering is total,
     so tile boundaries are deterministic across engines and
-    partitionings. One hash shuffle on the partition key."""
+    partitionings. One hash shuffle on the partition key. NULL values
+    rank LAST on both sides (asc_nulls_last ↔ NULLS LAST —
+    null-sweep r11)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_last(), "event_id"
+    )
     return ev.select(
         "event_id",
         "event_type",
@@ -1203,7 +1226,7 @@ def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS last_click_value
     FROM events
@@ -1217,11 +1240,15 @@ def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, one in-partition sort, values copied not recomputed (no
     arithmetic, so no rounding is needed for cross-engine equality).
     The (ts, event_id) ordering is total, making the fill
-    deterministic under any partitioning."""
+    deterministic under any partitioning. Events with UNKNOWN time
+    sort after every timed event in BOTH engines (asc_nulls_last ↔
+    NULLS LAST — null-sweep r11): an untimed click must not
+    forward-fill the whole timeline, which Spark's NULLS FIRST
+    default would silently do."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     clicked = F.when(F.col("event_type") == "click", F.col("value"))
@@ -2696,7 +2723,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type,
                lead(event_type) OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS nxt
-        FROM events),
+        FROM events WHERE ts IS NOT NULL),
     c AS (SELECT event_type AS src, nxt AS dst, count(*) AS n
           FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)
     SELECT src, dst, n,
@@ -2712,8 +2739,13 @@ def q_event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|²-grain count and a window-normalized probability over
     that tiny frame. The probability divides two exact BIGINTs, so
     the double is bit-identical cross-engine and ships unrounded —
-    no round() tie hazard (see q_tpch_q2 note)."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    no round() tie hazard (see q_tpch_q2 note). Untimed events cannot
+    be sequenced — filtered in both engines (null-sweep r11)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.withColumn("nxt", F.lead("event_type").over(w)).filter(F.col("nxt").isNotNull())
     c = seq.groupBy(
@@ -2895,7 +2927,8 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cell AS (
         SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hr,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(sum(value) / CAST(count(*) AS DOUBLE), 4) AS avg_value
+               floor(sum(value) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+                   / 10000 AS avg_value
         FROM events GROUP BY 1, 2),
     tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total,
                    CAST(count(*) AS BIGINT) AS n_cells FROM cell)
@@ -2920,10 +2953,15 @@ def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hr")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.round(F.sum("value") / F.count(F.lit(1)).cast("double"), 4).alias(
-            "avg_value"
-        ),
-    )
+        # explicit floor(x*1e4+0.5)/1e4, not round(): the engines'
+        # round() disagree on exact-boundary doubles (null-sweep r11
+        # caught a cell whose mean is exactly 14.92125 — DuckDB
+        # re-decimalizes and rounds up, Spark HALF_UPs the raw double
+        # down); the floor form is pure double arithmetic on both
+        F.floor(
+            F.sum("value") / F.count(F.lit(1)).cast("double") * 10000 + 0.5
+        ).cast("double").alias("_av10k"),
+    ).withColumn("avg_value", F.col("_av10k") / 10000).drop("_av10k")
     tot = cell.agg(
         F.sum("n_events").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_cells"),
@@ -3452,15 +3490,20 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts,
                arg_max(event_type, event_id) AS touch_type,
                max(event_id) AS touch_id
-        FROM events WHERE event_type IN ('view', 'click')
+        FROM events
+        WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
         GROUP BY user_id, ts),
     purchases AS (
         SELECT event_id AS purchase_id, user_id, ts
         FROM events WHERE event_type = 'purchase'),
     attributed AS (
         SELECT p.purchase_id, t.touch_type
-        FROM purchases p ASOF LEFT JOIN touches t
-          ON p.user_id = t.user_id AND p.ts >= t.ts)
+        FROM (SELECT * FROM purchases WHERE ts IS NOT NULL) p
+        ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.ts >= t.ts
+        UNION ALL
+        SELECT purchase_id, CAST(NULL AS VARCHAR) AS touch_type
+        FROM purchases WHERE ts IS NULL)
     SELECT coalesce(touch_type, 'none') AS touch_type,
            CAST(count(*) AS BIGINT) AS n_purchases
     FROM attributed GROUP BY 1
@@ -3474,7 +3517,11 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series query, zero pair materialization, one keyed sort).
     Touches are deduped to one per (user, ts) with max_by/arg_max
     tie-breaks so the carried row is deterministic on both engines;
-    the final rollup is touch-type grain."""
+    the final rollup is touch-type grain. NULL contract (null-sweep
+    r11, enforced by the asof primitive): untimed touches never
+    attribute, untimed purchases credit 'none' — the oracle splits
+    them out because DuckDB's native ASOF would hand a NULL-ts probe
+    the newest touch."""
     from ..operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -3724,8 +3771,8 @@ _EWMA_SEG_LEN = 4
     WITH ordn AS (
         SELECT user_id, value,
                row_number() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) AS rn
-        FROM events),
+                                  ORDER BY ts NULLS LAST, event_id) AS rn
+        FROM events WHERE value IS NOT NULL),
     segf AS (
         SELECT user_id, (rn - 1) // {_EWMA_SEG_LEN} AS seg_id,
                list_reduce(
@@ -3760,10 +3807,13 @@ def q_ewma_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity's history grows (the 100 TB shape: a hot key's history
     never has to fit in one collect_list). The oracle replays the
     identical segmented composition — raw-double bit parity, no
-    rounding (operators/timeseries.py::ewma_last)."""
+    rounding (operators/timeseries.py::ewma_last). NULL contract
+    (null-sweep r11): a NULL measurement is not a sample (it would
+    poison the affine fold to NULL), so NULL-value rows are filtered
+    in both engines; untimed rows order NULLS LAST in both."""
     from ..operators.timeseries import ewma_last
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return ewma_last(
         ev, "user_id", ["ts", "event_id"], "value",
         alpha=0.5, segment_len=_EWMA_SEG_LEN,
@@ -3930,17 +3980,20 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_ks_drift",
     oracle="""
-    WITH tv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ct
-                FROM documents GROUP BY n_chars),
+    WITH d AS (SELECT source, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
+    tv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ct
+                FROM d GROUP BY n_chars),
     ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
-           FROM documents GROUP BY source),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           FROM d GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
     sv AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cs
-           FROM documents GROUP BY source, n_chars),
+           FROM d GROUP BY source, n_chars),
     grid AS (SELECT ns.source, ns.n_src, tv.v, tv.ct,
                     coalesce(sv.cs, 0) AS c_src
              FROM ns CROSS JOIN tv
-             LEFT JOIN sv ON sv.source = ns.source AND sv.v = tv.v),
+             LEFT JOIN sv ON sv.source IS NOT DISTINCT FROM ns.source
+                         AND sv.v = tv.v),
     cum AS (SELECT source, n_src, v,
                    CAST(sum(c_src) OVER (PARTITION BY source ORDER BY v)
                         AS BIGINT) AS cum_src,
@@ -3973,20 +4026,39 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     global single-partition sort, and each partition holds at most
     |value domain| rows). Every reported number is derived from exact
     integer cumulative counts: the divisions and the max are the only
-    float ops, so the statistic is bit-identical cross-engine."""
-    docs = load_table(spark, sf_dir, "documents").select("source", F.col("n_chars").alias("v"))
+    float ops, so the statistic is bit-identical cross-engine.
+
+    NULL contract (ADVICE r10 class): a NULL n_chars is not a sample
+    from the length distribution — filtered from the population in
+    BOTH engines (Spark's window default is NULLS FIRST, DuckDB's is
+    NULLS LAST, so leaving NULL v in the CDF diverges the prefix
+    sums); a NULL source is a legitimate segment, joined null-safely
+    and ordered defensively with asc_nulls_last."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.col("n_chars").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
     tv = docs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
     ns = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_src"))
     tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
     sv = docs.groupBy("source", "v").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    sv2 = sv.select(
+        F.col("source").alias("_sv_source"), F.col("v").alias("_sv_v"), "cs"
+    )
     grid = (
         tv.crossJoin(F.broadcast(ns))
-        .join(sv, ["source", "v"], "left")
+        .join(
+            sv2,
+            F.col("source").eqNullSafe(F.col("_sv_source"))
+            & (F.col("v") == F.col("_sv_v")),
+            "left",
+        )
         .withColumn("c_src", F.coalesce(F.col("cs"), F.lit(0)))
     )
     w = (
         Window.partitionBy("source")
-        .orderBy("v")
+        .orderBy(F.col("v").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = grid.select(
@@ -4030,7 +4102,9 @@ _MW_BUCKETS = 256
     oracle=f"""
     WITH ev AS (SELECT value AS v,
                        CASE WHEN event_type = '{_MW_A}' THEN 1 ELSE 0 END AS g
-                FROM events WHERE event_type IN ('{_MW_A}', '{_MW_B}')),
+                FROM events
+                WHERE event_type IN ('{_MW_A}', '{_MW_B}')
+                  AND value IS NOT NULL),
     vc AS (SELECT v, CAST(sum(g) AS BIGINT) AS c1,
                   CAST(count(*) AS BIGINT) AS c
            FROM ev GROUP BY v),
@@ -4072,21 +4146,29 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact integers (the tie term Σc³ rides 128-bit exactly —
     DECIMAL(38,0) ↔ HUGEINT — since c³ passes int64 at ~2.1M repeats
     of one value; n1·n2 remains the int64 bound, ~3·10⁹ per arm).
+
+    NULL contract (null-sweep r11): a NULL value is not a sample — it
+    has no rank (the engines disagree on where NULL sorts), so
+    NULL-value rows are filtered from both arms in both engines.
     """
     ev = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin(_MW_A, _MW_B))
+        .filter(F.col("event_type").isin(_MW_A, _MW_B) & F.col("value").isNotNull())
         .select(
             F.col("value").alias("v"),
             F.when(F.col("event_type") == _MW_A, F.lit(1)).otherwise(F.lit(0)).alias("g"),
         )
     )
+    # 1-row stats frame, lineage-cut (the q_winsorize flattening,
+    # VERDICT r10 #3): it is consumed twice (bucket range up front,
+    # n1/n2 at the end) — without the cut each consumer re-plans the
+    # fact scan
     rng = ev.agg(
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
         F.sum("g").cast("long").alias("n1"),
         (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("n2"),
-    )
+    ).localCheckpoint(eager=False)
     B = _MW_BUCKETS
     span = F.col("vmax") - F.col("vmin")
     vb = (
@@ -4108,7 +4190,13 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    vc = vc.withColumn("lcum", F.sum("c").over(wloc).cast("long"))
+    # distinct-value grain (domain-bounded) — lineage-cut so the
+    # bucket-size rollup, the offset self-join, and the final
+    # aggregate all replan from this small frame instead of carrying
+    # the fact scan's exchange subtree three times
+    vc = vc.withColumn("lcum", F.sum("c").over(wloc).cast("long")).localCheckpoint(
+        eager=False
+    )
     sizes = vc.groupBy("vb").agg(F.sum("c").cast("long").alias("cnt"))
     prev = sizes.select(F.col("vb").alias("pvb"), F.col("cnt").alias("pcnt"))
     offs = (
@@ -4241,7 +4329,8 @@ _CUSUM_H = 3.0
     oracle=f"""
     WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
                       CAST(count(*) AS BIGINT) AS x
-               FROM events GROUP BY event_type, CAST(ts AS DATE)),
+               FROM events WHERE ts IS NOT NULL
+               GROUP BY event_type, CAST(ts AS DATE)),
     s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(x) AS BIGINT) AS sx,
                  CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
@@ -4257,7 +4346,7 @@ _CUSUM_H = 3.0
                    / sqrt(CAST(sxx AS DOUBLE) / n
                           - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
                      AS s_t
-          FROM c JOIN s USING (event_type)),
+          FROM c JOIN s ON c.event_type IS NOT DISTINCT FROM s.event_type),
     r AS (SELECT event_type, day, n, s_t,
                  row_number() OVER (PARTITION BY event_type
                                     ORDER BY abs(s_t) DESC, day) AS rn
@@ -4274,7 +4363,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses the h=3.0 alarm fence — the level-shift detector
     that catches a gradual drift a per-day z-score
     (`q_anomaly_zscore`) never flags, because CUSUM integrates small
-    deviations until they become undeniable.
+    deviations until they become undeniable. Untimed events have no
+    day and are filtered in both engines; a NULL event type is a
+    legitimate segment, so the moment join is null-safe on both
+    sides (null-sweep r11).
 
     Scale shape: one fact-sized (type, day) aggregate; all windows
     partition by event_type over day-count-sized partitions. The
@@ -4283,7 +4375,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row index, so no float accumulates across rows — every float
     op is a fixed expression over exact integers (bit-identical
     cross-engine); μ and σ come from exact Σx/Σx² moments."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = (
         ev.select("event_type", F.col("ts").cast("date").alias("day"))
         .groupBy("event_type", "day")
@@ -4310,7 +4402,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mu = F.col("sx").cast("double") / F.col("n")
     sigma = F.sqrt(F.col("sxx").cast("double") / F.col("n") - mu * mu)
-    z = c.join(F.broadcast(s), "event_type").select(
+    s2 = s.select(F.col("event_type").alias("_s_et"), "n", "sx", "sxx")
+    z = c.join(
+        F.broadcast(s2), F.col("event_type").eqNullSafe(F.col("_s_et"))
+    ).select(
         "event_type",
         "day",
         "n",
@@ -4712,10 +4807,14 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
     v AS (SELECT DISTINCT user_id, ts AS view_ts FROM events
-          WHERE event_type = 'view'),
+          WHERE event_type = 'view' AND ts IS NOT NULL),
     j AS (SELECT p.user_id, p.ts, v.view_ts
-          FROM p ASOF LEFT JOIN v
-            ON p.user_id = v.user_id AND p.ts >= v.view_ts),
+          FROM (SELECT * FROM p WHERE ts IS NOT NULL) p
+          ASOF LEFT JOIN v
+            ON p.user_id = v.user_id AND p.ts >= v.view_ts
+          UNION ALL
+          SELECT user_id, ts, CAST(NULL AS TIMESTAMP) AS view_ts
+          FROM p WHERE ts IS NULL),
     d AS (SELECT epoch_us(ts) - epoch_us(view_ts) AS delay_us FROM j
           WHERE view_ts IS NOT NULL),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n_purchases FROM j)
@@ -4740,7 +4839,11 @@ def q_funnel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer differences; percentile interpolation is the same double
     arithmetic on both engines (the `q_length_trim` precedent), and
     the /1e6 to seconds is a fixed final division. The oracle
-    cross-validates against DuckDB's NATIVE ASOF JOIN."""
+    cross-validates against DuckDB's NATIVE ASOF JOIN. NULL contract
+    (null-sweep r11, enforced by the asof primitive): untimed views
+    never fill, untimed purchases count in n_purchases with no
+    delay — split out in the oracle because native ASOF hands a
+    NULL-ts probe the newest view."""
     from ..operators.asof import asof_join
 
     ev = load_table(spark, sf_dir, "events")
@@ -4861,7 +4964,8 @@ def _holt_oracle(a: float, b: float) -> str:
     WITH RECURSIVE d AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(count(*) AS BIGINT) AS x
-        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY event_type, CAST(ts AS DATE)),
     s AS (SELECT event_type, list(CAST(x AS DOUBLE) ORDER BY day) AS vals
           FROM d GROUP BY event_type),
     st AS (
@@ -4875,12 +4979,12 @@ def _holt_oracle(a: float, b: float) -> str:
         SELECT st.event_type, st.i + 1,
                {nl},
                {cb} * ({nl} - st.l) + {c1b} * st.b
-        FROM st JOIN s USING (event_type)
+        FROM st JOIN s ON st.event_type IS NOT DISTINCT FROM s.event_type
         WHERE st.i < len(vals)
     )
     SELECT st.event_type, CAST(len(vals) AS BIGINT) AS n_events,
            st.l AS level, st.b AS trend, st.l + st.b AS forecast
-    FROM st JOIN s USING (event_type)
+    FROM st JOIN s ON st.event_type IS NOT DISTINCT FROM s.event_type
     WHERE st.i = len(vals)
     """
 
@@ -4902,7 +5006,10 @@ def q_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's list_reduce replay of the identical op sequence."""
     from ..operators.timeseries import holt_linear
 
-    ev = load_table(spark, sf_dir, "events")
+    # untimed events have no day — they cannot enter a DAILY series
+    # (null-sweep r11; the engines also disagree on where a NULL day
+    # sorts inside the fold order)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     d = ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("x")
     )
@@ -4979,7 +5086,8 @@ _PSI_B = 10
 @query(
     "q_psi_drift",
     oracle=f"""
-    WITH d AS (SELECT source AS g, n_chars AS v FROM documents),
+    WITH d AS (SELECT source AS g, n_chars AS v FROM documents
+               WHERE n_chars IS NOT NULL),
     rng AS (SELECT min(v) AS vmin, max(v) AS vmax FROM d),
     binned AS (
         SELECT g,
@@ -4997,7 +5105,8 @@ _PSI_B = 10
     grid AS (SELECT ng.g, ng.n_g, bc.b, bc.c_b,
                     coalesce(gb.c_gb, 0) AS c_gb, n
              FROM bc CROSS JOIN ng
-             LEFT JOIN gb ON gb.g = ng.g AND gb.b = bc.b
+             LEFT JOIN gb ON gb.g IS NOT DISTINCT FROM ng.g
+                         AND gb.b IS NOT DISTINCT FROM bc.b
              CROSS JOIN tot
              WHERE ng.n_g < n)
     SELECT g AS source, n_g AS n_rows,
@@ -5097,7 +5206,7 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gv AS (SELECT event_type AS g, value AS v,
                        CAST(count(*) AS BIGINT) AS c_gv
-                FROM events GROUP BY g, v),
+                FROM events WHERE value IS NOT NULL GROUP BY g, v),
     vc AS (SELECT v, CAST(sum(c_gv) AS BIGINT) AS c FROM gv GROUP BY v),
     dr AS (SELECT v, c,
                   2 * (CAST(sum(c) OVER (ORDER BY v) AS BIGINT) - c) + c + 1
@@ -5142,7 +5251,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gv AS (SELECT event_type AS g, value AS v,
                        CAST(count(*) AS BIGINT) AS c
-                FROM events GROUP BY g, v),
+                FROM events WHERE value IS NOT NULL GROUP BY g, v),
     cum AS (SELECT g, v, c,
                    CAST(sum(c) OVER (PARTITION BY g ORDER BY v)
                         AS BIGINT) AS cum
@@ -6554,17 +6663,20 @@ def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_wasserstein_drift",
     oracle="""
-    WITH tv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ct
-                FROM documents GROUP BY n_chars),
+    WITH d AS (SELECT source, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
+    tv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ct
+                FROM d GROUP BY n_chars),
     ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
-           FROM documents GROUP BY source),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           FROM d GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
     sv AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cs
-           FROM documents GROUP BY source, n_chars),
+           FROM d GROUP BY source, n_chars),
     grid AS (SELECT ns.source, ns.n_src, tv.v, tv.ct,
                     coalesce(sv.cs, 0) AS c_src
              FROM ns CROSS JOIN tv
-             LEFT JOIN sv ON sv.source = ns.source AND sv.v = tv.v),
+             LEFT JOIN sv ON sv.source IS NOT DISTINCT FROM ns.source
+                         AND sv.v = tv.v),
     cum AS (SELECT source, n_src, v,
                    CAST(sum(c_src) OVER (PARTITION BY source ORDER BY v)
                         AS BIGINT) AS cum_src,
@@ -6603,8 +6715,17 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to `q_ks_drift` — (value) and (source,
     value) counts, a (sources × value-domain) grid join, and
     source-partitioned windows only; the value domain is
-    schema-bounded, never corpus-sized."""
-    docs = load_table(spark, sf_dir, "documents")
+    schema-bounded, never corpus-sized.
+
+    NULL contract (ADVICE r10): NULL n_chars rows are filtered from
+    the population in BOTH engines — Spark's window default NULLS
+    FIRST vs DuckDB's NULLS LAST would park a NULL value at opposite
+    ends of the CDF prefix sums, diverging w1; NULL source is a
+    legitimate segment (null-safe grid join, asc_nulls_last pinned
+    defensively)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
     tv = docs.groupBy(F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("ct")
     )
@@ -6613,9 +6734,17 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sv = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("cs")
     )
+    sv2 = sv.select(
+        F.col("source").alias("_sv_source"), F.col("v").alias("_sv_v"), "cs"
+    )
     grid = (
         ns.crossJoin(tv)
-        .join(sv, ["source", "v"], "left")
+        .join(
+            sv2,
+            F.col("source").eqNullSafe(F.col("_sv_source"))
+            & (F.col("v") == F.col("_sv_v")),
+            "left",
+        )
         .select(
             "source",
             "n_src",
@@ -6624,7 +6753,7 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cs"), F.lit(0)).alias("c_src"),
         )
     )
-    w = Window.partitionBy("source").orderBy("v")
+    w = Window.partitionBy("source").orderBy(F.col("v").asc_nulls_last())
     cum = grid.select(
         "source",
         "n_src",
@@ -6759,12 +6888,14 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
     grid AS (SELECT ra.a, cb.b, coalesce(cells.o, 0) AS o, ra.ra, cb.cb
              FROM ra CROSS JOIN cb
-             LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b)
+             LEFT JOIN cells ON cells.a IS NOT DISTINCT FROM ra.a
+                            AND cells.b IS NOT DISTINCT FROM cb.b)
     SELECT n,
            CAST((SELECT count(*) FROM ra) - 1 AS BIGINT)
              * ((SELECT count(*) FROM cb) - 1) AS dof,
            round(2 * sum(CASE WHEN o > 0
-                              THEN o * ln(o * CAST(n AS DOUBLE) / (ra * cb))
+                              THEN o * ln(o * CAST(n AS DOUBLE)
+                                          / (CAST(ra AS DOUBLE) * cb))
                               ELSE 0.0 END), 4) + 0.0 AS g2
     FROM grid CROSS JOIN tot
     GROUP BY n
@@ -6784,37 +6915,53 @@ def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: cell counts and margins are exact BIGINTs; each grid
     term is one fixed ln expression over them (O·ln(O·N/(R·C))),
     summed over the ≤|types|·2 grid and absorbed by round(4) with
-    −0.0 normalization. Scale shape: one fact-sized groupBy that
-    map-side combines to r·c rows; margins and the grid are rollups
-    of the cell frame — no windows, no fact-sized joins."""
+    −0.0 normalization. The R·C product is taken in DOUBLE — it sits
+    inside ln, so exactness is not needed, and a bigint·bigint product
+    of near-N margins would wrap int64 at ~100 TB (ADVICE r10). Scale
+    shape: one fact-sized groupBy that map-side combines to r·c rows
+    (lineage-cut so margins/grid/totals reuse it — the `q_winsorize`
+    flattening); margins and the grid are rollups of the cell frame,
+    joined NULL-SAFELY (a NULL event_type is a legitimate row of the
+    table — the chi_square_independence discipline) — no windows, no
+    fact-sized joins."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_type").alias("a"),
         F.when(F.col("value") >= 50.0, F.lit("high")).otherwise(F.lit("low")).alias("b"),
     )
-    cells = ev.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = (
+        ev.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
     ra = cells.groupBy("a").agg(F.sum("o").cast("long").alias("ra"))
     cb = cells.groupBy("b").agg(F.sum("o").cast("long").alias("cb"))
-    tot = cells.agg(F.sum("o").cast("long").alias("n"))
-    nra = ra.agg(F.count(F.lit(1)).cast("long").alias("r"))
-    ncb = cb.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct(F.struct("a")).cast("long").alias("r"),
+        F.countDistinct(F.struct("b")).cast("long").alias("c"),
+    )
+    cell2 = cells.select(F.col("a").alias("ca"), F.col("b").alias("cb2"), "o")
     grid = (
-        ra.crossJoin(cb)
-        .join(cells, ["a", "b"], "left")
+        ra.crossJoin(F.broadcast(cb))
+        .join(
+            cell2,
+            F.col("a").eqNullSafe(F.col("ca")) & F.col("b").eqNullSafe(F.col("cb2")),
+            "left",
+        )
         .select("a", "b", F.coalesce(F.col("o"), F.lit(0)).alias("o"), "ra", "cb")
     )
     term = F.when(
         F.col("o") > 0,
         F.col("o")
         * F.log(
-            F.col("o") * F.col("n").cast("double") / (F.col("ra") * F.col("cb"))
+            F.col("o") * F.col("n").cast("double")
+            / (F.col("ra").cast("double") * F.col("cb"))
         ),
     ).otherwise(F.lit(0.0))
     return (
         grid.crossJoin(F.broadcast(tot))
-        .groupBy("n")
+        .groupBy("n", "r", "c")
         .agg((F.round(2 * F.sum(term), 4) + F.lit(0.0)).alias("g2"))
-        .crossJoin(F.broadcast(nra))
-        .crossJoin(F.broadcast(ncb))
         .select(
             "n",
             ((F.col("r") - 1) * (F.col("c") - 1)).alias("dof"),

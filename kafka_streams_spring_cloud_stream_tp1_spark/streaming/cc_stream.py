@@ -107,13 +107,27 @@ def stream_incremental_dup_clusters(
     pair_stream: DataFrame,
     label_root: str,
     sink: Callable[[DataFrame, int], None] | None = None,
+    checkpoint_location: str | None = None,
 ):
     """Start the foreachBatch query: every micro-batch of (doc_a,
     doc_b) pair discoveries advances the label table one version;
     ``sink(labels, batch_id)`` (optional) sees each new snapshot.
     Returns the started StreamingQuery (caller stops). Empty batches
     are skipped — no new pairs means the label table is already the
-    closure."""
+    closure.
+
+    ``checkpoint_location`` anchors the source offsets durably —
+    REQUIRED for the restart story the module docstring sells
+    (ADVICE r10): without it the offsets live in a temp checkpoint
+    that dies with the session, so a restarted query either re-reads
+    the entire pair history in one trigger (file source — violating
+    the |labels| + |batch pairs| per-trigger bound) or skips pairs
+    discovered while down, silently losing cluster merges. Retain the
+    checkpoint directory and ``label_root`` TOGETHER: the checkpoint
+    remembers which pairs were consumed, the label root remembers
+    their effect; deleting one without the other either replays the
+    full history or drops merges. Omitting it is for throwaway
+    sessions (tests) only."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -123,4 +137,7 @@ def stream_incremental_dup_clusters(
         if sink is not None:
             sink(labels, batch_id)
 
-    return pair_stream.writeStream.foreachBatch(process).start()
+    writer = pair_stream.writeStream.foreachBatch(process)
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()

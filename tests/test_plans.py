@@ -1489,3 +1489,58 @@ def test_auc_and_km_plans_stay_flat(spark):
         ), plan
         n_ex = len(re.findall(r"\bExchange ", plan))
         assert n_ex <= bound, f"{name} regressed to {n_ex} exchanges:\n" + plan
+
+
+def test_null_sweep_artifact_covers_registry_at_head():
+    """Round-gate artifact discipline (VERDICT r10 #4): the NEWEST
+    committed NULL_SWEEP_r*.log must hold one row for every query in
+    _ordered_specs() at HEAD with zero CRASH rows and zero
+    undocumented DIVERGE rows — NULL-injected corpora are the 100 TB
+    reality, and a query that crashes or silently diverges on a NULL
+    row is a scale bug the stock fixtures cannot catch."""
+    import glob
+    import json
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
+        _ensure_loaded,
+        _ordered_specs,
+    )
+
+    logs = sorted(glob.glob("NULL_SWEEP_r*.log"))
+    assert logs, "no NULL_SWEEP_r*.log committed"
+    rows = {}
+    with open(logs[-1]) as f:
+        for line in f:
+            d = json.loads(line)
+            if "query" in d:
+                rows[d["query"]] = d["result"]
+    _ensure_loaded()
+    names = {s.name for s in _ordered_specs()}
+    missing = names - set(rows)
+    assert not missing, (
+        f"{logs[-1]} is stale vs the registry at HEAD (missing "
+        f"{sorted(missing)[:5]}...) — re-run: "
+        "python tools/null_sweep.py > NULL_SWEEP_rN.log"
+    )
+    bad = {
+        q: r for q, r in rows.items() if r in ("CRASH", "DIVERGE")
+    }
+    assert not bad, f"null-sweep red rows: {bad}"
+
+
+def test_flattened_riders_stay_flat(spark):
+    """VERDICT r10 #3 regression bound: the four >=10-exchange riders
+    were flattened (psi 12->4, g_test 12->5, mann_whitney 10->3,
+    cumulative_gains 10->6). Pin <= 8 with headroom so a regression
+    to the old shared-subtree replay shape fails loudly."""
+    import re
+
+    for name in (
+        "q_psi_drift",
+        "q_g_test",
+        "q_mann_whitney",
+        "q_cumulative_gains",
+    ):
+        plan = _plan(spark, name)
+        n_ex = len(re.findall(r"\bExchange ", plan))
+        assert n_ex <= 8, f"{name} regressed to {n_ex} exchanges:\n" + plan

@@ -346,3 +346,53 @@ def test_stream_incremental_cc_labels_survive_restart(spark, tmp_path):
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1}, got
     assert version == 1  # one committed version per non-empty batch
+
+
+def test_stream_incremental_cc_checkpoint_resumes_offsets(spark, tmp_path):
+    """Durable source offsets (ADVICE r10): with checkpoint_location
+    set, a RESTARTED query over the same source neither re-reads the
+    consumed pair history (no spurious new label version when nothing
+    arrived while down) nor skips pairs that arrived while down — the
+    checkpoint and the label root survive restarts together."""
+    import json
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming import (
+        latest_labels,
+        stream_incremental_dup_clusters,
+    )
+
+    src = tmp_path / "pairs_in"
+    src.mkdir()
+    labels_root = str(tmp_path / "labels")
+    cp = str(tmp_path / "cp")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_a long, doc_b long").json(str(src))
+        q = stream_incremental_dup_clusters(
+            stream, labels_root, checkpoint_location=cp
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    with open(src / "b0.json", "w") as f:
+        f.write(json.dumps({"doc_a": 2, "doc_b": 1}) + "\n")
+    run_once()
+    _, v0 = latest_labels(spark, labels_root)
+    assert v0 == 0
+
+    # restart with NOTHING new: a session-temp checkpoint would replay
+    # the full history as one batch and mint a spurious version
+    run_once()
+    _, v1 = latest_labels(spark, labels_root)
+    assert v1 == 0, "restart with no new files must not re-apply history"
+
+    # pairs that arrived while the query was DOWN must be picked up
+    with open(src / "b1.json", "w") as f:
+        f.write(json.dumps({"doc_a": 9, "doc_b": 2}) + "\n")
+    run_once()
+    labels, v2 = latest_labels(spark, labels_root)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert v2 == 1
+    assert got == {1: 1, 2: 1, 9: 1}, got

@@ -144,6 +144,22 @@ def diff(
 _DRIFT_SENTINELS = ("q_filter", "q_tpch_q6", "q_project_rekey")
 
 
+def _recorded_host_scale(new_path: str) -> tuple[float, dict] | None:
+    """Self-normalizing bench artifact (VERDICT r10 #5): bench.py now
+    records its own sentinel readings under ``host_scale`` in
+    BENCH_DETAIL.json — read them instead of re-measuring (the
+    readings were taken in the same co-tenancy window as the timings
+    they normalize, which an after-the-fact re-measure is not)."""
+    try:
+        with open(new_path) as f:
+            hs = json.load(f).get("host_scale")
+    except (OSError, ValueError):
+        return None
+    if not isinstance(hs, dict) or not hs.get("sentinels"):
+        return None
+    return float(hs["median_ratio"]), dict(hs["sentinels"])
+
+
 def _host_scale(steady: dict[str, float], sf_dir: str) -> tuple[float, dict]:
     """Median fresh/steady ratio over the sentinels (1.0 floor)."""
     ratios, readings = [], {}
@@ -244,7 +260,12 @@ def main() -> int:
         # box is measurably slower than the steady era (>1.2x), and
         # only for candidates whose FRESH time fits the scaled floor
         if report["n_regressions"]:
-            scale, readings = _host_scale(steady, args.sf_dir)
+            recorded = (
+                _recorded_host_scale(args.new)
+                if not args.new.startswith("git:")
+                else None
+            )
+            scale, readings = recorded or _host_scale(steady, args.sf_dir)
             report["host_scale"] = round(scale, 2)
             report["host_sentinels"] = readings
             if scale > 1.2:

@@ -20,6 +20,14 @@ Lanes and their state contracts:
            pre-built broadcast/persisted reference); the lane proves
            long-run stability (no slowdown, no growth, bounded sink
            rows per trigger).
+- ``cc``   incremental connected components (foreachBatch over a
+           versioned parquet label table, VERDICT r10 #2): ZERO Spark
+           state operators; the pipeline's real state is the label
+           table, whose row count must track the DISTINCT-DOC space
+           (modular pair generator -> saturates at <= CC_DOC_SPACE
+           and plateaus), never the cumulative pair count; at the end
+           the label table must equal the batch closure of every pair
+           the stream emitted (logged per batch for the comparison).
 
 The per-trigger state-row series is written into the log run-length
 encoded (it saturates, so the encoding is tiny) plus per-block
@@ -48,6 +56,11 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 N_SHARDS, MG_K = 8, 16
 WC_KEYS = 4
+# cc lane: pairs live in a modular doc space so the label table
+# saturates — even values link a doc to its decade root, odd values
+# link decade root to century root, so the full closure is 50
+# century-rooted clusters of 100 docs
+CC_DOC_SPACE = 5000
 # 5 s windows, 10 s watermark -> <= ~4 windows in flight per key; 8 is
 # a generous slack bound (trigger jitter holds a window one extra round)
 WC_STATE_BOUND = WC_KEYS * 8
@@ -238,6 +251,49 @@ def main() -> int:
         )
     )
 
+    # cc: incremental connected components over a planted modular pair
+    # stream; labels live in a versioned parquet table, pairs are also
+    # logged so the end-of-run closure comparison has the ground truth
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.dedup import (
+        dup_clusters,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.streaming.cc_stream import (
+        apply_pair_batch,
+        latest_labels,
+    )
+
+    cc_labels_root = f"{ckpt}/cc_labels"
+    cc_pairs_log = f"{ckpt}/cc_pairs_log"
+    m = F.col("value") % CC_DOC_SPACE
+    cc_in = rate(500).select(
+        F.when(F.col("value") % 2 == 0, m)
+        .otherwise((m / 10).cast("long") * 10)
+        .cast("long")
+        .alias("doc_a"),
+        F.when(F.col("value") % 2 == 0, (m / 10).cast("long") * 10)
+        .otherwise((m / 100).cast("long") * 100)
+        .cast("long")
+        .alias("doc_b"),
+    )
+
+    def cc_process(batch, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        batch = batch.localCheckpoint(eager=True)  # read the source once
+        batch.write.mode("append").parquet(cc_pairs_log)
+        labels = apply_pair_batch(batch.sparkSession, batch, cc_labels_root)
+        sink_rows["cc"].append(labels.count())
+
+    queries.append(
+        (
+            "cc",
+            cc_in.writeStream.foreachBatch(cc_process)
+            .queryName("cc")
+            .option("checkpointLocation", f"{ckpt}/cc")
+            .start(),
+        )
+    )
+
     lane_ids = {lane: str(q.id) for lane, q in queries}
 
     def prog(lane: str) -> list[tuple[int, int, int, int]]:
@@ -311,7 +367,7 @@ def main() -> int:
         q3 = wc_states[: 3 * len(wc_states) // 4]
         if q3 and max(wc_states[3 * len(wc_states) // 4 :], default=0) > max(q3):
             fails.append("wc state rows still climbing in the last quarter")
-    for lane in ("drift", "quality", "dedup"):
+    for lane in ("drift", "quality", "dedup", "cc"):
         ops = {k for _, _, _, k in prog(lane)}
         if ops - {0}:
             fails.append(f"{lane}: unexpected stateful operators {ops}")
@@ -319,6 +375,43 @@ def main() -> int:
             fails.append(f"{lane}: sink rows per trigger not the 1-row verdict")
     if not any(sink_rows["dedup"]):
         fails.append("dedup: planted corpus text never matched — probe path dead")
+
+    # cc bounds: the label table tracks the doc space, not the pair
+    # count — monotone to saturation, plateaued in the last quarter —
+    # and the final table equals the batch closure of every pair seen
+    cc_sizes = sink_rows["cc"]
+    if cc_sizes:
+        print(f"  cc label-table rows/trigger (RLE): {_rle(cc_sizes)}")
+        if max(cc_sizes) > CC_DOC_SPACE:
+            fails.append(
+                f"cc label table exceeded doc space: {max(cc_sizes)} > {CC_DOC_SPACE}"
+            )
+        if any(b < a for a, b in zip(cc_sizes, cc_sizes[1:])):
+            fails.append("cc label table shrank between triggers")
+        q3 = cc_sizes[: 3 * len(cc_sizes) // 4]
+        if q3 and max(cc_sizes[3 * len(cc_sizes) // 4 :], default=0) > max(q3):
+            fails.append("cc label table still growing in the last quarter")
+        final_labels, _ = latest_labels(spark, cc_labels_root)
+        got = {
+            (r["doc_id"], r["cluster_id"]) for r in final_labels.collect()
+        }
+        want = {
+            (r["doc_id"], r["cluster_id"])
+            for r in dup_clusters(
+                spark.read.parquet(cc_pairs_log)
+            ).collect()
+        }
+        if got != want:
+            fails.append(
+                f"cc final labels != batch closure ({len(got ^ want)} diffs)"
+            )
+        else:
+            print(
+                f"  cc final labels == batch closure of the full pair log "
+                f"({len(got)} docs)"
+            )
+    else:
+        fails.append("cc: no triggers recorded")
 
     print(f"\nSTREAM SOAK DONE in {(time.time() - t00) / 60:.1f} min; FAILS: {fails}")
     spark.streams.removeListener(rec)
