@@ -5710,3 +5710,85 @@ def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "q_cohens_kappa",
+    oracle=f"""
+    WITH m AS (
+        SELECT labeled_lang AS a, pred_lang AS b, CAST(count(*) AS BIGINT) AS n
+        FROM ({_lang_sql()}) p
+        GROUP BY 1, 2),
+    ra AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM m GROUP BY a),
+    cb AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM m GROUP BY b),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b
+                                 THEN n ELSE 0 END) AS BIGINT) AS diag
+            FROM m),
+    pe AS (SELECT CAST(sum(CAST(ra.ra AS HUGEINT) * cb.cb) AS HUGEINT) AS s
+           FROM ra JOIN cb ON ra.a IS NOT DISTINCT FROM cb.b)
+    SELECT nn AS n_docs, diag AS n_agree,
+           CAST(diag AS DOUBLE) / nn AS po,
+           CAST(s AS DOUBLE) / (CAST(nn AS HUGEINT) * nn) AS pe,
+           CAST(CAST(diag AS HUGEINT) * nn - s AS DOUBLE)
+             / CAST(CAST(nn AS HUGEINT) * nn - s AS DOUBLE) AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ agreement between the ground-truth `lang` label and
+    the heuristic language-ID prediction — the chance-corrected
+    number `q_lang_confusion`'s raw matrix doesn't give: a classifier
+    that predicts the majority language everywhere can score high raw
+    agreement, and κ = (p_o − p_e)/(1 − p_e) subtracts exactly that
+    (Cohen 1960). The label-quality gate run before trusting a
+    heuristic labeler over a 100 TB corpus.
+
+    Exactness: lifted to a SINGLE division of exact integers —
+    κ = (diag·N − Σ_k ra_k·cb_k)/(N² − Σ_k ra_k·cb_k) with every term
+    an exact 128-bit product (DECIMAL(38,0) ↔ HUGEINT), so κ, p_o,
+    p_e ship unrounded and bit-identical. The diagonal and the margin
+    pairing are NULL-SAFE (eqNullSafe ↔ IS NOT DISTINCT FROM): a NULL
+    prediction/label is a legitimate "unknown" level whose chance
+    agreement is real. Scale shape: one fact-sized (label, pred)
+    count map-side combined to the |langs|² grid; everything after is
+    grid-grain."""
+    from pyspark.sql import functions as F
+
+    m = (
+        T.with_lang_id(load_table(spark, sf_dir, "documents"))
+        .groupBy(
+            F.col("labeled_lang").alias("a"), F.col("pred_lang").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    DEC = "decimal(38,0)"
+    ra = m.groupBy("a").agg(F.sum("n").cast("long").alias("ra"))
+    cb = m.groupBy("b").agg(F.sum("n").cast("long").alias("cb"))
+    tot = m.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(
+            F.when(F.col("a").eqNullSafe(F.col("b")), F.col("n")).otherwise(0)
+        )
+        .cast("long")
+        .alias("diag"),
+    )
+    pe = ra.join(
+        F.broadcast(cb), F.col("a").eqNullSafe(F.col("b"))
+    ).agg(F.sum(F.col("ra").cast(DEC) * F.col("cb")).alias("s"))
+    nn = F.col("nn")
+    nn2 = nn.cast(DEC) * nn
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            nn.alias("n_docs"),
+            F.col("diag").alias("n_agree"),
+            (F.col("diag").cast("double") / nn).alias("po"),
+            (F.col("s").cast("double") / nn2.cast("double")).alias("pe"),
+            (
+                (F.col("diag").cast(DEC) * nn - F.col("s")).cast("double")
+                / (nn2 - F.col("s")).cast("double")
+            ).alias("kappa"),
+        )
+    )

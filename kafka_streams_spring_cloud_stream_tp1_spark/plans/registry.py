@@ -119,12 +119,18 @@ _FRONT = [
     "q_exact_substring_dedup",
 ]
 _DEFERRED = [
+    # ---- round-11 additions (never driver-checked) lead the queue so
+    # they sit in slots 51-55 — inside the NEXT round's window per the
+    # staleness bound's clause (c) — and are round 12's first
+    # priority for driver rows.
+    "q_kendall_tau",
+    "q_theils_u",
+    "q_hellinger_drift",
+    "q_odds_ratio",
+    "q_cohens_kappa",
     # ---- rotation queue, oldest driver row first. The r07 cohort
-    # remainder (48) occupies slots 51-98 — inside the NEXT round's
-    # window per the staleness bound's clause (c) — and is round 12's
-    # natural _FRONT. Round-11 additions (never driver-checked) are
-    # inserted ABOVE this comment as they land so they sit in slots
-    # 51+ for round 12's window.
+    # remainder (48) follows — still inside slots 51-100 alongside the
+    # additions — and is round 12's natural _FRONT.
     "q_rerank_topk",
     "q_spearman",
     "q_psi_drift",

@@ -6968,3 +6968,438 @@ def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g2",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11: rank concordance, categorical association strength,
+# bounded-divergence drift, epidemiological effect size
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_kendall_tau",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(count(*) AS BIGINT) AS x,
+                      CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS y
+               FROM events GROUP BY user_id),
+    cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+              FROM u GROUP BY x, y),
+    cd AS (SELECT CAST(sum(CASE WHEN b.x < a.x AND b.y < a.y
+                                THEN CAST(a.n AS HUGEINT) * b.n
+                                ELSE 0 END) AS HUGEINT) AS c,
+                  CAST(sum(CASE WHEN b.x < a.x AND b.y > a.y
+                                THEN CAST(a.n AS HUGEINT) * b.n
+                                ELSE 0 END) AS HUGEINT) AS d
+           FROM cells a JOIN cells b ON b.x < a.x),
+    tx AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) / 2) AS HUGEINT) AS n1
+           FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY x)),
+    ty AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) / 2) AS HUGEINT) AS n2
+           FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY y)),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nu,
+                   CAST(CAST(sum(n) AS HUGEINT) * (sum(n) - 1) / 2 AS HUGEINT)
+                       AS n0
+            FROM cells)
+    SELECT nu AS n_users, CAST(n0 AS DOUBLE) AS n_pairs,
+           CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           round((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                 / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)),
+                 4) + 0.0 AS tau_b
+    FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+    """,
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b rank concordance between per-user event volume
+    and active-day count — the concordance complement of
+    `q_spearman`: τ counts PAIR agreements (robust to any monotone
+    rescaling and directly interpretable as P(concordant) −
+    P(discordant)), where Spearman correlates midranks; reporting
+    both is the standard check that a monotone association is not a
+    rank-interpolation artifact.
+
+    Exactness & scale: pairs are NEVER enumerated at user grain — the
+    (x, y) joint distribution is a domain-bounded cell grid
+    (activity × active-days, ≤ a few thousand cells at any corpus
+    size), and concordant/discordant masses are Σ n_a·n_b over
+    strictly-ordered CELL pairs (each unordered user pair counted
+    once via the b.x < a.x half-plane), an O(cells²) broadcast
+    nested-loop on the grid, not O(users²). Tie terms n1/n2 and
+    n0 = N(N−1)/2 are exact 128-bit integers (HUGEINT ↔
+    DECIMAL(38,0)); τ-b = (C−D)/√((n0−n1)(n0−n2)) is one fixed float
+    expression over them, absorbed by round(4). NULL contract:
+    count(DISTINCT date) skips NULL ts identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.countDistinct(F.col("ts").cast("date")).cast("long").alias("y"),
+    )
+    cells = (
+        u.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    DEC = "decimal(38,0)"
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("n").alias("bn")
+    )
+    cd = (
+        cells.join(F.broadcast(b), F.col("bx") < F.col("x"))
+        .agg(
+            F.sum(
+                F.when(F.col("by") < F.col("y"), F.col("n").cast(DEC) * F.col("bn"))
+                .otherwise(F.lit(0).cast(DEC))
+            ).alias("c"),
+            F.sum(
+                F.when(F.col("by") > F.col("y"), F.col("n").cast(DEC) * F.col("bn"))
+                .otherwise(F.lit(0).cast(DEC))
+            ).alias("d"),
+        )
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(F.sum(F.col("t").cast(DEC) * (F.col("t") - 1) / 2).alias("n1"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(F.sum(F.col("t").cast(DEC) * (F.col("t") - 1) / 2).alias("n2"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nu"),
+        (F.sum("n").cast(DEC) * (F.sum("n") - 1) / 2).alias("n0"),
+    )
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nu").alias("n_users"),
+            F.col("n0").cast("double").alias("n_pairs"),
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d").cast("long").alias("discordant"),
+            (
+                F.round(
+                    (F.col("c").cast("double") - F.col("d").cast("double"))
+                    / F.sqrt(
+                        (F.col("n0") - F.col("n1")).cast("double")
+                        * (F.col("n0") - F.col("n2")).cast("double")
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("tau_b"),
+        )
+    )
+
+
+@query(
+    "q_theils_u",
+    oracle="""
+    WITH cells AS (SELECT event_type AS a,
+                          CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS b,
+                          CAST(count(*) AS BIGINT) AS o
+                   FROM events GROUP BY 1, 2),
+    ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    mi AS (SELECT round(sum(CASE WHEN o > 0
+                    THEN (o / CAST(n AS DOUBLE))
+                         * ln(o * CAST(n AS DOUBLE)
+                              / (CAST(ra.ra AS DOUBLE) * cb.cb))
+                    ELSE 0.0 END), 4) + 0.0 AS mi_nats
+          FROM cells
+          JOIN ra ON cells.a IS NOT DISTINCT FROM ra.a
+          JOIN cb ON cells.b IS NOT DISTINCT FROM cb.b
+          CROSS JOIN tot),
+    hx AS (SELECT round(-sum((ra / CAST(n AS DOUBLE))
+                             * ln(ra / CAST(n AS DOUBLE))), 4) + 0.0 AS h_x
+           FROM ra CROSS JOIN tot),
+    hy AS (SELECT round(-sum((cb / CAST(n AS DOUBLE))
+                             * ln(cb / CAST(n AS DOUBLE))), 4) + 0.0 AS h_y
+           FROM cb CROSS JOIN tot)
+    SELECT n, mi_nats, h_x, h_y,
+           round(mi_nats / h_x, 4) + 0.0 AS u_x_given_y,
+           round(mi_nats / h_y, 4) + 0.0 AS u_y_given_x
+    FROM mi CROSS JOIN hx CROSS JOIN hy CROSS JOIN tot
+    """,
+)
+def q_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U (Theil 1970) between event
+    type and the high/low value regime — the ASYMMETRIC, normalized
+    association readout the symmetric tests can't give: U(X|Y) =
+    I(X;Y)/H(X) answers "what fraction of X's entropy does knowing Y
+    remove", in [0, 1], direction-aware — which is the feature-
+    selection / leakage-audit question (`q_chi_square` says
+    "related", G² says "how significant", U says "how predictive and
+    WHICH WAY").
+
+    Exactness: the same dense cell/margin frames as `q_g_test`
+    (exact BIGINTs, null-safe margin joins — a NULL event type is a
+    legitimate level); MI and the two entropies are fixed ln
+    expressions over them summed across the r·c grid and absorbed by
+    round(4) with −0.0 normalization; the U ratios divide the two
+    ROUNDED terms so both engines divide identical doubles. Scale
+    shape: one fact-sized groupBy map-side combined to r·c cells,
+    margin rollups, no windows, no fact-sized joins — flat at any
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.when(F.col("value") >= 50.0, F.lit("high")).otherwise(F.lit("low")).alias("b"),
+    )
+    cells = (
+        ev.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    # margins are consumed twice each (the MI grid join and their own
+    # entropy aggregates) — lineage-cut so H(X)/H(Y) don't replan the
+    # cell rollup (r-row frames; the q_winsorize device)
+    ra = (
+        cells.groupBy("a")
+        .agg(F.sum("o").cast("long").alias("ra"))
+        .localCheckpoint(eager=False)
+    )
+    cb = (
+        cells.groupBy("b")
+        .agg(F.sum("o").cast("long").alias("cb"))
+        .localCheckpoint(eager=False)
+    )
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    ra2 = ra.select(F.col("a").alias("_ra_a"), "ra")
+    cb2 = cb.select(F.col("b").alias("_cb_b"), "cb")
+    nd = F.col("n").cast("double")
+    mi_term = F.when(
+        F.col("o") > 0,
+        (F.col("o") / nd)
+        * F.log(F.col("o") * nd / (F.col("ra").cast("double") * F.col("cb"))),
+    ).otherwise(F.lit(0.0))
+    mi = (
+        cells.join(F.broadcast(ra2), F.col("a").eqNullSafe(F.col("_ra_a")))
+        .join(F.broadcast(cb2), F.col("b").eqNullSafe(F.col("_cb_b")))
+        .crossJoin(F.broadcast(tot))
+        .agg((F.round(F.sum(mi_term), 4) + F.lit(0.0)).alias("mi_nats"))
+    )
+    hx = (
+        ra.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.round(
+                    -F.sum((F.col("ra") / nd) * F.log(F.col("ra") / nd)), 4
+                )
+                + F.lit(0.0)
+            ).alias("h_x")
+        )
+    )
+    hy = (
+        cb.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.round(
+                    -F.sum((F.col("cb") / nd) * F.log(F.col("cb") / nd)), 4
+                )
+                + F.lit(0.0)
+            ).alias("h_y")
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "mi_nats",
+            "h_x",
+            "h_y",
+            (F.round(F.col("mi_nats") / F.col("h_x"), 4) + F.lit(0.0)).alias(
+                "u_x_given_y"
+            ),
+            (F.round(F.col("mi_nats") / F.col("h_y"), 4) + F.lit(0.0)).alias(
+                "u_y_given_x"
+            ),
+        )
+    )
+
+
+@query(
+    "q_hellinger_drift",
+    oracle="""
+    WITH d AS (SELECT source, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
+    tv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ct
+           FROM d GROUP BY n_chars),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+           FROM d GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+    sv AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cs
+           FROM d GROUP BY source, n_chars),
+    grid AS (SELECT ns.source, ns.n_src, tv.v, tv.ct,
+                    coalesce(sv.cs, 0) AS c_src
+             FROM ns CROSS JOIN tv
+             LEFT JOIN sv ON sv.source IS NOT DISTINCT FROM ns.source
+                         AND sv.v = tv.v),
+    s AS (SELECT source, n_src, n,
+                 sum(sqrt(CAST(CAST(c_src AS HUGEINT) * (ct - c_src)
+                          AS DOUBLE))) AS root_mass
+          FROM grid CROSS JOIN tot
+          WHERE n_src < n
+          GROUP BY source, n_src, n)
+    SELECT source, n_src AS n_docs,
+           round(root_mass / sqrt(CAST(CAST(n_src AS HUGEINT) * (n - n_src)
+                                       AS DOUBLE)), 4) + 0.0 AS bc,
+           round(sqrt(greatest(0.0,
+                 1 - root_mass / sqrt(CAST(CAST(n_src AS HUGEINT) * (n - n_src)
+                                           AS DOUBLE)))), 4) + 0.0 AS hellinger
+    FROM s
+    """,
+)
+def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between each source's doc-length
+    distribution and the REST of the corpus — the BOUNDED drift
+    metric completing the drift family: KS is a sup-norm, PSI and W₁
+    are unbounded, Hellinger ∈ [0, 1] with a metric triangle
+    inequality, which is what a multi-source dashboard thresholds
+    uniformly across segments of wildly different scales. Reports the
+    Bhattacharyya coefficient BC = Σ√(p·q) and H = √(1 − BC).
+
+    Exactness: on the (source × distinct-length) grid each cell's
+    √(c_src·(ct−c_src)) is one sqrt of an exact 128-bit integer
+    product (deterministic per cell); the Σ over the domain-bounded
+    value grid is the only order-dependent float sum, absorbed by
+    round(4), and the single normalization √(n_src·(n−n_src)) is
+    exact-integer-rooted. Scale shape: the `q_ks_drift` grid device
+    without even the CDF window — counts, a grid join (null-safe on
+    source), one grouped sum. NULL contract: NULL n_chars is not a
+    sample (filtered both engines); NULL source is a legitimate
+    segment."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.col("n_chars").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    tv = docs.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sv = docs.groupBy("source", "v").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    sv2 = sv.select(
+        F.col("source").alias("_sv_source"), F.col("v").alias("_sv_v"), "cs"
+    )
+    DEC = "decimal(38,0)"
+    grid = (
+        tv.crossJoin(F.broadcast(ns))
+        .join(
+            sv2,
+            F.col("source").eqNullSafe(F.col("_sv_source"))
+            & (F.col("v") == F.col("_sv_v")),
+            "left",
+        )
+        .withColumn("c_src", F.coalesce(F.col("cs"), F.lit(0)))
+    )
+    root = F.sqrt(
+        (F.col("c_src").cast(DEC) * (F.col("ct") - F.col("c_src"))).cast("double")
+    )
+    norm = F.sqrt(
+        (F.col("n_src").cast(DEC) * (F.col("n") - F.col("n_src"))).cast("double")
+    )
+    bc = F.col("root_mass") / norm
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_src") < F.col("n"))
+        .groupBy("source", "n_src", "n")
+        .agg(F.sum(root).alias("root_mass"))
+        .select(
+            "source",
+            F.col("n_src").alias("n_docs"),
+            (F.round(bc, 4) + F.lit(0.0)).alias("bc"),
+            (
+                F.round(F.sqrt(F.greatest(F.lit(0.0), 1 - bc)), 4) + F.lit(0.0)
+            ).alias("hellinger"),
+        )
+    )
+
+
+@query(
+    "q_odds_ratio",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                          AS exposed,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                          AS outcome
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(sum(exposed * outcome) AS BIGINT) AS a,
+                 CAST(sum(exposed * (1 - outcome)) AS BIGINT) AS b,
+                 CAST(sum((1 - exposed) * outcome) AS BIGINT) AS c,
+                 CAST(sum((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+          FROM u)
+    SELECT a, b, c, d,
+           CASE WHEN b > 0 AND c > 0
+                THEN round((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c),
+                           4) + 0.0 END AS odds_ratio,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                THEN round(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                           - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 4)
+                     + 0.0 END AS ln_or_lo95,
+           CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                THEN round(ln((CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c))
+                           + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d), 4)
+                     + 0.0 END AS ln_or_hi95
+    FROM t
+    """,
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of purchasing given click exposure, with the Wald
+    95% CI on the log-odds scale (Woolf 1955) — the 2×2 effect-size
+    readout `q_ab_test`'s z-statistic doesn't give: the OR is the
+    number a causal/epi analysis carries (invariant to outcome
+    prevalence, composable across strata), and the CI bounds answer
+    "how big could it be", not just "is it nonzero".
+
+    Exactness: the 2×2 table (a, b, c, d) is one exact-integer
+    aggregate over the user-grain exposure/outcome frame; OR = ad/bc
+    is one division of exact products; the CI is a fixed ln/sqrt
+    expression with the 1.96 normal quantile shared as a literal with
+    the oracle, absorbed by round(4). Zero margins return NULL
+    (documented, visible) rather than ±∞. Scale shape: one fact-sized
+    user groupBy (map-side combined), then a 1-row aggregate — flat
+    at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+            "exposed"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "outcome"
+        ),
+    )
+    t = u.agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("long").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome"))).cast("long").alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome")).cast("long").alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome"))).cast("long").alias("d"),
+    )
+    ad = F.col("a").cast("double") * F.col("d")
+    bc_ = F.col("b").cast("double") * F.col("c")
+    ln_or = F.log(ad / bc_)
+    se = F.sqrt(
+        1.0 / F.col("a") + 1.0 / F.col("b") + 1.0 / F.col("c") + 1.0 / F.col("d")
+    )
+    all_pos = (
+        (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+    )
+    return t.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(
+            (F.col("b") > 0) & (F.col("c") > 0),
+            F.round(ad / bc_, 4) + F.lit(0.0),
+        ).alias("odds_ratio"),
+        F.when(all_pos, F.round(ln_or - 1.96 * se, 4) + F.lit(0.0)).alias(
+            "ln_or_lo95"
+        ),
+        F.when(all_pos, F.round(ln_or + 1.96 * se, 4) + F.lit(0.0)).alias(
+            "ln_or_hi95"
+        ),
+    )

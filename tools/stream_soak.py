@@ -299,10 +299,12 @@ def main() -> int:
     def prog(lane: str) -> list[tuple[int, int, int, int]]:
         return rec.progress[lane_ids[lane]]
 
-    # drive until both STATEFUL lanes pass min_triggers (20 min cap)
+    # drive until both STATEFUL lanes pass min_triggers (45 min cap —
+    # the round-11 cc lane runs a full label-propagation increment per
+    # trigger, which slows every lane's trigger cadence on one box)
     stateful = ("hh", "wc")
     last_print = 0.0
-    while time.time() - t00 < 1200:
+    while time.time() - t00 < 2700:
         done = all(len(prog(n)) >= min_triggers for n in stateful)
         if time.time() - last_print > 30:
             counts = {lane: len(prog(lane)) for lane, _ in queries}
@@ -338,8 +340,17 @@ def main() -> int:
             print(f"  state-rows-per-trigger (RLE): {_rle(states)}")
         # the ≥min_triggers contract is for the stateful lanes (whose
         # state series is the artifact); the stateless monitors record
-        # whatever they reach in the same window, floor min//4
-        need = min_triggers if lane in stateful else max(100, min_triggers // 4)
+        # whatever they reach in the same window, floor min//4 — except
+        # cc, whose every trigger is a full label-propagation increment
+        # (several Spark jobs: union star edges, pointer-jump, snapshot
+        # write + prune + count), so its evidence is increments + the
+        # final closure equality, floored at min//8
+        if lane in stateful:
+            need = min_triggers
+        elif lane == "cc":
+            need = max(50, min_triggers // 8)
+        else:
+            need = max(100, min_triggers // 4)
         if len(rows) < need:
             fails.append(f"{lane}: only {len(rows)} triggers (< {need})")
         if sink_rows[lane]:
@@ -361,12 +372,24 @@ def main() -> int:
         fails.append(
             f"wc state rows exceeded watermark bound: {max(wc_states)} > {WC_STATE_BOUND}"
         )
-    # plateau: the last quarter must not set a new maximum (state grew
-    # until eviction kicked in, then stayed flat)
+    # plateau: the last quarter must not TREND above the earlier run.
+    # A single late jitter spike (trigger delay holding one extra
+    # window per key — r11 observed one 20 in an hours-long 12<->16
+    # oscillation, still far under the hard bound) is not growth, so
+    # the max comparison carries a one-window-per-key slack and the
+    # MEDIAN comparison is strict.
     if wc_states:
-        q3 = wc_states[: 3 * len(wc_states) // 4]
-        if q3 and max(wc_states[3 * len(wc_states) // 4 :], default=0) > max(q3):
-            fails.append("wc state rows still climbing in the last quarter")
+        cut = 3 * len(wc_states) // 4
+        q3, q4 = wc_states[:cut], wc_states[cut:]
+        if q3 and q4:
+            if max(q4) > max(q3) + WC_KEYS:
+                fails.append("wc state rows still climbing in the last quarter")
+            med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+            if med(q4) > med(q3):
+                fails.append(
+                    "wc state-row MEDIAN rose in the last quarter "
+                    f"({med(q3)} -> {med(q4)}) — eviction is falling behind"
+                )
     for lane in ("drift", "quality", "dedup", "cc"):
         ops = {k for _, _, _, k in prog(lane)}
         if ops - {0}:
