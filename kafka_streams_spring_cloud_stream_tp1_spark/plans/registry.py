@@ -128,6 +128,8 @@ _DEFERRED = [
     "q_hellinger_drift",
     "q_odds_ratio",
     "q_cohens_kappa",
+    "q_cliffs_delta",
+    "q_ljung_box",
     # ---- rotation queue, oldest driver row first. The r07 cohort
     # remainder (48) follows — still inside slots 51-100 alongside the
     # additions — and is round 12's natural _FRONT.

@@ -7403,3 +7403,212 @@ def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ln_or_hi95"
         ),
     )
+
+
+_CLIFF_A, _CLIFF_B = "purchase", "click"
+
+
+@query(
+    "q_cliffs_delta",
+    oracle=f"""
+    WITH ev AS (SELECT value AS v,
+                       CASE WHEN event_type = '{_CLIFF_A}' THEN 1 ELSE 0 END AS g
+                FROM events
+                WHERE event_type IN ('{_CLIFF_A}', '{_CLIFF_B}')
+                  AND value IS NOT NULL),
+    vc AS (SELECT v, CAST(sum(g) AS BIGINT) AS c1,
+                  CAST(count(*) - sum(g) AS BIGINT) AS c2
+           FROM ev GROUP BY v),
+    cum AS (SELECT v, c1, c2,
+                   CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) - c2 AS cb2
+            FROM vc),
+    ns AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                  CAST(sum(c2) AS BIGINT) AS n2 FROM vc),
+    agg AS (SELECT CAST(sum(CAST(c1 AS HUGEINT) * cb2) AS HUGEINT) AS gt,
+                   CAST(sum(CAST(c1 AS HUGEINT) * (n2 - cb2 - c2)) AS HUGEINT)
+                       AS lt,
+                   CAST(sum(CAST(c1 AS HUGEINT) * c2) AS HUGEINT) AS ties
+            FROM cum CROSS JOIN ns)
+    SELECT n1, n2,
+           CAST(gt AS BIGINT) AS n_gt, CAST(lt AS BIGINT) AS n_lt,
+           CAST(ties AS BIGINT) AS n_ties,
+           (CAST(gt AS DOUBLE) - CAST(lt AS DOUBLE))
+             / (CAST(n1 AS DOUBLE) * n2) AS cliffs_delta
+    FROM agg CROSS JOIN ns
+    """,
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's δ ordinal effect size for purchase-vs-click event
+    values (Cliff 1993): δ = P(X > Y) − P(X < Y), the
+    assumption-free "how often does one arm dominate" number that the
+    `q_mann_whitney` z only tests and whose rank-biserial it equals
+    only without ties — δ handles ties explicitly (they count toward
+    neither side and are REPORTED), which is the robust-effect-size
+    convention meta-analyses use.
+
+    Exactness & scale: the greater/less/tie pair masses are Σ c1·cb2
+    / Σ c1·(n2−cb2−c2) / Σ c1·c2 over the distinct-value frame —
+    exact 128-bit integers via the same `q_mann_whitney` value-bucket
+    cumulative (`bucketed_cumsum`, lineage-cut, NO single-partition
+    sort over the data-sized value domain on the Spark side; the
+    oracle's plain window is the semantic spec at oracle scale). δ
+    ships as ONE division of exact integers, unrounded. NULL
+    contract: a NULL value is not a sample — filtered in both
+    engines."""
+    from ..operators.stats import bucketed_cumsum
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin(_CLIFF_A, _CLIFF_B)
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == _CLIFF_A, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("g"),
+        )
+    )
+    vc = ev.groupBy("v").agg(
+        F.sum("g").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("g")).cast("long").alias("c2"),
+    )
+    # the cumulative frame feeds BOTH the arm totals and the pair-mass
+    # aggregate — cut so neither replays the bucket machinery
+    cum = (
+        bucketed_cumsum(vc, "v", ["c2"], lineage_cut=True)
+        .withColumn("cb2", F.col("cum_c2") - F.col("c2"))
+        .localCheckpoint(eager=False)
+    )
+    ns = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    DEC = "decimal(38,0)"
+    agg = cum.crossJoin(F.broadcast(ns)).agg(
+        F.sum(F.col("c1").cast(DEC) * F.col("cb2")).alias("gt"),
+        F.sum(
+            F.col("c1").cast(DEC) * (F.col("n2") - F.col("cb2") - F.col("c2"))
+        ).alias("lt"),
+        F.sum(F.col("c1").cast(DEC) * F.col("c2")).alias("ties"),
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("gt").cast("long").alias("n_gt"),
+        F.col("lt").cast("long").alias("n_lt"),
+        F.col("ties").cast("long").alias("n_ties"),
+        (
+            (F.col("gt").cast("double") - F.col("lt").cast("double"))
+            / (F.col("n1").cast("double") * F.col("n2"))
+        ).alias("cliffs_delta"),
+    )
+
+
+# chi-square 95% critical value for dof = _ACF_MAX_LAG (7), shared as a
+# literal with the oracle — libm has no portable chi2 quantile
+_LB_CHI2_95_DF7 = 14.0671
+
+
+@query(
+    "q_ljung_box",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY CAST(ts AS DATE)),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+          FROM d),
+    p AS (SELECT CAST(t.k AS INTEGER) AS lag, CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy,
+                 CAST(sum(a.x) AS BIGINT) AS sa, CAST(sum(b.x) AS BIGINT) AS sb
+          FROM range(1, {_ACF_MAX_LAG + 1}) t(k)
+          JOIN d a ON true
+          JOIN d b ON b.day = a.day + CAST(t.k AS INTEGER) * INTERVAL 1 DAY
+          GROUP BY t.k),
+    r AS (SELECT lag,
+                 (sxy - (CAST(sx AS DOUBLE) / n) * (sa + sb)
+                      + (m * (CAST(sx AS DOUBLE) / n)) * (CAST(sx AS DOUBLE) / n))
+                   / (sxx - CAST(sx AS DOUBLE) * sx / n) AS acf,
+                 n
+          FROM p CROSS JOIN s)
+    SELECT n AS n_days, CAST(count(*) AS BIGINT) AS m_lags,
+           round(n * (n + 2.0) * sum(acf * acf / (n - lag)), 4) + 0.0 AS q_stat,
+           n * (n + 2.0) * sum(acf * acf / (n - lag)) > {_LB_CHI2_95_DF7}
+               AS reject_95
+    FROM r GROUP BY n
+    """,
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978) over the daily
+    event-volume series at lags 1..{m}: Q = n(n+2)·Σ r_k²/(n−k)
+    against the χ²₇ 95% fence — the "is there ANY autocorrelation
+    left" gate run on forecast residuals and A/A monitors, aggregating
+    the whole `q_acf` lag profile into one decision where the per-lag
+    plot needs a human eye.
+
+    Exactness & scale: the r_k come from the IDENTICAL exact-integer
+    machinery as `q_acf` (day-keyed aggregate, 7 broadcast date-key
+    self-joins, all moments exact 128-bit — no windows, no global
+    sort); Q is a fixed float expression over the 7-lag frame absorbed
+    by round(4), and the χ² critical value is a Python literal shared
+    with the oracle (libm has no portable quantile). The same
+    ACF-estimator convention as `q_acf` (full-series mean/variance,
+    pair-count cross moments) is used on both sides, so the two
+    queries stay mutually consistent."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    lags = d.select(
+        "day",
+        F.col("x").alias("xa"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])
+        ).alias("lag"),
+    )
+    b = d.select(F.col("day").alias("bday"), F.col("x").alias("xb"))
+    p = (
+        lags.withColumn("bday", F.date_add(F.col("day"), F.col("lag")))
+        .join(F.broadcast(b), "bday")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")).alias("sxy"),
+            F.sum("xa").cast("long").alias("sa"),
+            F.sum("xb").cast("long").alias("sb"),
+        )
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    acf = (
+        F.col("sxy") - mu * (F.col("sa") + F.col("sb")) + (F.col("m") * mu) * mu
+    ) / (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+    q_expr = (
+        F.col("n")
+        * (F.col("n") + 2.0)
+        * F.sum(F.col("acf") * F.col("acf") / (F.col("n") - F.col("lag")))
+    )
+    return (
+        p.crossJoin(F.broadcast(s))
+        .select("lag", "n", acf.alias("acf"))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m_lags"),
+            (F.round(q_expr, 4) + F.lit(0.0)).alias("q_stat"),
+            (q_expr > F.lit(_LB_CHI2_95_DF7)).alias("reject_95"),
+        )
+        .select(
+            F.col("n").alias("n_days"), "m_lags", "q_stat", "reject_95"
+        )
+    )
