@@ -57,72 +57,12 @@ def _ensure_loaded() -> None:
 #      wherever they sit, so they don't occupy checked slots EXCEPT
 #      the one round that records their first-ever rows-only row.
 _FRONT = [
-    # ---- ROUND-11 WINDOW (executes VERDICT r10 #1): slots 1-11 are
-    # the 11 round-10 additions — the only oracle-backed queries with
-    # NO driver CORRECTNESS row (the r10 judge re-ran the driver
-    # protocol on all 11 at sf0.01: all MATCH — a red here signals
-    # protocol drift, not code).
-    "q_burstiness_fano",
-    "q_cochran_q",
-    "q_friedman_test",
-    "q_levene_test",
-    "q_permutation_test",
-    "q_matryoshka_audit",
-    "q_wasserstein_drift",
-    "q_tost_equivalence",
-    "q_g_test",
-    "q_t_closeness",
-    "q_cumulative_gains",
-    # Slots 12-48: the full r06-era remainder (37 queries, last
-    # driver-checked in CORRECTNESS_r06 — the oldest driver rows in
-    # the ledger; fronting them closes the cumulative 254/254 goal
-    # and keeps every query inside the staleness lookback).
-    "q_link_prediction",
-    "q_ks_drift",
-    "q_mann_whitney",
-    "q_acf",
-    "q_cusum_changepoint",
-    "q_benford",
-    "q_auc_propensity",
-    "q_welch_ttest",
-    "q_poisson_bootstrap",
-    "q_jsd_sources",
-    "q_gini_token",
-    "q_calibration_bins",
-    "q_funnel_time",
-    "q_survival_km",
-    "q_holt_smoothing",
-    "q_ranking_metrics",
-    "q_ewma_segmented",
-    "q_embedding_covariance",
-    "q_gopher_filter",
-    "q_zipf_slope",
-    "q_split_leakage",
-    "q_robust_scale",
-    "q_minhash_error",
-    "q_label_knn_accuracy",
-    "q_power_iteration",
-    "q_lm_heldout_nll",
-    "q_dup_cluster_profile",
-    "q_source_overlap",
-    "q_ngram_coverage",
-    "q_key_skew_profile",
-    "q_sliding_window_count",
-    "q_multires_rollup",
-    "q_salted_distinct",
-    "q_unpivot",
-    "q_json_funcs",
-    "q_case_null_handling",
-    "q_dedup_exact",
-    # Slots 49-50: head of the r07-green cohort (next to age out).
-    "q_bloom_dedup_gate",
-    "q_exact_substring_dedup",
-]
-_DEFERRED = [
-    # ---- round-11 additions (never driver-checked) lead the queue so
-    # they sit in slots 51-55 — inside the NEXT round's window per the
-    # staleness bound's clause (c) — and are round 12's first
-    # priority for driver rows.
+    # ---- ROUND-12 WINDOW (executes VERDICT r11 #1): slots 1-7 are
+    # the 7 round-11 additions — the only oracle-backed queries with
+    # NO driver CORRECTNESS row (the r11 judge re-ran the driver
+    # protocol on all 7 at sf0.01: all MATCH — a red here signals
+    # protocol drift, not code). Their rows close the cumulative
+    # ledger to 261/261 driver-backed.
     "q_kendall_tau",
     "q_theils_u",
     "q_hellinger_drift",
@@ -130,9 +70,9 @@ _DEFERRED = [
     "q_cohens_kappa",
     "q_cliffs_delta",
     "q_ljung_box",
-    # ---- rotation queue, oldest driver row first. The r07 cohort
-    # remainder (48) follows — still inside slots 51-100 alongside the
-    # additions — and is round 12's natural _FRONT.
+    # Slots 8-50: the r07-green cohort remainder (43 of 48; last
+    # driver-checked in CORRECTNESS_r07 — the oldest driver rows in
+    # the ledger now that the r06-era remainder refreshed in r11).
     "q_rerank_topk",
     "q_spearman",
     "q_psi_drift",
@@ -176,6 +116,12 @@ _DEFERRED = [
     "q_store_range_fetch",
     "q_agg_pricing_summary",
     "q_join_broadcast",
+]
+_DEFERRED = [
+    # ---- rotation queue, oldest driver row first: the r07-green
+    # cohort tail (5) sits in slots 51-55 — inside the NEXT round's
+    # window per the staleness bound's clause (c) — and heads round
+    # 13's natural _FRONT alongside the r08 cohort.
     "q_join_multiway",
     "q_join_left_outer",
     "q_join_range",
@@ -335,6 +281,58 @@ _DEFERRED = [
     "q_cdc_chunks",
     "q_lang_confusion",
     "q_seasonal_profile",
+    # r11-green cohort (CORRECTNESS_r11; 50 queries — freshest rows,
+    # rotate back in last)
+    "q_burstiness_fano",
+    "q_cochran_q",
+    "q_friedman_test",
+    "q_levene_test",
+    "q_permutation_test",
+    "q_matryoshka_audit",
+    "q_wasserstein_drift",
+    "q_tost_equivalence",
+    "q_g_test",
+    "q_t_closeness",
+    "q_cumulative_gains",
+    "q_link_prediction",
+    "q_ks_drift",
+    "q_mann_whitney",
+    "q_acf",
+    "q_cusum_changepoint",
+    "q_benford",
+    "q_auc_propensity",
+    "q_welch_ttest",
+    "q_poisson_bootstrap",
+    "q_jsd_sources",
+    "q_gini_token",
+    "q_calibration_bins",
+    "q_funnel_time",
+    "q_survival_km",
+    "q_holt_smoothing",
+    "q_ranking_metrics",
+    "q_ewma_segmented",
+    "q_embedding_covariance",
+    "q_gopher_filter",
+    "q_zipf_slope",
+    "q_split_leakage",
+    "q_robust_scale",
+    "q_minhash_error",
+    "q_label_knn_accuracy",
+    "q_power_iteration",
+    "q_lm_heldout_nll",
+    "q_dup_cluster_profile",
+    "q_source_overlap",
+    "q_ngram_coverage",
+    "q_key_skew_profile",
+    "q_sliding_window_count",
+    "q_multires_rollup",
+    "q_salted_distinct",
+    "q_unpivot",
+    "q_json_funcs",
+    "q_case_null_handling",
+    "q_dedup_exact",
+    "q_bloom_dedup_gate",
+    "q_exact_substring_dedup",
 ]
 
 

@@ -6912,6 +6912,15 @@ def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     margins still shape every E — the grid is dense, the
     `q_chi_square` discipline.
 
+    NULL contract (deliberate, ADVICE r11): a NULL `value` buckets to
+    'low' via the CASE fallthrough on BOTH engines — this query reads
+    the regime as "is the value known-high", so unknown groups with
+    known-low. This intentionally differs from the "a NULL value is
+    not a sample" doctrine of `q_chi_square`/`q_mann_whitney`, where
+    the value itself is the measured quantity; here it is only a
+    bucketing key, and dropping the row would silently shrink the
+    event_type margins. `q_theils_u` shares this contract.
+
     Exactness: cell counts and margins are exact BIGINTs; each grid
     term is one fixed ln expression over them (O·ln(O·N/(R·C))),
     summed over the ≤|types|·2 grid and absorbed by round(4) with
@@ -7133,6 +7142,10 @@ def q_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection / leakage-audit question (`q_chi_square` says
     "related", G² says "how significant", U says "how predictive and
     WHICH WAY").
+
+    NULL contract: a NULL `value` buckets to 'low' via the CASE
+    fallthrough on both engines — same deliberate contract as
+    `q_g_test` (see its docstring), whose grid this query shares.
 
     Exactness: the same dense cell/margin frames as `q_g_test`
     (exact BIGINTs, null-safe margin joins — a NULL event type is a

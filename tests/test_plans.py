@@ -1500,13 +1500,20 @@ def test_null_sweep_artifact_covers_registry_at_head():
     row is a scale bug the stock fixtures cannot catch."""
     import glob
     import json
+    import re
 
     from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
         _ensure_loaded,
         _ordered_specs,
     )
 
-    logs = sorted(glob.glob("NULL_SWEEP_r*.log"))
+    # sort by the parsed round number, not lexicographically — r100
+    # would otherwise sort before r99 and silently validate a stale
+    # artifact (ADVICE r11)
+    logs = sorted(
+        glob.glob("NULL_SWEEP_r*.log"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
     assert logs, "no NULL_SWEEP_r*.log committed"
     rows = {}
     with open(logs[-1]) as f:

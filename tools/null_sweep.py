@@ -117,12 +117,16 @@ def main() -> int:
         row["sec"] = round(time.time() - t0, 2)
         print(json.dumps(row), flush=True)
 
+    oracle_names = {s.name for s in specs if s.oracle is not None}
     summary = {
         "n_queries": len(specs),
-        "n_match": sum(1 for s in specs if s.oracle is not None)
-        - len(diverges)
-        - len(documented)
-        - len([c for c in crashes if c]),
+        # only oracle-backed outcomes count toward n_match; a crash in a
+        # rows-only query must not deflate the oracle tally (ADVICE r11)
+        "n_match": len(oracle_names)
+        - len([d for d in diverges if d in oracle_names])
+        - len([d for d in documented if d in oracle_names])
+        - len([c for c in crashes if c in oracle_names]),
+        "oracle_crashes": [c for c in crashes if c in oracle_names],
         "crashes": crashes,
         "divergences": diverges,
         "documented_divergences": documented,

@@ -47,12 +47,14 @@ EOF
         echo "connector jar: NOT cached — first live run needs Maven Central"
     fi
     echo "-- live-test collection (what a broker run would execute):"
-    python -m pytest tests/test_kafka_integration.py -m live_kafka \
-        --collect-only -q | tail -3
+    # guarded: under set -e an unguarded pipeline aborts the whole
+    # --dry-run on a collection failure instead of recording it (ADVICE r11)
+    { python3 -m pytest tests/test_kafka_integration.py -m live_kafka \
+        --collect-only -q | tail -3; } || fail=1
     echo "-- broker-free wire-format suite (runs now):"
-    python -m pytest \
+    { python3 -m pytest \
         "tests/test_streaming.py::test_kafka_wire_roundtrip_expressions" -q \
-        | tail -2 || fail=1
+        | tail -2; } || fail=1
     if docker info >/dev/null 2>&1; then
         echo "docker daemon: REACHABLE — the full lane can run"
     else
@@ -85,7 +87,7 @@ done
 # needs network the first time, cached afterwards.
 export PYSPARK_SUBMIT_ARGS="--packages ${PKG} pyspark-shell"
 status=0
-python -m pytest tests/test_kafka_integration.py -m live_kafka -q -rs || status=$?
+python3 -m pytest tests/test_kafka_integration.py -m live_kafka -q -rs || status=$?
 
 if [ "${KEEP_BROKER:-0}" != "1" ]; then
     docker compose -f docker/kafka-compose.yml down -v
