@@ -645,8 +645,14 @@ def chi_square_independence(
     (tens of cells), absorbed by round(4) with the -0.0 normalization
     the harness guard enforces. Cramér's V = sqrt(χ²/(n·(min(r,c)−1)))
     (Cramér 1946)."""
-    cells = df.groupBy(F.col(a).alias("g1"), F.col(b).alias("g2")).agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # the cell table is consumed four times (row margin, column margin,
+    # totals, grid join) — lineage-cut so each consumer reuses the one
+    # materialized r·c frame instead of replanning the fact groupBy
+    # (the q_psi_drift flattening, VERDICT r11 #3)
+    cells = (
+        df.groupBy(F.col(a).alias("g1"), F.col(b).alias("g2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     ra = cells.groupBy("g1").agg(F.sum("c").cast("long").alias("ra"))
     cb = cells.groupBy("g2").agg(F.sum("c").cast("long").alias("cb"))

@@ -5104,7 +5104,12 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     nll = unigram_logprob(docs).select("doc_id", "avg_nll")
-    d = nll.join(docs.select("doc_id", "lang"), "doc_id")
+    # the scored doc frame feeds both the per-lang cutoffs and the
+    # final bucket tag — lineage-cut so the scoring pipeline (corpus
+    # LM + per-doc join) runs once (VERDICT r11 #3)
+    d = nll.join(docs.select("doc_id", "lang"), "doc_id").localCheckpoint(
+        eager=False
+    )
     cuts = d.groupBy("lang").agg(
         F.round(F.expr(f"percentile(avg_nll, {_CCNET_P1!r}D)"), 4).alias("cut1"),
         F.round(F.expr(f"percentile(avg_nll, {_CCNET_P2!r}D)"), 4).alias("cut2"),

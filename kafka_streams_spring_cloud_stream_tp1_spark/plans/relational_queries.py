@@ -2222,9 +2222,21 @@ def q_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-type supports and the 1-row user count attach as
     broadcasts onto the |types|²-row aggregate output."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    # the distinct (user, type) frame feeds the user count, the
+    # per-type supports, and BOTH self-join sides — lineage-cut so
+    # the fact-sized distinct shuffles once; the |types|-row support
+    # frame is likewise consumed twice (VERDICT r11 #3)
+    ut = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n = ut.agg(F.countDistinct("user_id").alias("n_users"))
-    s = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    s = (
+        ut.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+        .localCheckpoint(eager=False)
+    )
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select(F.col("user_id").alias("ub"), F.col("event_type").alias("type_b"))
     pairs = a.join(
@@ -3393,7 +3405,14 @@ def q_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     One fact aggregate to the |lang|×|source| table; the marginals
     re-aggregate THAT (grain²-sized) and broadcast back."""
     docs = load_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    # the |lang|×|source| cell table feeds both marginals, the grand
+    # total, and the expected-count join — lineage-cut so the fact
+    # aggregate runs once (VERDICT r11 #3)
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
     rt = obs.groupBy("lang").agg(F.sum("o").alias("row_tot"))
     ct = obs.groupBy("source").agg(F.sum("o").alias("col_tot"))
     n = obs.agg(F.sum("o").alias("grand"))
@@ -4752,13 +4771,21 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
     )
-    u0 = ev.groupBy("user_id").agg(
-        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
-        .cast("long")
-        .alias("v"),
-        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
-        .cast("long")
-        .alias("np"),
+    # the user rollup feeds both the (min,max,totals) frame and the
+    # labeled scan; the 8-bin table feeds both the positive total and
+    # the final readout — lineage-cut both so neither consumer replans
+    # the fact shuffle (the q_psi_drift flattening, VERDICT r11 #3)
+    u0 = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("v"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("np"),
+        )
+        .localCheckpoint(eager=False)
     )
     t = u0.agg(
         F.count(F.lit(1)).cast("long").alias("nu"),
@@ -4783,11 +4810,15 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nu",
         "s",
     )
-    g = lab.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("v").cast("long").alias("sv"),
-        F.sum("label").cast("long").alias("c1"),
-        F.first("nu").alias("nu"),
+    g = (
+        lab.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("v").cast("long").alias("sv"),
+            F.sum("label").cast("long").alias("c1"),
+            F.first("nu").alias("nu"),
+        )
+        .localCheckpoint(eager=False)
     )
     pos = g.agg(F.sum("c1").cast("long").alias("p1"))
     return g.crossJoin(F.broadcast(pos)).select(
@@ -6347,8 +6378,12 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     2z_u), so the only fact-sized work is the (user, type) count and
     ONE user-keyed shuffle of the cell frame."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
-    gv = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    # the (user, type) count feeds both the k-count and the rank cells
+    # — cut it so the fact shuffle runs once (VERDICT r11 #3)
+    gv = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
     )
     kk = gv.select("event_type").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("k")
@@ -6382,11 +6417,13 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup of the cell frame — reuses the user partitioning)
     per_u = cells.groupBy("user_id").agg(F.max("z").cast("long").alias("z"))
     zd = F.col("z").cast(DEC)
+    # consumed by both the treatment join and the final readout — cut
+    # so the user-grain rollup runs once (1-row frame)
     blocks = per_u.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("z") + 1).cast("long").alias("t_z1"),
         F.sum(zd * (zd + 1) * (zd + 1)).alias("s_z_dr2"),
-    )
+    ).localCheckpoint(eager=False)
     # treatment-grain: present-rank sums and the (z+1) mass of the
     # users that DO have the treatment (absent mass = T - that)
     per_t = cells.groupBy("event_type").agg(
