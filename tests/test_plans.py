@@ -1464,14 +1464,65 @@ def test_soak_log_covers_registry_at_head():
     round's last registry addition is exactly the 240-of-243 hole this
     closes — re-run tools/run_soak.py before the snapshot, not after."""
     import glob
+    import re
 
     from tools.run_soak import verify_log
 
-    logs = sorted(glob.glob("SOAK_r*.log"))
+    logs = sorted(
+        glob.glob("SOAK_r*.log"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
     assert logs, "no SOAK_r*.log committed"
     assert verify_log(logs[-1]) == 0, (
         f"{logs[-1]} is stale or red vs the registry at HEAD — "
         "re-run: python tools/run_soak.py > SOAK_rN.log"
+    )
+
+
+def test_rot_check_artifact_green():
+    """Round-gate artifact discipline (VERDICT r11 #5): each round
+    must commit a ROT_CHECK_r*.log from tools/rot_check.py — the
+    seeded sf0.01 driver-protocol spot-check that replaces the
+    judge's hand-picked ~20-query re-verification. The newest
+    artifact must sample >= 20 registry queries with zero fails, and
+    every sampled name must still resolve in the registry at HEAD
+    (a rename/removal after the check ran means the artifact no
+    longer covers what it claims)."""
+    import glob
+    import json
+    import re
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans.registry import (
+        _ensure_loaded,
+        _ordered_specs,
+    )
+
+    logs = sorted(
+        glob.glob("ROT_CHECK_r*.log"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    assert logs, (
+        "no ROT_CHECK_r*.log committed — run: "
+        "python tools/rot_check.py --n 20 --seed <round> > ROT_CHECK_rN.log"
+    )
+    rows, summary = {}, None
+    with open(logs[-1]) as f:
+        for line in f:
+            d = json.loads(line)
+            if "query" in d:
+                rows[d["query"]] = d["result"]
+            elif "n_sampled" in d:
+                summary = d
+    assert summary is not None, f"{logs[-1]} has no summary line"
+    assert summary["n_sampled"] >= 20, summary
+    assert not summary["fails"], summary
+    bad = {q: r for q, r in rows.items() if r not in ("match", "rows_only")}
+    assert not bad, bad
+    _ensure_loaded()
+    names = {s.name for s in _ordered_specs()}
+    gone = set(rows) - names
+    assert not gone, (
+        f"{logs[-1]} sampled queries no longer in the registry: {sorted(gone)}"
     )
 
 
