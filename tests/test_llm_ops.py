@@ -1249,3 +1249,73 @@ def test_simhash_width_audit_monotone(spark):
         # refinement can split one big group into several smaller ones
         b["n_docs_in_collisions"] <= a["n_docs_in_collisions"]
     )
+
+
+def test_trained_ce_scorer_distributed_matches_local(spark):
+    """The model-UDF swap claim with an ACTUAL learned artifact
+    (VERDICT r11 #6): `operators/ce_model.py` ships logistic weights
+    fitted offline by tools/train_ce_scorer.py; injecting its forward
+    pass through `crossencoder_rerank_udf(scorer=...)` must produce
+    scores BIT-IDENTICAL to running the same numpy forward pass
+    in-process on the same candidate texts — proving the Arrow
+    boundary carries the model without numeric drift — and the final
+    order must follow the model's probabilities (bm25 tie-break,
+    doc_id last)."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.ce_model import (
+        CE_BIAS,
+        CE_WEIGHTS,
+        trained_ce_scorer,
+    )
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.retrieval import (
+        crossencoder_rerank_udf,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    qt = ["spark", "stream"]
+
+    out = crossencoder_rerank_udf(
+        docs, qt, scorer=trained_ce_scorer, candidates=20, top=20
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    rows = out.orderBy("rank").collect()
+    assert len(rows) == 20
+
+    # in-process replay of the exact same forward pass
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.join(out.select("doc_id"), "doc_id")
+        .select("doc_id", "text")
+        .collect()
+    }
+    local = trained_ce_scorer(
+        " ".join(qt), pd.Series([texts[r["doc_id"]] for r in rows])
+    )
+    for r, lscore in zip(rows, local):
+        assert r["rerank_score"] == lscore, (
+            r["doc_id"],
+            r["rerank_score"],
+            lscore,
+        )
+
+    # scores are genuine model probabilities, and the artifact is the
+    # committed literal fit (guards against someone regenerating the
+    # module with a placeholder)
+    assert all(0.0 < r["rerank_score"] < 1.0 for r in rows)
+    assert len(CE_WEIGHTS) == 4 and any(abs(w) > 1 for w in CE_WEIGHTS)
+    assert CE_BIAS != 0.0
+    # ranking follows the model: sorted by (-score, -bm25, doc_id)
+    want = sorted(rows, key=lambda r: (-r["rerank_score"], -r["bm25"], r["doc_id"]))
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in want]
+    # the trained model and the in-process features agree on scale:
+    # recompute one score fully by hand from the literals
+    from kafka_streams_spring_cloud_stream_tp1_spark.operators.ce_model import (
+        ce_features,
+    )
+
+    x = ce_features(" ".join(qt), [texts[rows[0]["doc_id"]]])
+    z = float(x @ np.asarray(CE_WEIGHTS) + CE_BIAS)
+    assert rows[0]["rerank_score"] == 1.0 / (1.0 + np.exp(-z))
