@@ -4421,6 +4421,138 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _conductance_oracle_sql(rounds: int) -> str:
+    """LPA label replay (same unrolled CTEs as `_lpa_oracle_sql`)
+    followed by the conductance aggregation: per community, cut
+    edges d_c − 2e_c over min(vol(S), 2m − vol(S)) — exact BIGINTs
+    with one fixed-order float expression."""
+    ctes = [
+        f"pairs AS MATERIALIZED ({_JACCARD_PAIRS_SQL})",
+        "e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "lbl0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e0)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"lbl{i + 1} AS MATERIALIZED (SELECT node, lab FROM ("
+            f" SELECT e.dst AS node, l.lab, count(*) AS c,"
+            f" row_number() OVER (PARTITION BY e.dst"
+            f" ORDER BY count(*) DESC, l.lab) AS rn"
+            f" FROM e0 e JOIN lbl{i} l ON e.src = l.node"
+            f" GROUP BY e.dst, l.lab) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    , deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM e0 GROUP BY src),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+    ein AS (SELECT la.lab AS community, CAST(count(*) AS BIGINT) AS e_in
+            FROM pairs p
+            JOIN lbl{rounds} la ON p.doc_a = la.node
+            JOIN lbl{rounds} lb ON p.doc_b = lb.node
+            WHERE la.lab = lb.lab GROUP BY la.lab),
+    dc AS (SELECT l.lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(sum(deg.deg) AS BIGINT) AS d_sum
+           FROM lbl{rounds} l JOIN deg ON deg.node = l.node
+           GROUP BY l.lab)
+    SELECT dc.community, dc.n_nodes,
+           CAST(d_sum - 2 * coalesce(ein.e_in, 0) AS BIGINT) AS cut_edges,
+           dc.d_sum,
+           round(CASE WHEN least(d_sum, 2 * m - d_sum) > 0
+                      THEN (d_sum - 2.0 * coalesce(ein.e_in, 0))
+                           / least(d_sum, 2 * m - d_sum)
+                      ELSE 0.0 END, 4) + 0.0 AS conductance
+    FROM dc LEFT JOIN ein USING (community) CROSS JOIN mm
+    """
+    )
+
+
+@query("q_community_conductance", oracle=_conductance_oracle_sql(_LPA_R))
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance φ(S) = cut(S)/min(vol(S), vol(V∖S)) of each LPA
+    community on the verified near-dup pair graph — the BOUNDARY
+    quality number `q_modularity` can't give: modularity scores the
+    whole partition against a random-graph null (and suffers its
+    resolution limit), conductance scores each community's own cut
+    in isolation — φ near 0 means a genuinely sealed template
+    family safe to target with one rewrite rule, φ near 1 means the
+    label leaks into the rest of the graph and per-family rules
+    would misfire. Reading both is the standard community-quality
+    protocol (Leskovec et al. 2009's NCP plots are conductance
+    curves).
+
+    Exactness & scale: identical frames to `q_modularity` — shared
+    pair pipeline (lineage-cut once), node-grain degree count,
+    both-endpoints label join, community-grain aggregates, broadcast
+    1-row edge total; cut(S) = d_c − 2e_c is exact BIGINT arithmetic
+    and φ is one fixed float expression guarded for the whole-graph
+    community (min vol 0 ⇒ 0.0), absorbed by round(4) with −0.0
+    normalization."""
+    from ..operators.graph import label_propagation
+
+    pairs = (
+        q_dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        label_propagation(
+            pairs,
+            rounds=_LPA_R,
+            src="doc_a",
+            dst="doc_b",
+            assume_unique_oriented=True,
+        )
+        .select(F.col("node"), F.col("community"))
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.select(F.col("doc_a").alias("src")).unionAll(
+        pairs.select(F.col("doc_b").alias("src"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    mm = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    la = labels.select(F.col("node").alias("doc_a"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("doc_b"), F.col("community").alias("cb"))
+    ein = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    dc = (
+        labels.join(deg, labels["node"] == deg["src"])
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_sum"),
+        )
+    )
+    cut = F.col("d_sum") - 2 * F.coalesce("e_in", F.lit(0))
+    min_vol = F.least(F.col("d_sum"), 2 * F.col("m") - F.col("d_sum"))
+    return (
+        dc.join(ein, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_nodes",
+            cut.cast("long").alias("cut_edges"),
+            "d_sum",
+            (
+                F.round(
+                    F.when(
+                        min_vol > 0,
+                        (F.col("d_sum") - 2.0 * F.coalesce("e_in", F.lit(0)))
+                        / min_vol,
+                    ).otherwise(F.lit(0.0)),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("conductance"),
+        )
+    )
+
+
 _FW_A0, _FW_TOP = 100.0, 5
 
 

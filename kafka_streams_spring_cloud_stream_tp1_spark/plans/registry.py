@@ -118,10 +118,20 @@ _FRONT = [
     "q_join_broadcast",
 ]
 _DEFERRED = [
+    # ---- round-12 additions (never driver-checked) lead the queue so
+    # they sit in slots 51-56 — inside the NEXT round's window per the
+    # staleness bound's clause (c) — and are round 13's first priority
+    # for driver rows.
+    "q_ordinal_association",
+    "q_paired_ttest",
+    "q_dickey_fuller",
+    "q_pettitt_test",
+    "q_fleiss_kappa",
+    "q_community_conductance",
     # ---- rotation queue, oldest driver row first: the r07-green
-    # cohort tail (5) sits in slots 51-55 — inside the NEXT round's
-    # window per the staleness bound's clause (c) — and heads round
-    # 13's natural _FRONT alongside the r08 cohort.
+    # cohort tail (5) follows — still inside slots 51-100 alongside
+    # the additions — and heads round 13's natural _FRONT with the
+    # r08 cohort.
     "q_join_multiway",
     "q_join_left_outer",
     "q_join_range",

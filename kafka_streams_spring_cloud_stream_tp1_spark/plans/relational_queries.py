@@ -7662,3 +7662,544 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"), "m_lags", "q_stat", "reject_95"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-12: ordinal-association battery, paired t-test, unit-root test,
+# rank-based changepoint, multi-rater agreement
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_ordinal_association",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(count(*) AS BIGINT) AS x,
+                      CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS y
+               FROM events GROUP BY user_id),
+    cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n
+              FROM u GROUP BY x, y),
+    cd AS (SELECT CAST(sum(CASE WHEN b.x < a.x AND b.y < a.y
+                                THEN CAST(a.n AS HUGEINT) * b.n
+                                ELSE 0 END) AS HUGEINT) AS c,
+                  CAST(sum(CASE WHEN b.x < a.x AND b.y > a.y
+                                THEN CAST(a.n AS HUGEINT) * b.n
+                                ELSE 0 END) AS HUGEINT) AS d
+           FROM cells a JOIN cells b ON b.x < a.x),
+    tx AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) / 2) AS HUGEINT) AS n1,
+                  CAST(count(*) AS BIGINT) AS rx
+           FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY x)),
+    ty AS (SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) / 2) AS HUGEINT) AS n2,
+                  CAST(count(*) AS BIGINT) AS ry
+           FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY y)),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nu,
+                   CAST(CAST(sum(n) AS HUGEINT) * (sum(n) - 1) / 2 AS HUGEINT)
+                       AS n0
+            FROM cells)
+    SELECT nu AS n_users,
+           CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           round((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                 / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)), 4) + 0.0 AS gamma,
+           round((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                 / CAST(n0 - n1 AS DOUBLE), 4) + 0.0 AS somers_d_yx,
+           round((CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                 / CAST(n0 - n2 AS DOUBLE), 4) + 0.0 AS somers_d_xy,
+           round(2.0 * least(rx, ry)
+                 * (CAST(c AS DOUBLE) - CAST(d AS DOUBLE))
+                 / (CAST(nu AS DOUBLE) * nu * (least(rx, ry) - 1)), 4) + 0.0
+               AS tau_c
+    FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+    """,
+)
+def q_ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ordinal-association battery over the SAME joint
+    distribution as `q_kendall_tau` (per-user event volume × active
+    days): Goodman-Kruskal γ = (C−D)/(C+D) (ignores all ties — the
+    number quoted when only clear-cut pairs should count), Somers'
+    D_yx = (C−D)/(n0−n1) and D_xy = (C−D)/(n0−n2) (ASYMMETRIC —
+    conditions on pairs untied in the predictor, the ordinal
+    regression readout τ-b symmetrizes away), and Stuart's
+    τ-c = 2m(C−D)/(N²(m−1)) (rectangular-table correction). One
+    query because they share every input: reporting them separately
+    would re-run the identical grid machinery four times.
+
+    Exactness & scale: identical cell-grid discipline to
+    `q_kendall_tau` — the (x, y) joint distribution collapses to a
+    domain-bounded grid, C/D are Σ n_a·n_b over strictly-ordered
+    CELL pairs (O(cells²) broadcast nested-loop, never user pairs),
+    tie masses and n0 are exact 128-bit integers, and each statistic
+    is one fixed float expression over them, absorbed by round(4)
+    with −0.0 normalization. NULL contract: count(DISTINCT date)
+    skips NULL ts identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.countDistinct(F.col("ts").cast("date")).cast("long").alias("y"),
+    )
+    cells = (
+        u.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    DEC = "decimal(38,0)"
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("n").alias("bn")
+    )
+    cd = (
+        cells.join(F.broadcast(b), F.col("bx") < F.col("x"))
+        .agg(
+            F.sum(
+                F.when(F.col("by") < F.col("y"), F.col("n").cast(DEC) * F.col("bn"))
+                .otherwise(F.lit(0).cast(DEC))
+            ).alias("c"),
+            F.sum(
+                F.when(F.col("by") > F.col("y"), F.col("n").cast(DEC) * F.col("bn"))
+                .otherwise(F.lit(0).cast(DEC))
+            ).alias("d"),
+        )
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t").cast(DEC) * (F.col("t") - 1) / 2).alias("n1"),
+            F.count(F.lit(1)).cast("long").alias("rx"),
+        )
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("n").cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t").cast(DEC) * (F.col("t") - 1) / 2).alias("n2"),
+            F.count(F.lit(1)).cast("long").alias("ry"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nu"),
+        (F.sum("n").cast(DEC) * (F.sum("n") - 1) / 2).alias("n0"),
+    )
+    cmd = F.col("c").cast("double") - F.col("d").cast("double")
+    m = F.least(F.col("rx"), F.col("ry"))
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nu").alias("n_users"),
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d").cast("long").alias("discordant"),
+            (
+                F.round(
+                    cmd / (F.col("c").cast("double") + F.col("d").cast("double")), 4
+                )
+                + F.lit(0.0)
+            ).alias("gamma"),
+            (
+                F.round(cmd / (F.col("n0") - F.col("n1")).cast("double"), 4)
+                + F.lit(0.0)
+            ).alias("somers_d_yx"),
+            (
+                F.round(cmd / (F.col("n0") - F.col("n2")).cast("double"), 4)
+                + F.lit(0.0)
+            ).alias("somers_d_xy"),
+            (
+                F.round(
+                    F.lit(2.0) * m * cmd
+                    / (
+                        F.col("nu").cast("double") * F.col("nu") * (m - 1)
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("tau_c"),
+        )
+    )
+
+
+@query(
+    "q_paired_ttest",
+    oracle="""
+    WITH u AS (SELECT user_id,
+                      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           AS BIGINT) AS v,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                               END) AS BIGINT) AS p
+               FROM events GROUP BY user_id),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v - p) AS BIGINT) AS sd,
+                 CAST(sum(CAST(v - p AS HUGEINT) * (v - p)) AS HUGEINT) AS sdd
+          FROM u)
+    SELECT n AS n_users,
+           round(CAST(sd AS DOUBLE) / n, 6) + 0.0 AS mean_diff,
+           round((CAST(sd AS DOUBLE) / n)
+                 / sqrt((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n)
+                        / (n - 1) / n), 4) + 0.0 AS t_stat,
+           abs((CAST(sd AS DOUBLE) / n)
+               / sqrt((CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n)
+                      / (n - 1) / n)) > 1.96 AS reject_95
+    FROM s
+    WHERE CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n > 0
+    """,
+)
+def q_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test on per-user view vs purchase counts — the
+    PARAMETRIC twin of `q_wilcoxon_signed_rank` on the same pairing,
+    exactly as `q_welch_ttest` twins `q_mann_whitney` for independent
+    samples: Wilcoxon says the median difference's sign, the paired t
+    says whether the MEAN within-user gap clears sampling noise, and
+    the pair (reported together in any A/B readout) flags
+    distributional skew when they disagree. Blocking on the user
+    removes the between-user activity variance an unpaired test
+    would drown in.
+
+    Exactness: per-user differences d = v − p are exact integers, so
+    n, Σd, Σd² are exact (128-bit for the squares) and the t
+    statistic is ONE fixed float expression over them —
+    bit-identical cross-engine, absorbed by round(4) with −0.0
+    normalization. The 1.96 fence is the large-n normal
+    approximation (the user count makes Student-t vs normal
+    indistinguishable at 4 decimals); it is a shared literal, and
+    reject_95 compares the raw statistic against it. Scale shape:
+    ONE fact-sized user rollup with map-side combine, then a 1-row
+    reduction — no windows, no joins, flat at any corpus size. NULL
+    contract: a NULL event_type matches neither CASE arm, so it
+    contributes to neither side of any user's pair — identical
+    fallthrough on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("p"),
+    )
+    DEC = "decimal(38,0)"
+    d = F.col("v") - F.col("p")
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).cast("long").alias("sd"),
+        F.sum(d.cast(DEC) * d).alias("sdd"),
+    )
+    mean = F.col("sd").cast("double") / F.col("n")
+    var_num = F.col("sdd").cast("double") - F.col("sd").cast("double") * F.col(
+        "sd"
+    ) / F.col("n")
+    t = mean / F.sqrt(var_num / (F.col("n") - 1) / F.col("n"))
+    return s.filter(var_num > 0).select(
+        F.col("n").alias("n_users"),
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_diff"),
+        (F.round(t, 4) + F.lit(0.0)).alias("t_stat"),
+        (F.abs(t) > F.lit(1.96)).alias("reject_95"),
+    )
+
+
+# Dickey-Fuller 5% critical value for the constant-only regression,
+# large-n (Fuller 1976 table) — a shared literal so both engines fence
+# the same raw statistic, the q_ljung_box chi2-fence discipline.
+_DF_CRIT_95 = -2.86
+
+
+@query(
+    "q_dickey_fuller",
+    oracle=f"""
+    WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE ts IS NOT NULL GROUP BY CAST(ts AS DATE)),
+    p AS (SELECT a.x AS xl, b.x - a.x AS dy
+          FROM d a JOIN d b ON b.day = a.day + INTERVAL 1 DAY),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(xl) AS BIGINT) AS sx,
+                 CAST(sum(dy) AS BIGINT) AS sy,
+                 CAST(sum(CAST(xl AS HUGEINT) * xl) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy,
+                 CAST(sum(CAST(xl AS HUGEINT) * dy) AS HUGEINT) AS sxy
+          FROM p),
+    c AS (SELECT m,
+                 CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / m AS sxx_c,
+                 CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / m AS syy_c,
+                 CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / m AS sxy_c
+          FROM s WHERE m > 2),
+    b AS (SELECT m, sxx_c, syy_c, sxy_c / sxx_c AS beta
+          FROM c WHERE sxx_c > 0)
+    SELECT m AS n_pairs,
+           round(beta, 6) + 0.0 AS beta,
+           round(beta / sqrt(((syy_c - beta * beta * sxx_c) / (m - 2)) / sxx_c),
+                 4) + 0.0 AS df_t,
+           beta / sqrt(((syy_c - beta * beta * sxx_c) / (m - 2)) / sxx_c)
+               < {_DF_CRIT_95} AS unit_root_rejected_95
+    FROM b WHERE syy_c - beta * beta * sxx_c > 0
+    """,
+)
+def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root test (Dickey & Fuller 1979,
+    constant-only regression Δy_t = α + β·y_{t−1} + ε) on the daily
+    event-volume series — the stationarity gate read BEFORE trusting
+    any of the trend/forecast family (`q_holt_smoothing`,
+    `q_theil_sen`, `q_acf`): a random-walk series makes their
+    readouts spurious, and DF is the test that says so. β̂ and its t
+    statistic come from the closed-form two-variable OLS normal
+    equations; reject (t < −2.86, the Fuller large-n 5% point for
+    this regression, shared literal) ⇒ the series mean-reverts.
+
+    Exactness & scale: lag pairs come from the `q_acf` device — one
+    fact-sized day aggregate, then a broadcast self-join of the
+    |days|-sized series on day+1 (no window, no sort); m, Σx, Σy,
+    Σx², Σy², Σxy are exact integers (128-bit squares), and β̂, its
+    standard error, and the t statistic are fixed float expressions
+    over them — bit-identical cross-engine, round(4)/(6) with −0.0
+    normalization. Untimed events have no day and are filtered in
+    both engines (NULL-value doctrine)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    DEC = "decimal(38,0)"
+    bnext = d.select(F.col("day").alias("bday"), F.col("x").alias("xb"))
+    p = (
+        d.withColumn("bday", F.date_add(F.col("day"), 1))
+        .join(F.broadcast(bnext), "bday")
+        .select(F.col("x").alias("xl"), (F.col("xb") - F.col("x")).alias("dy"))
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("xl").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("xl").cast(DEC) * F.col("xl")).alias("sxx"),
+        F.sum(F.col("dy").cast(DEC) * F.col("dy")).alias("syy"),
+        F.sum(F.col("xl").cast(DEC) * F.col("dy")).alias("sxy"),
+    )
+    md = F.col("m")
+    c = s.filter(md > 2).select(
+        "m",
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / md)
+        .alias("sxx_c"),
+        (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / md)
+        .alias("syy_c"),
+        (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / md)
+        .alias("sxy_c"),
+    )
+    bdf = c.filter(F.col("sxx_c") > 0).withColumn(
+        "beta", F.col("sxy_c") / F.col("sxx_c")
+    )
+    se = F.sqrt(
+        ((F.col("syy_c") - F.col("beta") * F.col("beta") * F.col("sxx_c"))
+         / (F.col("m") - 2))
+        / F.col("sxx_c")
+    )
+    t = F.col("beta") / se
+    return bdf.filter(
+        F.col("syy_c") - F.col("beta") * F.col("beta") * F.col("sxx_c") > 0
+    ).select(
+        F.col("m").alias("n_pairs"),
+        (F.round(F.col("beta"), 6) + F.lit(0.0)).alias("beta"),
+        (F.round(t, 4) + F.lit(0.0)).alias("df_t"),
+        (t < F.lit(_DF_CRIT_95)).alias("unit_root_rejected_95"),
+    )
+
+
+@query(
+    "q_pettitt_test",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE ts IS NOT NULL
+               GROUP BY event_type, CAST(ts AS DATE)),
+    r AS (SELECT event_type, day,
+                 2 * (CAST(rank() OVER (PARTITION BY event_type ORDER BY x)
+                           AS BIGINT) - 1)
+                   + CAST(count(*) OVER (PARTITION BY event_type, x) AS BIGINT)
+                   + 1 AS dr
+          FROM d),
+    u AS (SELECT event_type, day,
+                 CAST(sum(dr) OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS cdr,
+                 CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                      AS BIGINT) AS t,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM r),
+    k AS (SELECT event_type, day, n,
+                 abs(cdr - t * (n + 1)) AS absu,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(cdr - t * (n + 1)) DESC, day)
+                     AS rn
+          FROM u WHERE t < n)
+    SELECT event_type, n AS n_days, CAST(absu AS BIGINT) AS k_stat,
+           day AS change_day,
+           round(2 * exp(-6.0 * absu * absu
+                         / (CAST(n AS DOUBLE) * n * n
+                            + CAST(n AS DOUBLE) * n)), 6) + 0.0 AS p_approx,
+           2 * exp(-6.0 * absu * absu
+                   / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))
+               < 0.05 AS signif_95
+    FROM k WHERE rn = 1
+    """,
+)
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's rank-based changepoint test (Pettitt 1979) on each
+    event type's daily volume — the NONPARAMETRIC complement of
+    `q_cusum_changepoint`: CUSUM integrates deviations from the MEAN
+    (level-shift under roughly-constant variance), Pettitt runs
+    Mann-Whitney at every split point via cumulative midranks, so it
+    finds the break a heavy-tailed or re-scaled series hides from
+    moment-based scans. U_t = 2Σ_{i≤t}r_i − t(n+1), K = max|U_t|,
+    with the standard tail bound p ≈ 2·exp(−6K²/(n³+n²)).
+
+    Exactness: DOUBLED midranks (the `q_friedman_test` device) make
+    every rank an exact integer — dr = 2·(#smaller) + ties + 1 via a
+    rank window and a tie count — so the cumulative U_t and K are
+    exact BIGINTs; the only float is the closed-form tail bound, one
+    fixed expression per type absorbed by round(6) (exp output —
+    never at a rounding tie; significance compares the raw bound to
+    the 0.05 literal). Scale shape: one fact-sized (type, day)
+    aggregate, then every window partitions by event_type over
+    day-count-sized partitions (the `q_cusum_changepoint` shape) —
+    no global sort, no fact-sized join. NULL contract: untimed
+    events are filtered on both engines; a NULL event type is a
+    legitimate segment and partitions windows identically."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = ev.select("event_type", F.col("ts").cast("date").alias("day")).groupBy(
+        "event_type", "day"
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w_rank = Window.partitionBy("event_type").orderBy("x")
+    w_tie = Window.partitionBy("event_type", "x")
+    r = d.select(
+        "event_type",
+        "day",
+        (
+            2 * (F.rank().over(w_rank).cast("long") - 1)
+            + F.count(F.lit(1)).over(w_tie).cast("long")
+            + 1
+        ).alias("dr"),
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    u = r.select(
+        "event_type",
+        "day",
+        F.sum("dr").over(w_cum).cast("long").alias("cdr"),
+        F.row_number().over(w_cum).cast("long").alias("t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    absu = F.abs(F.col("cdr") - F.col("t") * (F.col("n") + 1))
+    w_pick = Window.partitionBy("event_type").orderBy(F.desc("absu"), "day")
+    k = (
+        u.filter(F.col("t") < F.col("n"))
+        .select("event_type", "day", "n", absu.alias("absu"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+    )
+    nd = F.col("n").cast("double")
+    p_raw = 2 * F.exp(
+        -6.0 * F.col("absu") * F.col("absu") / (nd * F.col("n") * F.col("n") + nd * F.col("n"))
+    )
+    return k.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("absu").cast("long").alias("k_stat"),
+        F.col("day").alias("change_day"),
+        (F.round(p_raw, 6) + F.lit(0.0)).alias("p_approx"),
+        (p_raw < F.lit(0.05)).alias("signif_95"),
+    )
+
+
+# Three deterministic length-band "raters" with staggered cutoffs —
+# the committee whose agreement q_fleiss_kappa measures. Literals are
+# shared with the oracle; the corpus n_chars range is ~[48, 553].
+_FLEISS_CUTS = ((200, 400), (220, 380), (180, 420))
+
+
+def _fleiss_rating_sql(lo: int, hi: int) -> str:
+    return (
+        f"CASE WHEN n_chars < {lo} THEN 'short' "
+        f"WHEN n_chars > {hi} THEN 'long' ELSE 'medium' END"
+    )
+
+
+@query(
+    "q_fleiss_kappa",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, n_chars FROM documents
+               WHERE n_chars IS NOT NULL),
+    rat AS (SELECT doc_id, unnest([
+                {_fleiss_rating_sql(*_FLEISS_CUTS[0])},
+                {_fleiss_rating_sql(*_FLEISS_CUTS[1])},
+                {_fleiss_rating_sql(*_FLEISS_CUTS[2])}]) AS cat
+            FROM d),
+    nij AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nij
+            FROM rat GROUP BY doc_id, cat),
+    s1 AS (SELECT CAST(sum(nij * nij) AS HUGEINT) AS s1,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+           FROM nij),
+    cj AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS sc2
+           FROM (SELECT CAST(sum(nij) AS BIGINT) AS t FROM nij GROUP BY cat))
+    SELECT nd AS n_docs,
+           round((CAST(s1 AS DOUBLE) - 3 * nd) / (6.0 * nd), 6) + 0.0 AS p_bar,
+           round(CAST(sc2 AS DOUBLE) / (9.0 * nd * nd), 6) + 0.0 AS p_e,
+           round(((CAST(s1 AS DOUBLE) - 3 * nd) / (6.0 * nd)
+                  - CAST(sc2 AS DOUBLE) / (9.0 * nd * nd))
+                 / (1.0 - CAST(sc2 AS DOUBLE) / (9.0 * nd * nd)), 4) + 0.0
+               AS kappa
+    FROM s1 CROSS JOIN cj
+    """,
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ (Fleiss 1971) over a three-member committee of
+    deterministic length-band raters with staggered cutoffs — the
+    MULTI-rater extension of `q_cohens_kappa` (which is locked to
+    exactly two raters): when a labeling pipeline ensembles several
+    heuristic or model annotators, Fleiss' κ is the
+    chance-corrected agreement number that says whether the
+    committee is consistent enough to produce training labels at
+    all. The staggered cutoffs make disagreement concentrate near
+    band boundaries — exactly how real annotator committees behave.
+
+    Exactness: per-(doc, category) rating counts n_ij are exact
+    integers, so Σn_ij² (128-bit), the doc count, and the per-
+    category totals are exact; P̄ = (Σn_ij² − N·n)/(N·n(n−1)),
+    P̄e = Σc_j²/(N·n)², and κ = (P̄−P̄e)/(1−P̄e) are fixed float
+    expressions over them (n = 3 raters folded into the literals) —
+    bit-identical cross-engine, round(4)/(6) with −0.0
+    normalization. Scale shape: one fact-sized explode→(doc, cat)
+    aggregate with map-side combine (≤3 rows per doc), then two
+    rollups of that frame — no windows, no joins. NULL contract: a
+    doc with NULL n_chars cannot be rated and is dropped by both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    ratings = [
+        F.when(F.col("n_chars") < lo, F.lit("short"))
+        .when(F.col("n_chars") > hi, F.lit("long"))
+        .otherwise(F.lit("medium"))
+        for lo, hi in _FLEISS_CUTS
+    ]
+    rat = docs.select("doc_id", F.explode(F.array(*ratings)).alias("cat"))
+    DEC = "decimal(38,0)"
+    # consumed by both the Σn² rollup and the per-category totals —
+    # lineage-cut so the doc-grain aggregate runs once
+    nij = (
+        rat.groupBy("doc_id", "cat")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+        .localCheckpoint(eager=False)
+    )
+    s1 = nij.agg(
+        F.sum(F.col("nij").cast(DEC) * F.col("nij")).alias("s1"),
+        F.countDistinct("doc_id").cast("long").alias("nd"),
+    )
+    cj = (
+        nij.groupBy("cat")
+        .agg(F.sum("nij").cast("long").alias("t"))
+        .agg(F.sum(F.col("t").cast(DEC) * F.col("t")).alias("sc2"))
+    )
+    ndd = F.col("nd")
+    p_bar = (F.col("s1").cast("double") - 3 * ndd) / (6.0 * ndd)
+    p_e = F.col("sc2").cast("double") / (9.0 * ndd * ndd)
+    return s1.crossJoin(F.broadcast(cj)).select(
+        F.col("nd").alias("n_docs"),
+        (F.round(p_bar, 6) + F.lit(0.0)).alias("p_bar"),
+        (F.round(p_e, 6) + F.lit(0.0)).alias("p_e"),
+        (F.round((p_bar - p_e) / (1.0 - p_e), 4) + F.lit(0.0)).alias("kappa"),
+    )

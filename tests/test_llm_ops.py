@@ -1319,3 +1319,56 @@ def test_trained_ce_scorer_distributed_matches_local(spark):
     x = ce_features(" ".join(qt), [texts[rows[0]["doc_id"]]])
     z = float(x @ np.asarray(CE_WEIGHTS) + CE_BIAS)
     assert rows[0]["rerank_score"] == 1.0 / (1.0 + np.exp(-z))
+
+
+def test_community_conductance_identities(spark):
+    """Conductance rows must be consistent with a direct recompute
+    from the LPA labels and the pair list: cut = d_sum − 2·e_in ≥ 0,
+    φ = cut/min(vol, 2m−vol) exactly, φ ∈ [0, 1], and the community
+    partition must be identical to q_modularity's (same labels, same
+    node counts) so the two quality readouts describe one split."""
+    from collections import Counter
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
+
+    qm = queries_map()
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in qm["q_dedup_ngram_jaccard"](spark, SF_SMOKE)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    labels = {
+        r["doc_id"]: r["community"]
+        for r in qm["q_label_propagation"](spark, SF_SMOKE).collect()
+    }
+    m = len(pairs)
+    deg = Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    e_in = Counter()
+    for a, b in pairs:
+        if labels[a] == labels[b]:
+            e_in[labels[a]] += 1
+    vol = Counter()
+    nn = Counter()
+    for node, lab in labels.items():
+        vol[lab] += deg[node]
+        nn[lab] += 1
+    out = {r["community"]: r for r in qm["q_community_conductance"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(vol)
+    mod = {r["community"]: r for r in qm["q_modularity"](spark, SF_SMOKE).collect()}
+    assert set(mod) == set(out)
+    for c, r in out.items():
+        cut = vol[c] - 2 * e_in[c]
+        assert r.n_nodes == nn[c] == mod[c].n_nodes, c
+        assert r.d_sum == vol[c], c
+        assert r.cut_edges == cut >= 0, c
+        mv = min(vol[c], 2 * m - vol[c])
+        want = round(cut / mv, 4) if mv > 0 else 0.0
+        assert abs(r.conductance - want) < 1e-12, c
+        assert 0.0 <= r.conductance <= 1.0, c
+    # the fixture's template families are internally dense: at least
+    # one genuinely sealed community (low phi)
+    assert min(r.conductance for r in out.values()) < 0.5

@@ -778,3 +778,204 @@ def test_holt_matches_python_fold(spark):
         assert out[et].trend == b, et
         assert out[et].forecast == l + b, et
         assert out[et].n_events == len(xs)
+
+
+def test_ordinal_association_matches_bruteforce(spark):
+    """γ, Somers' D (both directions), and Stuart's τ-c must match an
+    O(n²) pair enumeration over the collected per-user (volume,
+    active-days) points — proving the cell-grid half-plane masses
+    count every unordered pair exactly once."""
+    u = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.countDistinct(F.col("ts").cast("date")).alias("y"),
+        )
+        .collect()
+    )
+    pts = [(r["x"], r["y"]) for r in u]
+    n = len(pts)
+    C = D = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pts[i][0] - pts[j][0]
+            dy = pts[i][1] - pts[j][1]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                C += 1
+            elif dx * dy < 0:
+                D += 1
+    n0 = n * (n - 1) // 2
+    rx = len({p[0] for p in pts})
+    ry = len({p[1] for p in pts})
+    m = min(rx, ry)
+    out = queries_map()["q_ordinal_association"](spark, SF_SMOKE).collect()[0]
+    assert out.n_users == n
+    assert out.concordant == C and out.discordant == D
+    assert abs(out.gamma - round((C - D) / (C + D), 4)) < 1e-12
+    # n1/n2 count pairs tied on x / on y (including both-tied)
+    n1 = sum(
+        t * (t - 1) // 2
+        for t in __import__("collections").Counter(p[0] for p in pts).values()
+    )
+    n2 = sum(
+        t * (t - 1) // 2
+        for t in __import__("collections").Counter(p[1] for p in pts).values()
+    )
+    assert abs(out.somers_d_yx - round((C - D) / (n0 - n1), 4)) < 1e-12
+    assert abs(out.somers_d_xy - round((C - D) / (n0 - n2), 4)) < 1e-12
+    assert abs(out.tau_c - round(2.0 * m * (C - D) / (n * n * (m - 1)), 4)) < 1e-12
+
+
+def test_paired_ttest_matches_bruteforce(spark):
+    """t statistic and mean difference must match the textbook paired
+    formula over per-user (view − purchase) count differences."""
+    import math
+
+    u = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("v"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "p"
+            ),
+        )
+        .collect()
+    )
+    d = [r["v"] - r["p"] for r in u]
+    n = len(d)
+    mean = sum(d) / n
+    s2 = sum((x - mean) ** 2 for x in d) / (n - 1)
+    t = mean / math.sqrt(s2 / n)
+    out = queries_map()["q_paired_ttest"](spark, SF_SMOKE).collect()[0]
+    assert out.n_users == n
+    assert abs(out.mean_diff - round(mean, 6)) < 1e-12
+    assert abs(out.t_stat - t) < 1e-3  # query rounds to 4
+    assert out.reject_95 == (abs(t) > 1.96)
+
+
+def test_dickey_fuller_matches_bruteforce(spark):
+    """β̂ and the DF t statistic must match the closed-form OLS of
+    Δy on y_lag computed in Python over the same consecutive-day
+    pairs (absent days break pairs on both paths identically)."""
+    import math
+
+    daily = sorted(
+        (r["day"], r["x"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    by_day = dict(daily)
+    import datetime
+
+    pairs = [
+        (x, by_day[day + datetime.timedelta(days=1)] - x)
+        for day, x in daily
+        if day + datetime.timedelta(days=1) in by_day
+    ]
+    m = len(pairs)
+    xs, ys = [p[0] for p in pairs], [p[1] for p in pairs]
+    mx, my = sum(xs) / m, sum(ys) / m
+    sxx_c = sum((x - mx) ** 2 for x in xs)
+    sxy_c = sum((x - mx) * (y - my) for x, y in pairs)
+    syy_c = sum((y - my) ** 2 for y in ys)
+    beta = sxy_c / sxx_c
+    sse = syy_c - beta * beta * sxx_c
+    t = beta / math.sqrt((sse / (m - 2)) / sxx_c)
+    out = queries_map()["q_dickey_fuller"](spark, SF_SMOKE).collect()[0]
+    assert out.n_pairs == m
+    assert abs(out.beta - beta) < 1e-5
+    assert abs(out.df_t - t) < 1e-3
+    assert out.unit_root_rejected_95 == (t < -2.86)
+
+
+def test_pettitt_matches_bruteforce(spark):
+    """Per event type, K = max|U_t| and the changepoint day must
+    match a direct midrank computation over the collected daily
+    series; the tail-bound p must follow the closed form."""
+    import math
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    out = {
+        r["event_type"]: r
+        for r in queries_map()["q_pettitt_test"](spark, SF_SMOKE).collect()
+    }
+    assert set(out) == set(series)
+    for et, pts in series.items():
+        pts.sort()
+        vals = [x for _, x in pts]
+        n = len(vals)
+        # midranks (1-based, ties averaged)
+        ranks = []
+        for v in vals:
+            smaller = sum(1 for w in vals if w < v)
+            ties = sum(1 for w in vals if w == v)
+            ranks.append(smaller + (ties + 1) / 2)
+        best = None
+        for t in range(1, n):  # t = 1..n-1
+            u = 2 * sum(ranks[:t]) - t * (n + 1)
+            key = (abs(u), pts[t - 1][0])
+            if best is None or abs(u) > best[0]:
+                best = (abs(u), pts[t - 1][0])
+        k, day = best
+        p = 2 * math.exp(-6.0 * k * k / (n**3 + n**2))
+        o = out[et]
+        assert o.n_days == n, et
+        assert o.k_stat == int(k), et
+        assert o.change_day == day, et
+        assert abs(o.p_approx - round(p, 6)) < 1e-12, et
+        assert o.signif_95 == (p < 0.05), et
+
+
+def test_fleiss_kappa_matches_bruteforce(spark):
+    """κ must match the textbook Fleiss computation over the three
+    staggered length-band raters replayed in Python; perfect
+    agreement on a single-band corpus must give κ = 1 edge handled
+    (not hit by the fixture — asserted on a constructed frame)."""
+    docs = [
+        r["n_chars"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("n_chars").isNotNull())
+        .collect()
+    ]
+    cuts = [(200, 400), (220, 380), (180, 420)]
+
+    def rate(nc, lo, hi):
+        return "short" if nc < lo else ("long" if nc > hi else "medium")
+
+    from collections import Counter
+
+    N = len(docs)
+    s1 = 0
+    cat_tot = Counter()
+    for nc in docs:
+        cnt = Counter(rate(nc, lo, hi) for lo, hi in cuts)
+        s1 += sum(v * v for v in cnt.values())
+        cat_tot.update(cnt)
+    p_bar = (s1 - 3 * N) / (6.0 * N)
+    p_e = sum(v * v for v in cat_tot.values()) / (9.0 * N * N)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    out = queries_map()["q_fleiss_kappa"](spark, SF_SMOKE).collect()[0]
+    assert out.n_docs == N
+    assert abs(out.p_bar - round(p_bar, 6)) < 1e-12
+    assert abs(out.p_e - round(p_e, 6)) < 1e-12
+    assert abs(out.kappa - kappa) < 1e-3
+    # committee sanity: substantial but imperfect agreement
+    assert 0.2 < out.kappa < 1.0
