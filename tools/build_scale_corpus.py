@@ -42,7 +42,16 @@ under a shifted key universe IS real growth (more orders with the same
 price distribution).
 
 Usage: python tools/build_scale_corpus.py [N] [base_dir] [out_dir] [--generate]
+           [--seed-base M]
 Defaults: 5 /root/testdata/sf0.1 /tmp/<base>x<N>[u]
+
+``--seed-base M`` (generate mode; default 0) offsets every per-copy
+RNG seed by M, producing a STRUCTURALLY INDEPENDENT regeneration of
+the same growth model — the guard against decade tables accidentally
+keying on one seed's specific near-dup/noise realization (VERDICT r11
+stretch (c)). Two corpora from different seed bases share the key
+topology and per-document length/topic profile but no sampled word
+order or embedding noise.
 """
 
 from __future__ import annotations
@@ -82,7 +91,7 @@ def _copy_table(con, t: str, keys: list[str], n: int, base: str, out: str) -> No
     )
 
 
-def _generate_documents(n: int, base: str, out: str) -> None:
+def _generate_documents(n: int, base: str, out: str, seed_base: int = 0) -> None:
     # Each copy is written as its own parquet row group the moment it
     # is generated (ADVICE r07): peak memory is ONE copy + the base,
     # not all N concatenated — at the 100x lane the old pd.concat
@@ -101,7 +110,7 @@ def _generate_documents(n: int, base: str, out: str) -> None:
     with pq.ParquetWriter(f"{out}/documents.parquet", schema) as w:
         w.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False))
         for i in range(1, n):
-            rng = np.random.default_rng(42_000 + i)
+            rng = np.random.default_rng(42_000 + seed_base + i)
             texts = []
             for ws in own:
                 ln = len(ws)
@@ -118,7 +127,7 @@ def _generate_documents(n: int, base: str, out: str) -> None:
             w.write_table(pa.Table.from_pandas(c, schema=schema, preserve_index=False))
 
 
-def _generate_embeddings(n: int, base: str, out: str) -> None:
+def _generate_embeddings(n: int, base: str, out: str, seed_base: int = 0) -> None:
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -130,7 +139,7 @@ def _generate_embeddings(n: int, base: str, out: str) -> None:
     with pq.ParquetWriter(f"{out}/embeddings.parquet", schema) as w:
         w.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False))
         for i in range(1, n):
-            rng = np.random.default_rng(7_000 + i)
+            rng = np.random.default_rng(7_000 + seed_base + i)
             pert = mat + rng.normal(0.0, 0.15, size=mat.shape).astype("float32")
             c = df.copy()
             c["vec_id"] = c["vec_id"] + i * OFFSET
@@ -139,8 +148,14 @@ def _generate_embeddings(n: int, base: str, out: str) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--generate"]
-    generate = "--generate" in sys.argv[1:]
+    argv = sys.argv[1:]
+    seed_base = 0
+    if "--seed-base" in argv:
+        k = argv.index("--seed-base")
+        seed_base = int(argv[k + 1])
+        argv = argv[:k] + argv[k + 2 :]
+    args = [a for a in argv if a != "--generate"]
+    generate = "--generate" in argv
     n = int(args[0]) if len(args) > 0 else 5
     base = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     suffix = "u" if generate else ""
@@ -149,9 +164,9 @@ def main() -> None:
     con = duckdb.connect()
     for t, keys in KEYS.items():
         if generate and t == "documents":
-            _generate_documents(n, base, out)
+            _generate_documents(n, base, out, seed_base)
         elif generate and t == "embeddings":
-            _generate_embeddings(n, base, out)
+            _generate_embeddings(n, base, out, seed_base)
         else:
             _copy_table(con, t, keys, n, base, out)
         rows = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
