@@ -5929,3 +5929,154 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+@query(
+    "q_ttr_sources",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    stc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, token)
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 6) + 0.0 AS ttr,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) + 0.0 AS hapax_ratio
+    FROM stc GROUP BY source
+    """,
+)
+def q_ttr_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: type-token ratio and hapax-
+    legomenon share — the template-spam detector the frequency tests
+    miss: a crawl slice whose pages are near-identical boilerplate
+    keeps a normal token VOLUME but its TTR collapses (few types,
+    almost no hapaxes), while genuine prose under Zipf holds TTR up
+    and ~half its vocabulary hapax. The standard corpus-card row
+    next to `q_zipf_slope` (the slope says the tail SHAPE, TTR/hapax
+    say how much tail each source actually contributes) and the
+    source-grain complement of `q_gini_token`'s corpus-wide
+    concentration number.
+
+    Exactness & scale: the canonical word-count plan — ONE
+    fact-sized (source, token) aggregate with map-side combine, then
+    a source-grain rollup of that vocabulary-sized frame; every
+    count is an exact BIGINT and the two ratios are single divisions
+    absorbed by round(6) with −0.0 normalization. No windows, no
+    joins, no driver-side state. NULL contract: a NULL source is a
+    legitimate slice (its own group on both engines); docs with NULL
+    text produce no tokens and drop out of their source's counts
+    identically."""
+    from ..operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    stc = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return stc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+        (
+            F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6) + F.lit(0.0)
+        ).alias("ttr"),
+        (
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("hapax_ratio"),
+    )
+
+
+@query(
+    "q_ivf_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_KNN_Q}),
+    xscored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(e.v, q.qv), 4) AS score
+                FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+    xr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id)
+                         AS rank
+           FROM xscored),
+    exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= {_KNN_K}),
+    cents(cell, c) AS (VALUES
+          {_IVF_CENT_ROWS}),
+    sims AS (SELECT e.vec_id, ct.cell, list_dot_product(e.v, ct.c) AS s
+             FROM e CROSS JOIN cents ct),
+    rk AS (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cell) AS r
+           FROM sims),
+    assign AS (SELECT vec_id, cell FROM rk WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, cell
+               FROM rk WHERE vec_id < {_KNN_Q} AND r <= {_IVF_PROBE}),
+    cands AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+              FROM assign a JOIN probes p USING (cell)
+              WHERE a.vec_id <> p.query_id),
+    iscored AS (SELECT c.query_id, c.neighbor_id,
+                       round(list_cosine_similarity(ce.v, qe.v), 4) AS score
+                FROM cands c
+                JOIN e ce ON ce.vec_id = c.neighbor_id
+                JOIN e qe ON qe.vec_id = c.query_id),
+    ir AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id)
+                         AS rank
+           FROM iscored),
+    ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= {_KNN_K})
+    SELECT exact.query_id,
+           CAST(count(ivf.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(ivf.neighbor_id) / CAST({_KNN_K} AS DOUBLE), 4) + 0.0
+               AS recall_at_k
+    FROM exact LEFT JOIN ivf USING (query_id, neighbor_id)
+    GROUP BY exact.query_id
+    """,
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF index against exact brute-force kNN
+    — THE acceptance number for any ANN deployment (FAISS reports
+    nothing else first): per probe query, what fraction of the true
+    cosine top-10 the n_probe=4/16-cell IVF search returns. The
+    audit-over-the-auditee pattern the dedup family already follows
+    (`q_minhash_error`, `q_lsh_bucket_audit`) applied to the
+    similarity family: at 100 TB nobody can eyeball ANN results, so
+    the recall query IS the regression gate for codebook drift,
+    n_probe budget cuts, or a bad re-train.
+
+    Exactness & scale: both arms reuse the registered pipelines —
+    exact kNN (broadcast queries, corpus streamed, TakeOrdered rank)
+    and IVF (cell assignment, probe-cell candidates, exact rescore)
+    with the same fixed codebook as `q_ann_ivf`, so scores round
+    identically and rank ties break identically; recall is then one
+    (query_id, neighbor_id) equi-join of two k-row-per-query frames
+    and an exact-integer division by the literal k. The expensive
+    parts scale exactly as their parent queries — the audit itself
+    is k-bounded."""
+    from ..operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.knn_bruteforce(emb, n_queries=_KNN_Q, k=_KNN_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = S.ann_ivf(
+        emb, n_queries=_KNN_Q, k=_KNN_K, centroids=_IVF_CENTS
+    ).select(F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inn"))
+    j = exact.join(
+        F.broadcast(ivf),
+        (F.col("query_id") == F.col("iq"))
+        & (F.col("neighbor_id") == F.col("inn")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("inn").cast("long").alias("n_hits"),
+        (
+            F.round(F.count("inn") / F.lit(float(_KNN_K)), 4) + F.lit(0.0)
+        ).alias("recall_at_k"),
+    )

@@ -128,6 +128,9 @@ _DEFERRED = [
     "q_pettitt_test",
     "q_fleiss_kappa",
     "q_community_conductance",
+    "q_runs_test",
+    "q_ttr_sources",
+    "q_ivf_recall",
     # ---- rotation queue, oldest driver row first: the r07-green
     # cohort tail (5) follows — still inside slots 51-100 alongside
     # the additions — and heads round 13's natural _FRONT with the

@@ -8203,3 +8203,121 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(p_e, 6) + F.lit(0.0)).alias("p_e"),
         (F.round((p_bar - p_e) / (1.0 - p_e), 4) + F.lit(0.0)).alias("kappa"),
     )
+
+
+@query(
+    "q_runs_test",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events WHERE ts IS NOT NULL
+               GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(x) AS BIGINT) AS sx
+          FROM d GROUP BY event_type),
+    g AS (SELECT d.event_type, day,
+                 CASE WHEN nd * x > sx THEN 1 ELSE 0 END AS above
+          FROM d JOIN s ON d.event_type IS NOT DISTINCT FROM s.event_type
+          WHERE nd * x <> sx),
+    r AS (SELECT event_type, above,
+                 CASE WHEN lag(above) OVER (PARTITION BY event_type
+                                            ORDER BY day)
+                           IS DISTINCT FROM above
+                      THEN 1 ELSE 0 END AS brk
+          FROM g),
+    a AS (SELECT event_type,
+                 CAST(sum(brk) AS BIGINT) AS runs,
+                 CAST(sum(above) AS BIGINT) AS n1,
+                 CAST(count(*) - sum(above) AS BIGINT) AS n2,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM r GROUP BY event_type)
+    SELECT event_type, n1 AS n_above, n2 AS n_below,
+           runs AS n_runs,
+           round((runs - (2.0 * n1 * n2 / n + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 4) + 0.0 AS z,
+           abs((runs - (2.0 * n1 * n2 / n + 1))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                      / (CAST(n AS DOUBLE) * n * (n - 1)))) > 1.96
+               AS nonrandom_95
+    FROM a
+    WHERE n1 > 0 AND n2 > 0 AND 2.0 * n1 * n2 > n
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (Wald & Wolfowitz 1940) on each event
+    type's daily volume dichotomized about its own MEAN — the
+    randomness-of-sequence gate the level tests can't give:
+    `q_pettitt_test` finds ONE break, CUSUM one drift, but a series
+    can pass both and still be serially clustered (too few runs:
+    momentum/regimes) or oscillate (too many runs: negative
+    autocorrelation); the runs count against its null
+    μ = 2n₁n₂/n + 1 is the classic one-number answer. Dichotomizing
+    about the mean (not the median) keeps the threshold EXACT: the
+    comparison is cross-multiplied to n·x vs Σx so no division ever
+    decides a side, and days exactly ON the mean are excluded (the
+    standard ties treatment, documented contract on both engines).
+
+    Exactness & scale: runs are counted as 1 + Σ sign-changes via a
+    LAG window partitioned by event_type over day-count-sized
+    partitions (the lag of the first row is NULL ⇒ IS DISTINCT FROM
+    counts it as the opening run — same semantics both engines);
+    n₁/n₂/R are exact BIGINTs and z is one fixed float expression,
+    absorbed by round(4); the 1.96 fence reads the raw z. One
+    fact-sized (type, day) aggregate; no joins beyond the broadcast
+    per-type moments. NULL contract: untimed events filtered; a NULL
+    event type is a legitimate segment (null-safe moment join, the
+    `q_cusum_changepoint` discipline)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    s2 = s.select(F.col("event_type").alias("et2"), "nd", "sx")
+    g = (
+        d.join(F.broadcast(s2), F.col("event_type").eqNullSafe(F.col("et2")))
+        .filter(F.col("nd") * F.col("x") != F.col("sx"))
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("nd") * F.col("x") > F.col("sx"), 1)
+            .otherwise(0)
+            .alias("above"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = g.select(
+        "event_type",
+        "above",
+        F.when(
+            ~F.lag("above").over(w).eqNullSafe(F.col("above")), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    a = r.groupBy("event_type").agg(
+        F.sum("brk").cast("long").alias("runs"),
+        F.sum("above").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    mu = 2.0 * n1 * n2 / n + 1
+    sig = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n.cast("double") * n * (n - 1))
+    )
+    z = (F.col("runs") - mu) / sig
+    return a.filter((n1 > 0) & (n2 > 0) & (2.0 * n1 * n2 > n)).select(
+        "event_type",
+        n1.alias("n_above"),
+        n2.alias("n_below"),
+        F.col("runs").alias("n_runs"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("nonrandom_95"),
+    )

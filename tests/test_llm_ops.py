@@ -1372,3 +1372,57 @@ def test_community_conductance_identities(spark):
     # the fixture's template families are internally dense: at least
     # one genuinely sealed community (low phi)
     assert min(r.conductance for r in out.values()) < 0.5
+
+
+def test_ttr_sources_matches_bruteforce(spark):
+    """Per-source token/type/hapax counts and ratios must match a
+    Python word count over the same whitespace tokenization."""
+    from collections import Counter
+
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    per = {}
+    for r in docs:
+        c = per.setdefault(r["source"], Counter())
+        if r["text"]:
+            c.update(r["text"].split())
+    out = {
+        r["source"]: r
+        for r in queries_map()["q_ttr_sources"](spark, SF_SMOKE).collect()
+    }
+    assert set(out) == {s for s, c in per.items() if c}
+    for src, c in per.items():
+        if not c:
+            continue
+        o = out[src]
+        n_tokens, n_types = sum(c.values()), len(c)
+        n_hapax = sum(1 for v in c.values() if v == 1)
+        assert (o.n_tokens, o.n_types, o.n_hapax) == (n_tokens, n_types, n_hapax), src
+        assert abs(o.ttr - round(n_types / n_tokens, 6)) < 1e-12, src
+        assert abs(o.hapax_ratio - round(n_hapax / n_types, 6)) < 1e-12, src
+
+
+def test_ivf_recall_consistent_with_parents(spark):
+    """recall@k must equal the overlap of the registered exact-kNN
+    and IVF top-k outputs for every probe query, bounded in [0, 1],
+    with n_hits <= k — and the fixture's IVF setup must actually
+    retrieve most of the true neighbors (recall isn't vacuously 0)."""
+    from kafka_streams_spring_cloud_stream_tp1_spark.plans import queries_map
+
+    qm = queries_map()
+    exact = {}
+    for r in qm["q_knn_cosine"](spark, SF_SMOKE).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf = {}
+    for r in qm["q_ann_ivf"](spark, SF_SMOKE).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    out = {r["query_id"]: r for r in qm["q_ivf_recall"](spark, SF_SMOKE).collect()}
+    assert set(out) == set(exact)
+    for qid, ex in exact.items():
+        hits = len(ex & ivf.get(qid, set()))
+        o = out[qid]
+        assert o.n_hits == hits, qid
+        assert abs(o.recall_at_k - round(hits / len(ex), 4)) < 1e-12, qid
+        assert 0.0 <= o.recall_at_k <= 1.0
+    assert sum(o.n_hits for o in out.values()) > 0

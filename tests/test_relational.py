@@ -979,3 +979,44 @@ def test_fleiss_kappa_matches_bruteforce(spark):
     assert abs(out.kappa - kappa) < 1e-3
     # committee sanity: substantial but imperfect agreement
     assert 0.2 < out.kappa < 1.0
+
+
+def test_runs_test_matches_bruteforce(spark):
+    """Runs count, side counts, and z must match a direct Python
+    replay of the above-mean dichotomization per event type."""
+    import math
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append((r["day"], r["x"]))
+    out = {
+        r["event_type"]: r
+        for r in queries_map()["q_runs_test"](spark, SF_SMOKE).collect()
+    }
+    for et, pts in series.items():
+        pts.sort()
+        nd, sx = len(pts), sum(x for _, x in pts)
+        signs = [1 if nd * x > sx else 0 for _, x in pts if nd * x != sx]
+        if not signs:
+            assert et not in out
+            continue
+        n1, n = sum(signs), len(signs)
+        n2 = n - n1
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        if n1 == 0 or n2 == 0 or 2.0 * n1 * n2 <= n:
+            assert et not in out, et
+            continue
+        mu = 2.0 * n1 * n2 / n + 1
+        sig = math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1)))
+        z = (runs - mu) / sig
+        o = out[et]
+        assert (o.n_above, o.n_below, o.n_runs) == (n1, n2, runs), et
+        assert abs(o.z - z) < 1e-3, et
+        assert o.nonrandom_95 == (abs(z) > 1.96), et
