@@ -49,12 +49,29 @@ def pagerank(
     verify it at scale (checking would cost exactly the distinct
     shuffle the flag exists to skip); violating it yields silently
     inflated degrees and wrong ranks."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
-        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    )
+    # Symmetrize in ONE pass over `edges` (the dup_clusters explode
+    # device, r12): the union-of-two-selects form executed the caller's
+    # edge subplan (its DISTINCT exchange included) once per branch —
+    # the before-plan showed every replay of this subtree paying two
+    # hashpartitioning(src, dst) exchanges where one suffices.
+    e = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     if not assume_unique_bipartite:
         e = e.distinct()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Materialize the node-grain degree table ONCE (r12): deg feeds
+    # n1, the uniform seed ranks AND the e_deg join — unmaterialized,
+    # each reference replayed the full edge pipeline (the before-plan
+    # carried four copies of the distinct+aggregate subtree; after,
+    # one). Node-grain, so the cut stays small at any corpus size.
+    deg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=False)
+    )
     # Materialize the degree-annotated edge list ONCE: every iteration
     # joins against e_deg, and deg/n1/ranks all hang off the same
     # union+distinct subtree — unmaterialized, Spark replays that
@@ -279,9 +296,17 @@ def kcore_peel(
     discipline as `pagerank` / dedup pointer-jumping); on a cluster
     this is the shrinking edge list pinned in executor storage."""
     assert rounds >= 1, "kcore_peel needs at least one peeling round"
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
-        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    )
+    # one-pass symmetrize (explode, not union-of-selects) — the
+    # upstream edge subplan executes once per materialization instead
+    # of once per union branch (r12, same device as dup_clusters)
+    e = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     if not assume_unique_oriented:
         e = e.distinct()
 
@@ -342,9 +367,17 @@ def label_propagation(
     node-grain argmin — per-node state bounded by its degree's
     distinct labels. Same checkpoint discipline as the other
     iterative operators."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
-        edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
-    )
+    # one-pass symmetrize (explode, not union-of-selects) — the
+    # upstream edge subplan executes once per materialization instead
+    # of once per union branch (r12, same device as dup_clusters)
+    e = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
+                F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     if not assume_unique_oriented:
         e = e.distinct()
 

@@ -3224,7 +3224,11 @@ def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.alias("est"),
             (
                 F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
             ).alias("exact"),
         )
     )

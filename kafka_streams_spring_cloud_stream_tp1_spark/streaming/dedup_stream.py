@@ -26,7 +26,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import lsh_candidate_pairs, minhash_signatures, shingle_sets
+from ..operators.dedup import (
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_sets,
+)
 
 
 def corpus_band_index(
@@ -103,11 +108,7 @@ def near_dup_flags_batch(
     sh_c = corpus_shingles.select(
         F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("sh_old")
     )
-    jac = F.round(
-        F.size(F.array_intersect("sh_new", "sh_old"))
-        / F.size(F.array_union("sh_new", "sh_old")),
-        4,
-    )
+    jac = exact_jaccard("sh_new", "sh_old")
     verified = (
         cands.join(sh_b, "doc_id")
         .join(sh_c, "corpus_doc_id")
