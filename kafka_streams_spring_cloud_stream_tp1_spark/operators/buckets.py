@@ -61,19 +61,30 @@ def bounded_id_buckets(
 
 def intra_bucket_pairs(buckets: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
     """Emit the b·(b−1)/2 ordered (a < b) pairs from each bucket's
-    ``ds`` array — pure codegen (nested array transform + flatten),
-    no join. Callers dedupe across buckets themselves (distinct or
-    count-groupBy) because the right dedup depends on whether they
-    also want the shared-bucket count."""
+    ``ds`` array — a per-row array expression (nested transform +
+    flatten), no join. Callers dedupe across buckets themselves
+    (distinct or count-groupBy) because the right dedup depends on
+    whether they also want the shared-bucket count.
+
+    r13 (guide §1.2 step 2, per-task work): the inner pass runs over
+    ``slice(ds, i+2, …)`` — only the elements AFTER position i — so
+    exactly the b·(b−1)/2 upper-triangle structs are built. The former
+    full-b² transform built every (x, y) struct and then filtered
+    a < b, doing ~2× the element work per bucket; higher-order-function
+    lambdas evaluate interpreted (not codegen), so halving the element
+    count halves the stage. ``ds`` is sorted and duplicate-free
+    (bounded_id_buckets sorts, and (key, id) rows are unique), so
+    j > i ⟺ ds[j] > ds[i]: the emitted pair set is IDENTICAL, in the
+    same order."""
     return (
         buckets.select(
             F.explode(
                 F.flatten(
                     F.transform(
                         "ds",
-                        lambda x: F.filter(
-                            F.transform("ds", lambda y: F.struct(x.alias(a), y.alias(b))),
-                            lambda p: p[a] < p[b],
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                            lambda y: F.struct(x.alias(a), y.alias(b)),
                         ),
                     )
                 )

@@ -43,10 +43,39 @@ _VERIFY_BROADCAST_MAX = 2_000_000
 
 
 
+def _hash_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, shingles array<bigint>) — xxhash64 of each shingle
+    string, for the VERIFY side of the pair pipelines (r13, guide
+    §2.3 narrower types / §1.2 per-task work).
+
+    Set Jaccard is invariant under any injective map of the elements;
+    xxhash64 is injective on a document pair's shingle union except
+    with probability ≈ |A∪B|²/2⁶⁵ per pair (≈ 10⁻¹⁵ at 10⁴ shingles) —
+    the standard fingerprint-identity trade, documented in QUERIES.md
+    ("Hashed verify arrays"). What it buys at every scale: the verify
+    joins shuffle 8-byte longs instead of ~25-byte shingle strings
+    (~3× fewer verify-join bytes), and array_intersect compares longs
+    instead of hashing/equal-ing strings (measured 1.6× on the capped
+    lane's verify stage). The hash is computed once per doc per join
+    side in the projection feeding the join — never per pair.
+
+    Candidate GENERATION stays on the exact strings: bucket keys and
+    df-eligibility counts are untouched, so discoverability is
+    bit-identical to the contract; only the pair-local Jaccard
+    arithmetic rides hashed identities."""
+    return sh.select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+
+
 def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of a candidate pair list against the
     shingle frame — the shared tail of every pair pipeline, with the
     verify-join physical strategy picked COUNT-FIRST (round 9).
+    The shingle arrays enter the verify joins as xxhash64 longs
+    (`_hash_shingles`, r13) — set Jaccard is hash-invariant; see the
+    helper's docstring for the collision caveat and the byte math.
 
     The shingle frame is CORPUS-sized (doc_id × distinct-shingle
     arrays) and must never be blindly broadcast: at the 100× lane the
@@ -72,6 +101,7 @@ def _verify_jaccard(cands: DataFrame, sh: DataFrame, threshold: float) -> DataFr
     """
     cands = cands.cache()
     n_cands = cands.count()
+    sh = _hash_shingles(sh)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     if n_cands <= _VERIFY_BROADCAST_MAX:
@@ -252,17 +282,23 @@ def ngram_jaccard_pairs(
     # materialize as rows. Per-bucket work is O(|bucket|²) but prefix
     # buckets are rarest-first frequency classes, i.e. the smallest
     # ones by construction.
+    # r13 (guide §1.2 step 2): sort_array puts the bucket in doc_id
+    # order (unique within a bucket — shingles are distinct per doc),
+    # so the inner transform over slice(ds, i+2, …) emits exactly the
+    # upper triangle and the a < b predicate (with its full-b² struct
+    # build) is gone. Downstream is count/max/first over the same pair
+    # set — order-insensitive, so the emitted-order change is inert.
     emitted = (
         prefix.groupBy("sh")
-        .agg(F.collect_list(F.struct("doc_id", "n_sh", "pos")).alias("ds"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh", "pos"))).alias("ds"))
         .select(
             F.explode(
                 F.flatten(
                     F.transform(
                         "ds",
-                        lambda x: F.filter(
+                        lambda x, i: F.filter(
                             F.transform(
-                                "ds",
+                                F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
                                 lambda y: F.struct(
                                     x["doc_id"].alias("doc_a"),
                                     x["n_sh"].alias("na"),
@@ -274,8 +310,7 @@ def ngram_jaccard_pairs(
                             ),
                             # length filter t'·|A| ≤ |B| ≤ |A|/t' by
                             # integer cross-multiplication (no doubles)
-                            lambda p: (p["doc_a"] < p["doc_b"])
-                            & (p["nb"].cast("long") * td >= F.lit(tn) * p["na"])
+                            lambda p: (p["nb"].cast("long") * td >= F.lit(tn) * p["na"])
                             & (p["na"].cast("long") * td >= F.lit(tn) * p["nb"]),
                         ),
                     )
@@ -371,22 +406,23 @@ def containment_pairs(
         .groupBy("g")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
     )
+    # r13 (guide §1.2 step 2): upper-triangle emission over
+    # slice(ds, i+2, …) — ds is sorted with unique doc_id per bucket,
+    # so j > i ⟺ doc_b > doc_a and the a < b filter (with its full-b²
+    # struct build) is gone; same pair set, half the element work.
     pairs = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
                     "ds",
-                    lambda x: F.filter(
-                        F.transform(
-                            "ds",
-                            lambda y: F.struct(
-                                x["doc_id"].alias("doc_a"),
-                                x["n_sh"].alias("n_a"),
-                                y["doc_id"].alias("doc_b"),
-                                y["n_sh"].alias("n_b"),
-                            ),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            x["n_sh"].alias("n_a"),
+                            y["doc_id"].alias("doc_b"),
+                            y["n_sh"].alias("n_b"),
                         ),
-                        lambda p: p["doc_a"] < p["doc_b"],
                     ),
                 )
             )
@@ -542,9 +578,13 @@ def minhash_lsh_dedup(
     # whole pipeline one job — validated at the 100x lane in round 8.
     # The count-first strategy switch (_verify_jaccard) is reserved for
     # the UNCAPPED exact lane whose candidate mass is unbounded.
+    # Verify arrays ride as xxhash64 longs (r13, _hash_shingles) — the
+    # hash projection sits ABOVE the cached string frame, so the cache
+    # stays shared with the signature branch.
+    shh = _hash_shingles(sh)
     return (
-        cands.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        cands.join(shh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(shh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
         .withColumn("jaccard", exact_jaccard("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -875,6 +915,14 @@ def simhash_width_audit(
     combined), then |widths| signature-grain aggregates — count-only
     end to end, no doc lists, scale-flat beyond the token pass."""
     bits = max(widths)
+    # r13 note (examined, left): the dictionary fork re-runs the
+    # tokenize+explode pass on the broadcast-join stream side (no
+    # shared exchange). A (doc_id, tok, cnt) pre-aggregate would let
+    # both branches share one exchange, but it shuffles every token
+    # row — measured SLOWER warm at sf0.1 (1.71 → 1.94 s) and
+    # corpus-sized shuffle bytes at scale vs a CPU-only re-scan
+    # (guide §2.3: don't trade a narrow re-read for a payload
+    # shuffle). The two-pass shape stands.
     toks = fan_out(df).select("doc_id", F.explode(tokens(text_col)).alias("tok"))
     dictionary = toks.select("tok").distinct().select("tok", xhash(F.col("tok")).alias("h"))
     ex = toks.join(dictionary, "tok").select("doc_id", "h")
@@ -990,21 +1038,38 @@ def snm_pairs(
         1 + key_start,
         key_chars,
     )
+    # r13: token identities ride as xxhash64 longs — Jaccard is
+    # hash-invariant (collision caveat: QUERIES.md "Hashed verify
+    # arrays"), and the window shuffle + the window-1 lead() frames
+    # carry 8-byte longs instead of token strings.
     base = fan_out(df).select(
         F.col(id_col).alias("id"),
         key.alias("k"),
-        F.array_distinct(tokens(text_col)).alias("toks"),
+        F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)).alias("toks"),
     ).withColumn("blk", F.substring(F.col("k"), 1, block_chars))
     w = Window.partitionBy("blk").orderBy("k", "id")
-    shifted = None
-    for i in range(1, window):
-        s = base.select(
-            "id",
-            "toks",
-            F.lead("id", i).over(w).alias("nid"),
-            F.lead("toks", i).over(w).alias("ntoks"),
-        ).filter(F.col("nid").isNotNull())
-        shifted = s if shifted is None else shifted.unionAll(s)
+    # r13 (guide §2.4): ONE window pass computing all window−1 leads,
+    # exploded to neighbor rows — the former per-offset union replayed
+    # the exchange+sort+window stage once per offset (the exchange was
+    # AQE-reused; the sort and lead projection were not). Same row
+    # multiset: explode emits one row per non-null (nid, ntoks), which
+    # is exactly what each union branch's filter kept.
+    neighbors = F.array(
+        *[
+            F.struct(
+                F.lead("id", i).over(w).alias("nid"),
+                F.lead("toks", i).over(w).alias("ntoks"),
+            )
+            for i in range(1, window)
+        ]
+    )
+    shifted = (
+        # window exprs and the generator must sit in separate selects
+        base.select("id", "toks", neighbors.alias("nbs"))
+        .select("id", "toks", F.explode("nbs").alias("nb"))
+        .select("id", "toks", F.col("nb.nid").alias("nid"), F.col("nb.ntoks").alias("ntoks"))
+        .filter(F.col("nid").isNotNull())
+    )
     jac = exact_jaccard("toks", "ntoks")
     return (
         shifted.select(
@@ -1528,14 +1593,20 @@ def ngram_jaccard_pairs_capped(
         .groupBy("g")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
     )
+    # r13 (guide §1.2 step 2): upper-triangle emission — the inner
+    # transform runs over slice(ds, i+2, …), so only the b·(b−1)/2
+    # ordered structs are built (ds is sorted with unique doc_id, so
+    # j > i ⟺ doc_b > doc_a); the former full-b² form built every
+    # struct and filtered a < b afterwards. The PPJoin length filter
+    # stays inside the lambda — exact integer cross-multiplication.
     pairs = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
                     "ds",
-                    lambda x: F.filter(
+                    lambda x, i: F.filter(
                         F.transform(
-                            "ds",
+                            F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
                             lambda y: F.struct(
                                 x["doc_id"].alias("doc_a"),
                                 x["n_sh"].alias("na"),
@@ -1545,8 +1616,7 @@ def ngram_jaccard_pairs_capped(
                         ),
                         # length filter t'·|A| ≤ |B| ≤ |A|/t' by exact
                         # integer cross-multiplication (no doubles)
-                        lambda p: (p["doc_a"] < p["doc_b"])
-                        & (p["nb"].cast("long") * td >= F.lit(tn) * p["na"].cast("long"))
+                        lambda p: (p["nb"].cast("long") * td >= F.lit(tn) * p["na"].cast("long"))
                         & (p["na"].cast("long") * td >= F.lit(tn) * p["nb"].cast("long")),
                     ),
                 )
@@ -1560,9 +1630,12 @@ def ngram_jaccard_pairs_capped(
     )
     # df-capped candidate mass (max_df per shingle bucket): fused
     # AQE-planned verify join, same rationale as minhash_lsh_dedup.
+    # Verify arrays ride hashed (r13, _hash_shingles — Jaccard is
+    # hash-invariant; collision caveat in QUERIES.md).
+    shh = _hash_shingles(sh)
     return (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        cand.join(shh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(shh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
         .withColumn("jaccard", exact_jaccard("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -143,17 +143,26 @@ def bm25(
     if not qt:
         raise ValueError("bm25 needs at least one non-empty query term")
     toks = tokens(text_col)
-    base = df.select(
+    # r13 (guide §5, lineage cut): ONE tokenize pass feeds both the
+    # per-doc query-term rows AND the corpus stats (N, avgdl) — the
+    # stats aggregate previously re-tokenized the whole corpus in its
+    # own branch (1-row aggregate exchange, shared with nothing). The
+    # cut frame is (doc_id, dl, ≤|query| matching tokens) — counts and
+    # a driver-literal-bounded token list per row, never the text.
+    # dl = size(tokens) is NULL for NULL text in both forms (size
+    # returns NULL on NULL input), so avg() skips the same rows.
+    proj = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("dl"),
-        F.explode(toks).alias("term"),
-    ).filter(F.col("term").isin(qt))
+        F.filter(toks, lambda t: t.isin(qt)).alias("qtoks"),
+    ).localCheckpoint(eager=False)
+    base = proj.select("doc_id", "dl", F.explode("qtoks").alias("term"))
     tf = base.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     tf = tf.join(F.broadcast(dfreq), "term")
-    stats = df.agg(
+    stats = proj.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg(F.size(tokens(text_col))).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     idf = F.log(
         F.lit(1.0)
@@ -231,21 +240,23 @@ def tfidf_cosine_pairs(
     buckets = unit.groupBy("term").agg(
         F.sort_array(F.collect_list(F.struct("doc_id", "u"))).alias("ds")
     )
+    # r13 (guide §1.2 step 2): upper-triangle emission over
+    # slice(ds, i+2, …) — ds is sorted with unique doc_id per term
+    # bucket, so j > i ⟺ doc_b > doc_a; the former full-b² transform
+    # built every struct (and its u·u product) then filtered a < b.
+    # Same pair rows with the same prod values, in the same order.
     pairs = buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
                     "ds",
-                    lambda x: F.filter(
-                        F.transform(
-                            "ds",
-                            lambda y: F.struct(
-                                x["doc_id"].alias("doc_a"),
-                                y["doc_id"].alias("doc_b"),
-                                (x["u"] * y["u"]).alias("prod"),
-                            ),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ds"), i + F.lit(2), F.size("ds")),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            (x["u"] * y["u"]).alias("prod"),
                         ),
-                        lambda p: p["doc_a"] < p["doc_b"],
                     ),
                 )
             )

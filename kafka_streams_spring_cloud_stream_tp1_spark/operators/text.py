@@ -364,7 +364,18 @@ def winnow_overlap_pairs(
     count-first).
     """
     fp = winnow_fingerprints(df, k=k, w=w, text_col=text_col)
-    u = fp.select("doc_id", F.explode("fp_winnow").alias("v"))
+    # lineage-cut once (r13, the r12 forked-pipeline device): inside
+    # bounded_id_buckets the exploded frame forks into the count-only
+    # eligibility branch and the collect_list branch. AQE stage reuse
+    # covers the subtree below the fingerprint window's own
+    # exchange(doc_id), but everything ABOVE it — the windowed min
+    # over every shingle position, the per-doc collect, the explode —
+    # re-executed per branch. Materialized (doc_id, v) — 8-byte hash
+    # rows, never text — that segment runs once (interleaved warm A/B
+    # at sf0.1: 1.66 → 1.41 s median, identical rows).
+    u = fp.select("doc_id", F.explode("fp_winnow").alias("v")).localCheckpoint(
+        eager=False
+    )
     pairs = intra_bucket_pairs(bounded_id_buckets(u, ["v"], min_df=2, max_df=max_bucket))
     return (
         pairs.groupBy("doc_a", "doc_b")

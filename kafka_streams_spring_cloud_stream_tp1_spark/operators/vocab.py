@@ -550,8 +550,20 @@ def token_pmi(
         F.explode(word_ngrams_multiset(tokens(text_col), 2)).alias("bg")
     )
     uni = df.select(F.explode(tokens(text_col)).alias("token"))
-    n_bi = bg.agg(F.count(F.lit(1)).alias("n_bi"))
-    n_uni = uni.agg(F.count(F.lit(1)).alias("n_uni"))
+    # r13 (guide §1.2 step 1): both corpus totals come from ONE
+    # size-only projection pass — N_tokens = Σ size(tokens),
+    # N_bigrams = Σ max(size − 1, 0) (exactly how many entries the
+    # zip-shingle form emits per doc; explode skips NULL/empty the
+    # same way size/sum skip NULL). Exact integer identities, same
+    # LongType. Previously each total re-ran its full explode pass —
+    # the bigram one re-building every concat_ws shingle string just
+    # to count rows (4 tokenize passes; now 2 explodes + 1 cheap
+    # size-arithmetic scan, no shuffle added).
+    nt = F.size(tokens(text_col))
+    totals = df.select(nt.alias("nt")).agg(
+        F.sum("nt").alias("n_uni"),
+        F.sum(F.greatest(F.col("nt") - 1, F.lit(0))).alias("n_bi"),
+    )
     ucnt = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_w"))
     bcnt = (
         bg.groupBy("bg")
@@ -569,8 +581,7 @@ def token_pmi(
         # 1-row totals below broadcast (ADVICE r04).
         .join(ucnt.select(F.col("token").alias("w1"), F.col("c_w").alias("c_a")), "w1")
         .join(ucnt.select(F.col("token").alias("w2"), F.col("c_w").alias("c_b")), "w2")
-        .crossJoin(F.broadcast(n_bi))
-        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(totals))
     )
     num = F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni")
     den = F.col("n_bi").cast("double") * F.col("c_a") * F.col("c_b")

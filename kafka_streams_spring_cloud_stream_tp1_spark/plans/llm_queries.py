@@ -3233,11 +3233,15 @@ def q_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(float(_MH_K))
     sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_sig_{i}") for i in range(_MH_K)])
     sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_sig_{i}") for i in range(_MH_K)])
+    # r13: the exact-Jaccard arm rides hashed shingle identities
+    # (operators/dedup.py::_hash_shingles — Jaccard is hash-invariant;
+    # collision caveat in QUERIES.md "Hashed verify arrays")
+    shh = D._hash_shingles(sh)
     scored = (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .join(shh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(shh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
         .select(
             est.alias("est"),
             (

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    _hash_shingles,
     exact_jaccard,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -104,8 +105,12 @@ def near_dup_flags_batch(
         .select("doc_id", "corpus_doc_id")
         .distinct()
     )
-    sh_b = shingle_sets(batch, n).select("doc_id", F.col("shingles").alias("sh_new"))
-    sh_c = corpus_shingles.select(
+    # r13: verify arrays ride as xxhash64 longs (operators/dedup.py::
+    # _hash_shingles — Jaccard is hash-invariant; caveat in QUERIES.md)
+    sh_b = _hash_shingles(shingle_sets(batch, n)).select(
+        "doc_id", F.col("shingles").alias("sh_new")
+    )
+    sh_c = _hash_shingles(corpus_shingles).select(
         F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("sh_old")
     )
     jac = exact_jaccard("sh_new", "sh_old")

@@ -136,11 +136,44 @@ def test_mega_family_capped_jaccard_completes_and_finds_rare_pair(spark, mega_fa
 
 
 def test_intra_bucket_pairs_orders_and_filters(spark):
+    # contract (r13): ds arrives SORTED with unique ids — exactly what
+    # bounded_id_buckets emits (sort_array over unique (key, id) rows).
+    # The slice-based emitter relies on it: j > i ⟺ ds[j] > ds[i].
     buckets = spark.createDataFrame(
-        [("k", [3, 1, 2])], "v string, ds array<long>"
+        [("k", [1, 2, 3]), ("k2", [7, 9])], "v string, ds array<long>"
     )
     got = {(r.doc_a, r.doc_b) for r in intra_bucket_pairs(buckets).collect()}
-    assert got == {(1, 2), (1, 3), (2, 3)}
+    assert got == {(1, 2), (1, 3), (2, 3), (7, 9)}
+
+
+def test_intra_bucket_pairs_matches_full_square_filter_form(spark):
+    # r13 equivalence pin: the upper-triangle slice emission produces
+    # exactly the pairs the full-b² transform+filter(a<b) form did, in
+    # the same order, on every sorted bucket (including size 0/1).
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    rows = []
+    for k in range(40):
+        ids = sorted(rng.sample(range(1000), rng.randint(0, 12)))
+        rows.append((str(k), ids))
+    buckets = spark.createDataFrame(rows, "v string, ds array<long>")
+    old = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x: F.filter(
+                        F.transform("ds", lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))),
+                        lambda p: p["doc_a"] < p["doc_b"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    assert old.collect() == intra_bucket_pairs(buckets).collect()
 
 
 def test_containment_count_gate_precedes_collect(spark):
