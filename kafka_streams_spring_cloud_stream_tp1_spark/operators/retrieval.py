@@ -53,7 +53,7 @@ def inverted_index(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    if min_df > 1 or max_df is not None:
+    if max_df is not None:
         # df-eligibility decided COUNT-FIRST (one long per term,
         # map-side combined) so a stopword's corpus-sized posting list
         # never materializes in a single aggregation row before the
@@ -61,15 +61,29 @@ def inverted_index(
         # (operators/buckets.py); collect_list then sees only
         # bounded-df terms by construction.
         counts = td.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-        eligible = counts.filter(F.col("_df") >= min_df)
-        if max_df is not None:
-            eligible = eligible.filter(F.col("_df") <= max_df)
+        eligible = counts.filter(
+            (F.col("_df") >= min_df) & (F.col("_df") <= max_df)
+        )
         td = td.join(eligible.select("term"), "term")
-    return td.groupBy("term").agg(
+    idx = td.groupBy("term").agg(
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("tf_total"),
     )
+    if max_df is None and min_df > 1:
+        # r13 (guide §2.4): with NO upper cap the count-first join
+        # protects nothing — a stopword's corpus-sized posting list is
+        # collected either way, and min_df only drops sub-min_df terms
+        # whose lists are < min_df elements. Meanwhile the fork
+        # defeated exchange reuse (the optimizer rewrites the df
+        # branch's inner (term, doc_id) aggregate to a DISTINCT,
+        # dropping the tf count, so the two exchanges no longer
+        # canonicalize equal — executed plan showed the tokenize+
+        # explode pass twice). A post-aggregate HAVING keeps the plan
+        # at ONE corpus pass and is value-identical: df here equals
+        # the count the eligibility branch computed.
+        idx = idx.filter(F.col("df") >= min_df)
+    return idx
 
 
 def idf_rarity(

@@ -2542,19 +2542,18 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     divides two exact integers so the double is bit-identical
     cross-engine (no rounding needed).
 
-    r12: the exploded (doc_id, g) frame is lineage-cut once — AQE
-    broadcasts the first-occurrence table into the join, so the
-    streamed branch shared no exchange with the aggregate branch and
-    the tokenize+shingle projection ran once per branch; materialized,
-    once (measured 3.1 s → 1.5 s at sf0.1, identical rows). On a
-    cluster this pins the exploded shingle keys (not the text) across
-    the two consumers."""
+    r13: the r12 lineage cut on the exploded (doc_id, g) frame is
+    REVERTED. VERDICT r12 item 7 asked for an interleaved re-check,
+    and it showed the cut not paying (no-cut 2.50 min / 2.75 median
+    vs cut 2.56 / 3.11 warm at sf0.1): the first-occurrence table is
+    5-gram-vocabulary-sized, too big to broadcast, so the join plans
+    as a shuffle join on g and BOTH consumers shuffle on the same
+    key — AQE stage reuse already runs the tokenize+shingle pass
+    once, and the checkpoint only added a materialization."""
     from ..operators.dedup import shingle_sets
 
     sh = shingle_sets(load_table(spark, sf_dir, "documents"), n=_NOVELTY_N)
-    ex = sh.select("doc_id", F.explode("shingles").alias("g")).localCheckpoint(
-        eager=False
-    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
     first = ex.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per = (
         ex.join(first, "g")

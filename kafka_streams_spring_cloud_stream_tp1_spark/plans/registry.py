@@ -57,71 +57,11 @@ def _ensure_loaded() -> None:
 #      wherever they sit, so they don't occupy checked slots EXCEPT
 #      the one round that records their first-ever rows-only row.
 _FRONT = [
-    # ---- ROUND-12 WINDOW (executes VERDICT r11 #1): slots 1-7 are
-    # the 7 round-11 additions — the only oracle-backed queries with
-    # NO driver CORRECTNESS row (the r11 judge re-ran the driver
-    # protocol on all 7 at sf0.01: all MATCH — a red here signals
-    # protocol drift, not code). Their rows close the cumulative
-    # ledger to 261/261 driver-backed.
-    "q_kendall_tau",
-    "q_theils_u",
-    "q_hellinger_drift",
-    "q_odds_ratio",
-    "q_cohens_kappa",
-    "q_cliffs_delta",
-    "q_ljung_box",
-    # Slots 8-50: the r07-green cohort remainder (43 of 48; last
-    # driver-checked in CORRECTNESS_r07 — the oldest driver rows in
-    # the ledger now that the r06-era remainder refreshed in r11).
-    "q_rerank_topk",
-    "q_spearman",
-    "q_psi_drift",
-    "q_chi_square",
-    "q_kruskal_wallis",
-    "q_winsorize",
-    "q_k_anonymity",
-    "q_kcore",
-    "q_pq_quantize",
-    "q_char_entropy",
-    "q_label_propagation",
-    "q_distinctive_terms",
-    "q_dedup_minhash_lsh",
-    "q_text_stats",
-    "q_lang_id",
-    "q_token_count",
-    "q_doc_fingerprint",
-    "q_quantize_embeddings",
-    "q_label_centroids",
-    "q_inverted_index",
-    "q_winnow_fingerprint",
-    "q_array_map_funcs",
-    "q_math_funcs",
-    "q_kmeans",
-    "q_semdedup",
-    "q_bigram_logprob",
-    "q_containment_dedup",
-    "q_idf_rarity",
-    "q_dedup_simhash",
-    "q_dedup_simhash_hamming",
-    "q_dedup_embedding_cosine",
-    "q_knn_cosine",
-    "q_multimodal_features",
-    "q_frame_sample",
-    "q_readability_udf",
-    "q_weighted_mean_udaf",
-    "q_chunk_documents_udtf",
-    "q_redact_pii",
-    "q_windowed_count",
-    "q_windowed_count_keyed",
-    "q_store_range_fetch",
-    "q_agg_pricing_summary",
-    "q_join_broadcast",
-]
-_DEFERRED = [
-    # ---- round-12 additions (never driver-checked) lead the queue so
-    # they sit in slots 51-56 — inside the NEXT round's window per the
-    # staleness bound's clause (c) — and are round 13's first priority
-    # for driver rows.
+    # ---- ROUND-13 WINDOW (executes VERDICT r12 #8 — the rotation
+    # queued in the r12 _DEFERRED head): slots 1-9 are the 9 round-12
+    # additions, the only oracle-backed queries with NO driver
+    # CORRECTNESS row (builder-checked at 3 SFs + full soak; a red
+    # here signals protocol drift, not code).
     "q_ordinal_association",
     "q_paired_ttest",
     "q_dickey_fuller",
@@ -131,16 +71,15 @@ _DEFERRED = [
     "q_runs_test",
     "q_ttr_sources",
     "q_ivf_recall",
-    # ---- rotation queue, oldest driver row first: the r07-green
-    # cohort tail (5) follows — still inside slots 51-100 alongside
-    # the additions — and heads round 13's natural _FRONT with the
-    # r08 cohort.
+    # Slots 10-14: the r07-green cohort tail (last driver-checked in
+    # CORRECTNESS_r07 — the oldest remaining driver rows).
     "q_join_multiway",
     "q_join_left_outer",
     "q_join_range",
     "q_filter",
     "q_project_rekey",
-    # r08-green cohort (CORRECTNESS_r08; 50 queries)
+    # Slots 15-50: the r08-green cohort head (next-oldest rows,
+    # CORRECTNESS_r08); its 14-query tail leads _DEFERRED for round 14.
     "q_console_echo",
     "q_distinct",
     "q_sort_multi_col",
@@ -177,6 +116,10 @@ _DEFERRED = [
     "q_ab_test",
     "q_token_budget_select",
     "q_ngram_novelty",
+]
+_DEFERRED = [
+    # ---- rotation queue, oldest driver row first: the r08 cohort
+    # tail (14) heads round 14's natural window.
     "q_sample_split",
     "q_repetition_stats",
     "q_decontaminate",
@@ -346,6 +289,58 @@ _DEFERRED = [
     "q_dedup_exact",
     "q_bloom_dedup_gate",
     "q_exact_substring_dedup",
+    # r12-green cohort (CORRECTNESS_r12; 50 queries — freshest rows,
+    # rotate back in last)
+    "q_kendall_tau",
+    "q_theils_u",
+    "q_hellinger_drift",
+    "q_odds_ratio",
+    "q_cohens_kappa",
+    "q_cliffs_delta",
+    "q_ljung_box",
+    "q_rerank_topk",
+    "q_spearman",
+    "q_psi_drift",
+    "q_chi_square",
+    "q_kruskal_wallis",
+    "q_winsorize",
+    "q_k_anonymity",
+    "q_kcore",
+    "q_pq_quantize",
+    "q_char_entropy",
+    "q_label_propagation",
+    "q_distinctive_terms",
+    "q_dedup_minhash_lsh",
+    "q_text_stats",
+    "q_lang_id",
+    "q_token_count",
+    "q_doc_fingerprint",
+    "q_quantize_embeddings",
+    "q_label_centroids",
+    "q_inverted_index",
+    "q_winnow_fingerprint",
+    "q_array_map_funcs",
+    "q_math_funcs",
+    "q_kmeans",
+    "q_semdedup",
+    "q_bigram_logprob",
+    "q_containment_dedup",
+    "q_idf_rarity",
+    "q_dedup_simhash",
+    "q_dedup_simhash_hamming",
+    "q_dedup_embedding_cosine",
+    "q_knn_cosine",
+    "q_multimodal_features",
+    "q_frame_sample",
+    "q_readability_udf",
+    "q_weighted_mean_udaf",
+    "q_chunk_documents_udtf",
+    "q_redact_pii",
+    "q_windowed_count",
+    "q_windowed_count_keyed",
+    "q_store_range_fetch",
+    "q_agg_pricing_summary",
+    "q_join_broadcast",
 ]
 
 

@@ -2704,6 +2704,16 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
+        # lineage-cut once (r13): the per-part total branch and the
+        # join-back branch both replay the fact scan + semi join +
+        # (supp, part) aggregate — exchange reuse does NOT fire
+        # because one branch's subtree contains the ReusedExchange of
+        # the widget_parts broadcast and the other the original, so
+        # the two exchanges no longer canonicalize equal (executed
+        # plan showed two hashpartitioning(l_suppkey, l_partkey)
+        # stages). Materialized (suppkey, partkey, qty) — keys + one
+        # measure, fact-aggregate-sized, never raw lineitem rows.
+        .localCheckpoint(eager=False)
     )
     part_tot = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("qty").alias("tot"))
     eligible = (

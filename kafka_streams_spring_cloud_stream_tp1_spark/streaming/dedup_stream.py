@@ -106,11 +106,19 @@ def near_dup_flags_batch(
         .distinct()
     )
     # r13: verify arrays ride as xxhash64 longs (operators/dedup.py::
-    # _hash_shingles — Jaccard is hash-invariant; caveat in QUERIES.md)
+    # _hash_shingles — Jaccard is hash-invariant; caveat in QUERIES.md).
+    # The corpus side may arrive pre-hashed (stream_near_dup_monitor
+    # persists the hashed frame so the transform doesn't re-run per
+    # micro-batch); hash it here only when it's still strings.
+    from pyspark.sql.types import StringType
+
     sh_b = _hash_shingles(shingle_sets(batch, n)).select(
         "doc_id", F.col("shingles").alias("sh_new")
     )
-    sh_c = _hash_shingles(corpus_shingles).select(
+    cs = corpus_shingles
+    if isinstance(cs.schema["shingles"].dataType.elementType, StringType):
+        cs = _hash_shingles(cs)
+    sh_c = cs.select(
         F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("sh_old")
     )
     jac = exact_jaccard("sh_new", "sh_old")
@@ -152,7 +160,10 @@ def stream_near_dup_monitor(
     caches release when the query terminates; at real corpus scale
     write the index to a bucketed table instead and re-read it."""
     index = corpus_band_index(corpus, n=n).persist()
-    shingles = shingle_sets(corpus, n).persist()
+    # persist the HASHED verify arrays (r13): hashing above the persist
+    # would re-run the transform over the whole corpus every
+    # micro-batch; hashed-long arrays are also ~3× smaller cached
+    shingles = _hash_shingles(shingle_sets(corpus, n)).persist()
     index.count(), shingles.count()  # build once, eagerly
 
     def process(batch: DataFrame, batch_id: int) -> None:
